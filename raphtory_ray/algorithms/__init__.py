@@ -1,0 +1,378 @@
+"""Algorithm surface — Raphtory-parity analytics over GraphFrame
+(SURVEY §2.8 inventory; python names match
+/root/reference/python/python/raphtory/algorithms/__init__.pyi).
+
+Each function takes a :class:`~raphtory_ray.graph.graph_frame.GraphFrame`
+(any view) and runs on the shared :class:`~raphtory_ray.state.shards.BspGraph`
+built (and cached on the GraphFrame) from its edge Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from raphtory_ray.graph.graph_frame import GraphFrame
+from raphtory_ray.graph.node_state import NodeState
+from raphtory_ray.state.shards import BspGraph, _balance_partial
+
+__all__ = [
+    "pagerank", "weakly_connected_components", "label_propagation",
+    "triangle_count", "local_triangle_count", "k_core_set", "k_core",
+    "degree", "in_degree", "out_degree", "degree_centrality",
+    "max_degree", "min_degree", "average_degree",
+    "max_in_degree", "min_in_degree", "max_out_degree", "min_out_degree",
+    "directed_graph_density", "triplet_count",
+    "local_clustering_coefficient", "global_clustering_coefficient",
+    "global_reciprocity", "all_local_reciprocity",
+    "hits", "balance", "in_components", "out_components",
+    "largest_connected_component", "single_source_shortest_path",
+    "temporally_reachable_nodes", "fast_rp",
+]
+
+
+def _bsp(gf: GraphFrame) -> BspGraph:
+    if isinstance(gf, BspGraph):
+        return gf
+    cached = getattr(gf, "_bsp", None)
+    if cached is None:
+        cached = BspGraph.from_graph(gf)
+        gf._bsp = cached
+    return cached
+
+
+# ------------------------------------------------------------------ core four
+
+def pagerank(gf, iter_count: int = 20, tol: float = 1e-6,
+             damping_factor: float = 0.85, use_l2_norm: bool = True,
+             checkpoint=None) -> NodeState:
+    scores, iters, _ = _bsp(gf).pagerank(damping=damping_factor,
+                                         iter_count=iter_count, tol=tol,
+                                         use_l2_norm=use_l2_norm,
+                                         checkpoint=checkpoint)
+    st = NodeState(scores, gf if isinstance(gf, GraphFrame) else None, "pagerank")
+    st.iterations = iters
+    return st
+
+
+def weakly_connected_components(gf) -> NodeState:
+    return NodeState(_bsp(gf).wcc(), gf if isinstance(gf, GraphFrame) else None,
+                     "component")
+
+
+def label_propagation(gf, iter_count: int = 20) -> NodeState:
+    labels, iters = _bsp(gf).lpa(iter_count=iter_count)
+    st = NodeState(labels, gf if isinstance(gf, GraphFrame) else None, "label")
+    st.iterations = iters
+    return st
+
+
+def triangle_count(gf) -> int:
+    total, _ = _bsp(gf).triangle_counts()
+    return total
+
+
+def local_triangle_count(gf) -> NodeState:
+    _, local = _bsp(gf).triangle_counts()
+    return NodeState(local, gf if isinstance(gf, GraphFrame) else None, "triangles")
+
+
+# ------------------------------------------------------------------ cores
+
+def k_core_set(gf, k: int, iter_count: int = 10**9) -> np.ndarray:
+    """vids in the k-core (k_core.rs:41-101)."""
+    return np.flatnonzero(_bsp(gf).kcore_set(k, iter_count))
+
+
+def k_core(gf, k: int, iter_count: int = 10**9) -> GraphFrame:
+    return gf.subgraph(k_core_set(gf, k, iter_count))
+
+
+# ------------------------------------------------------------------ degrees
+
+def degree(gf) -> NodeState:
+    """Distinct-neighbour BOTH degree (adj.rs:105-119)."""
+    return NodeState(_bsp(gf).both_degree, gf, "degree")
+
+
+def in_degree(gf) -> NodeState:
+    return NodeState(_bsp(gf).in_degree, gf, "in_degree")
+
+
+def out_degree(gf) -> NodeState:
+    return NodeState(_bsp(gf).out_degree, gf, "out_degree")
+
+
+def degree_centrality(gf) -> NodeState:
+    """degree / max_degree (degree_centrality.rs:34-55)."""
+    d = _bsp(gf).both_degree.astype(np.float64)
+    m = d.max(initial=0.0)
+    return NodeState(d / m if m > 0 else d, gf, "degree_centrality")
+
+
+def max_degree(gf) -> int:
+    return int(_bsp(gf).both_degree.max(initial=0))
+
+
+def min_degree(gf) -> int:
+    return int(_bsp(gf).both_degree.min())
+
+
+def average_degree(gf) -> float:
+    return float(_bsp(gf).both_degree.mean())
+
+
+def max_in_degree(gf) -> int:
+    return int(_bsp(gf).in_degree.max(initial=0))
+
+
+def min_in_degree(gf) -> int:
+    return int(_bsp(gf).in_degree.min())
+
+
+def max_out_degree(gf) -> int:
+    return int(_bsp(gf).out_degree.max(initial=0))
+
+
+def min_out_degree(gf) -> int:
+    return int(_bsp(gf).out_degree.min())
+
+
+# ------------------------------------------------------------------ metrics
+
+def directed_graph_density(gf) -> float:
+    """E_simple / (N * (N-1)) (directed_graph_density.rs:46)."""
+    g = _bsp(gf)
+    return g.num_edges / (g.n * (g.n - 1))
+
+
+def triplet_count(gf) -> int:
+    """Σ C(deg_excl_self, 2) (triplet_count.rs:83-113)."""
+    g = _bsp(gf)
+    deg = g.both_degree - _self_loop_mask(g)
+    return int((deg * (deg - 1) // 2).sum())
+
+
+def _self_loop_mask(g: BspGraph) -> np.ndarray:
+    import pyarrow as pa  # noqa: F401
+
+    @ray.remote
+    def self_loops(block, n):
+        s = block["src"].to_numpy(zero_copy_only=False)
+        d = block["dst"].to_numpy(zero_copy_only=False)
+        m = s == d
+        return np.bincount(s[m], minlength=n).astype(bool)
+
+    parts = ray.get([self_loops.remote(r, g.n) for r in g.refs])
+    return np.logical_or.reduce(parts).astype(np.int64) if parts else \
+        np.zeros(g.n, dtype=np.int64)
+
+
+def local_clustering_coefficient(gf) -> NodeState:
+    g = _bsp(gf)
+    _, tri = g.triangle_counts()
+    deg = (g.both_degree - _self_loop_mask(g)).astype(np.float64)
+    denom = deg * (deg - 1) / 2.0
+    out = np.zeros(g.n)
+    nz = denom > 0
+    out[nz] = tri[nz] / denom[nz]
+    return NodeState(out, gf, "clustering")
+
+
+def global_clustering_coefficient(gf) -> float:
+    """3 * triangles / triplets (clustering_coefficient/global.rs)."""
+    g = _bsp(gf)
+    total, _ = g.triangle_counts()
+    trip = triplet_count(gf)
+    return 3.0 * total / trip if trip else 0.0
+
+
+def global_reciprocity(gf) -> float:
+    """Σ|out∩in| / Σ|out|, self-loops excluded (reciprocity.rs:97-118)."""
+    out_c, in_c, inter = _bsp(gf).reciprocal_counts()
+    tot = out_c.sum()
+    return float(inter.sum() / tot) if tot else 0.0
+
+
+def all_local_reciprocity(gf) -> NodeState:
+    """2*|out∩in| / (|out|+|in|) per node (reciprocity.rs:120-133)."""
+    out_c, in_c, inter = _bsp(gf).reciprocal_counts()
+    denom = (out_c + in_c).astype(np.float64)
+    vals = np.full(len(denom), np.nan)
+    nz = denom > 0
+    vals[nz] = 2.0 * inter[nz] / denom[nz]
+    return NodeState(vals, gf, "reciprocity")
+
+
+def hits(gf, iter_count: int = 20, tol: float = 1e-8) -> tuple[NodeState, NodeState]:
+    hub, auth, _ = _bsp(gf).hits(iter_count, tol)
+    return NodeState(hub, gf, "hub"), NodeState(auth, gf, "auth")
+
+
+def balance(gf: GraphFrame, weight_col: str = "w",
+            direction: str = "both") -> NodeState:
+    """Per-node net sum of a numeric edge property over temporal EVENTS
+    (balance.rs:44-123): incoming positive, outgoing negative. Runs over the
+    event Dataset (not the dedup'd simple edges)."""
+    n = gf.n
+    mat = gf.edges.map_batches(
+        lambda b: b.select(["src", "dst", weight_col]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    parts = ray.get([_balance_partial.remote(r, n, weight_col)
+                     for r in mat.to_arrow_refs()])
+    inc = np.sum([p[0] for p in parts], axis=0)
+    out = np.sum([p[1] for p in parts], axis=0)
+    if direction == "in":
+        vals = inc
+    elif direction == "out":
+        vals = -out
+    else:
+        vals = inc - out
+    return NodeState(vals, gf, "balance")
+
+
+# ------------------------------------------------------------------ components
+
+def largest_connected_component(gf) -> GraphFrame:
+    """WCC → biggest component → induced subgraph view (lcc.rs:24-47)."""
+    labels = _bsp(gf).wcc()
+    vals, cnts = np.unique(labels, return_counts=True)
+    big = vals[np.argmax(cnts)]
+    return gf.subgraph(np.flatnonzero(labels == big))
+
+
+def _closure_sets(g: BspGraph, reverse: bool) -> list[np.ndarray]:
+    """Per-node ancestor (reverse=True) / descendant sets via CSR BFS.
+    Driver-side on the materialized simple-edge arrays — the reference runs
+    per-node BFS inside tasks too (in_components.rs:99-120); non-core,
+    sizes are unbounded (O(V^2) worst case) by nature."""
+    tbls = ray.get(list(g.refs))
+    if tbls:
+        s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls])
+        d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tbls])
+    else:
+        s = d = np.empty(0, np.int64)
+    if reverse:
+        s, d = d, s
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    indptr = np.zeros(g.n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=g.n), out=indptr[1:])
+    out = []
+    for v in range(g.n):
+        seen = set()
+        stack = list(d[indptr[v]:indptr[v + 1]])
+        while stack:
+            u = stack.pop()
+            if u not in seen:
+                seen.add(u)
+                stack.extend(d[indptr[u]:indptr[u + 1]])
+        out.append(np.array(sorted(seen), dtype=np.int64))
+    return out
+
+
+def in_components(gf) -> list[np.ndarray]:
+    """Ancestor set per node (in_components.rs:55-224)."""
+    return _closure_sets(_bsp(gf), reverse=True)
+
+
+def out_components(gf) -> list[np.ndarray]:
+    return _closure_sets(_bsp(gf), reverse=False)
+
+
+# ------------------------------------------------------------------ pathing
+
+def single_source_shortest_path(gf, source: int, cutoff: int | None = None) -> dict[int, list[int]]:
+    """BFS shortest paths over OUT-edges from source
+    (single_source_shortest_path.rs:62-107). Frontier supersteps on the
+    driver over block-partitioned relaxations."""
+    g = _bsp(gf)
+    tbls = ray.get(list(g.refs))
+    s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls]) \
+        if tbls else np.empty(0, np.int64)
+    d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tbls]) \
+        if tbls else np.empty(0, np.int64)
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    indptr = np.zeros(g.n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=g.n), out=indptr[1:])
+    paths = {int(source): [int(source)]}
+    frontier = [int(source)]
+    depth = 0
+    while frontier and (cutoff is None or depth < cutoff):
+        depth += 1
+        nxt = []
+        for u in frontier:
+            for v in d[indptr[u]:indptr[u + 1]].tolist():
+                if v not in paths:
+                    paths[v] = paths[u] + [v]
+                    nxt.append(v)
+        frontier = nxt
+    return paths
+
+
+def temporally_reachable_nodes(gf, start_time: int, seeds: list[int],
+                               stop_nodes: list[int] | None = None,
+                               max_hops: int | None = None) -> np.ndarray:
+    """Time-respecting reachability from seeds: an event (src, dst, t) spreads
+    taint if src is tainted with taint-time <= t and t >= start_time
+    (temporal_reachability.rs:78-219 semantics, simplified: no per-event
+    taint history). Returns tainted vids."""
+    tbl = pa.concat_tables(
+        gf.edges.select_columns(["src", "dst", "t"])
+        .iter_batches(batch_format="pyarrow"))
+    s = tbl["src"].to_numpy(zero_copy_only=False)
+    d = tbl["dst"].to_numpy(zero_copy_only=False)
+    t = tbl["t"].to_numpy(zero_copy_only=False)
+    keep = t >= start_time
+    s, d, t = s[keep], d[keep], t[keep]
+    stop = set(stop_nodes or [])
+    taint_time = np.full(gf.n, np.iinfo(np.int64).max, dtype=np.int64)
+    for seed in seeds:
+        taint_time[seed] = start_time
+    hops = 0
+    while max_hops is None or hops < max_hops:
+        hops += 1
+        ok = (taint_time[s] <= t) & ~np.isin(s, list(stop)) if stop else taint_time[s] <= t
+        cand_d, cand_t = d[ok], t[ok]
+        new = np.minimum(taint_time.copy(), taint_time)
+        np.minimum.at(new, cand_d, cand_t)
+        if np.array_equal(new, taint_time):
+            break
+        taint_time = new
+    return np.flatnonzero(taint_time < np.iinfo(np.int64).max)
+
+
+def fast_rp(gf, embedding_dim: int = 16, normalization_strength: float = 0.5,
+            iter_weights: list[float] = (1.0, 1.0), seed: int = 42) -> NodeState:
+    """FastRP embeddings (fast_rp.rs:40-114): seeded sparse random init,
+    iterative neighbour averaging. Superstep = sparse matrix product via the
+    same block-partial pattern as PageRank, with vector-valued state."""
+    g = _bsp(gf)
+    n, dim = g.n, embedding_dim
+    rng = np.random.default_rng(seed)
+    s = 3.0
+    probs = [1 / (2 * s), 1 - 1 / s, 1 / (2 * s)]
+    emb = rng.choice([-np.sqrt(s), 0.0, np.sqrt(s)], size=(n, dim), p=probs)
+    deg = np.maximum(g.both_degree, 1).astype(np.float64)
+    scale = (deg ** normalization_strength)[:, None]
+    state = emb * scale
+    result = np.zeros((n, dim))
+
+    @ray.remote
+    def avg_partial(block, st):
+        u = block["src"].to_numpy(zero_copy_only=False)
+        v = block["dst"].to_numpy(zero_copy_only=False)
+        out = np.zeros_like(st)
+        np.add.at(out, u, st[v])
+        return out
+
+    for w in iter_weights:
+        ref = ray.put(state)
+        parts = ray.get([avg_partial.remote(r, ref) for r in g.und_refs])
+        state = np.sum(parts, axis=0) / deg[:, None]
+        result += w * state
+    ns = NodeState(result.sum(axis=1), gf, "fast_rp_sum")  # scalar view
+    ns.embeddings = result
+    return ns

@@ -1,0 +1,88 @@
+"""NodeState — per-vertex algorithm results with the reference's reduction
+surface (node_state/__init__.pyi: sum/mean/min/max/median/top_k/bottom_k/
+groups/sorted/merge → SURVEY §2.5-2.6 Ray mappings).
+
+Values are a dense O(V) numpy array (vid-indexed). Reductions are numpy;
+``to_arrow``/``to_pandas`` attach gids from the vertex dimension table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class NodeState:
+    def __init__(self, values: np.ndarray, gf=None, name: str = "value"):
+        self.values = np.asarray(values)
+        self.gf = gf
+        self.name = name
+
+    # ---------------------------------------------------------------- export
+    def to_arrow(self, include_gid: bool = True) -> pa.Table:
+        cols = {"vid": pa.array(np.arange(len(self.values)), pa.int64())}
+        if include_gid and self.gf is not None and self.gf.vertices is not None:
+            cols["gid"] = self.gf.vertices["gid"]
+        cols[self.name] = pa.array(self.values)
+        return pa.table(cols)
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_dict(self) -> dict:
+        t = self.to_arrow()
+        keys = t["gid"].to_pylist() if "gid" in t.column_names else t["vid"].to_pylist()
+        return dict(zip(keys, self.values.tolist()))
+
+    # ------------------------------------------------------------ reductions
+    def sum(self):
+        return self.values.sum()
+
+    def mean(self):
+        return float(self.values.mean())
+
+    def min(self):
+        return self.values.min()
+
+    def max(self):
+        return self.values.max()
+
+    def median(self):
+        return float(np.median(self.values))
+
+    def top_k(self, k: int) -> pa.Table:
+        idx = np.argsort(-self.values, kind="stable")[:k]
+        return self._subset(idx)
+
+    def bottom_k(self, k: int) -> pa.Table:
+        idx = np.argsort(self.values, kind="stable")[:k]
+        return self._subset(idx)
+
+    def sorted(self, descending: bool = False) -> pa.Table:
+        idx = np.argsort(self.values, kind="stable")
+        if descending:
+            idx = idx[::-1]
+        return self._subset(idx)
+
+    def _subset(self, idx: np.ndarray) -> pa.Table:
+        t = self.to_arrow()
+        return t.take(pa.array(idx))
+
+    def groups(self) -> dict:
+        """value → array of vids (NodeState.groups semantics)."""
+        order = np.argsort(self.values, kind="stable")
+        sv = self.values[order]
+        boundary = np.r_[True, sv[1:] != sv[:-1]]
+        starts = np.flatnonzero(boundary)
+        out = {}
+        for i, st in enumerate(starts):
+            en = starts[i + 1] if i + 1 < len(starts) else len(sv)
+            out[sv[st]] = order[st:en]
+        return out
+
+    def merge(self, other: "NodeState", names=("left", "right")) -> pa.Table:
+        """Join two results on vid (NodeState.merge → ds.join on vid)."""
+        t = self.to_arrow()
+        return t.rename_columns(
+            [c if c not in (self.name,) else names[0] for c in t.column_names]
+        ).append_column(names[1], pa.array(other.values))

@@ -1,0 +1,423 @@
+"""BspGraph — the distributed superstep engine over edge blocks.
+
+Design (the TaskRunner equivalent, SURVEY §7.2.3):
+
+- The temporal edge Dataset is deduplicated ONCE to simple edges via a
+  Ray Data ``groupby(["src","dst"])`` (the foundational shuffle, SURVEY
+  §2.7) and materialized as Arrow blocks pinned in the object store
+  (``to_arrow_refs``) — topology is shuffled once, never re-shipped.
+- Vertex state is O(V) dense numpy arrays owned by the driver and broadcast
+  per superstep with ``ray.put`` (read zero-copy by every task). Message
+  generation + partial combine happen inside per-block Ray tasks (the
+  vectorized kernels of core/kernels.py); the driver does the tiny final
+  combine (classic partial+final aggregation, SURVEY §2.5).
+- Supersteps are idempotent pure functions of (blocks, state_k) → state_{k+1},
+  which is what makes per-iteration checkpoint/resume trivial
+  (pipelines/checkpoint.py) and makes Ray's task retries safe.
+
+Scale notes (explicit, per north_rule):
+- Undirected/directed block sets are hash-partitioned by the Ray Data
+  shuffle; skew from hub vertices only affects per-block *message counts*,
+  which are pre-combined inside the task (np.bincount = a full local
+  combiner), so a hot destination vertex costs one float per block — the
+  salted-combine degenerate case is built in.
+- O(V) driver state is the documented trade-off: it holds to ~10^8-10^9
+  vertices (8 GB/array). Beyond that the same superstep bodies run against
+  hash-partitioned state actors; the kernels are unchanged. (10^12-file
+  scale needs that path; this sandbox cannot exercise it.)
+- Triangle counting broadcasts the oriented CSR (O(E)); the at-scale path is
+  hash-partitioning wedges by min endpoint + semi-join against edge buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from raphtory_ray.core import kernels as K
+
+
+def _np(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False)
+
+
+# --------------------------------------------------------------------- tasks
+
+def _sd(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(src, dst) arrays; empty blocks may have lost their schema after a
+    filter+shuffle, so treat a missing column as zero rows."""
+    if block.num_rows == 0 or "src" not in block.column_names:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return _np(block["src"]), _np(block["dst"])
+
+
+
+@ray.remote
+def _degree_partial(block: pa.Table, n: int, col: str) -> np.ndarray:
+    s, d = _sd(block)
+    return np.bincount(s if col == "src" else d, minlength=n)
+
+
+@ray.remote
+def _pr_partial(block: pa.Table, rank: np.ndarray, inv_outdeg: np.ndarray) -> np.ndarray:
+    s, d = _sd(block)
+    return np.bincount(d, weights=rank[s] * inv_outdeg[s], minlength=len(rank))
+
+
+@ray.remote
+def _minlabel_partial(block: pa.Table, label: np.ndarray) -> np.ndarray:
+    s, d = _sd(block)
+    out = label.copy()
+    np.minimum.at(out, d, label[s])
+    np.minimum.at(out, s, label[d])
+    return out
+
+
+@ray.remote
+def _vote_partial(block: pa.Table, prev: np.ndarray, n: int):
+    """LPA: per-block combined label votes → (packed u*n+label keys, counts)."""
+    u, v = _sd(block)
+    keys = u.astype(np.int64) * n + prev[v]
+    uk, cnt = np.unique(keys, return_counts=True)
+    return uk, cnt
+
+
+@ray.remote
+def _alive_count_partial(block: pa.Table, alive: np.ndarray, n: int) -> np.ndarray:
+    u, v = _sd(block)
+    return np.bincount(u[alive[v]], minlength=n)
+
+
+@ray.remote
+def _hits_partial(block: pa.Table, hub: np.ndarray, auth: np.ndarray):
+    s, d = _sd(block)
+    n = len(hub)
+    return (np.bincount(d, weights=hub[s], minlength=n),
+            np.bincount(s, weights=auth[d], minlength=n))
+
+
+@ray.remote
+def _tri_partial(fu: np.ndarray, fv: np.ndarray, indptr: np.ndarray,
+                 fall: np.ndarray, keys: np.ndarray, n: int):
+    """Wedge-probe triangle counting over a slice of oriented edges.
+    fu/fv: this task's oriented edges (a<b); indptr/fall: global forward CSR;
+    keys: sorted packed edge keys for membership probes."""
+    local = np.zeros(n, dtype=np.int64)
+    total = 0
+    bdeg = indptr[1:] - indptr[:-1]
+    reps = bdeg[fv]
+    if reps.sum() == 0:
+        return 0, local
+    wa = np.repeat(fu, reps)
+    wb = np.repeat(fv, reps)
+    row_start = np.repeat(indptr[fv], reps)
+    within = np.arange(len(wa)) - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+    wc = fall[row_start + within]
+    wkeys = wa * n + wc
+    pos = np.searchsorted(keys, wkeys)
+    pos[pos >= len(keys)] = len(keys) - 1
+    hit = keys[pos] == wkeys
+    total = int(hit.sum())
+    if total:
+        local += np.bincount(wa[hit], minlength=n)
+        local += np.bincount(wb[hit], minlength=n)
+        local += np.bincount(wc[hit], minlength=n)
+    return total, local
+
+
+@ray.remote
+def _recip_partial(block: pa.Table, keys: np.ndarray, n: int):
+    """Per-block reciprocity partials: for non-self-loop edges (u,v), count
+    per-u (outdeg excl self) and per-u reciprocated (does (v,u) exist?) via
+    binary search over the broadcast sorted edge-key set."""
+    s, d = _sd(block)
+    m = s != d
+    s, d = s[m], d[m]
+    out_c = np.bincount(s, minlength=n)
+    rkeys = d * n + s
+    pos = np.searchsorted(keys, rkeys)
+    pos[pos >= len(keys)] = len(keys) - 1
+    hit = keys[pos] == rkeys
+    inter = np.bincount(s[hit], minlength=n)
+    return out_c, inter
+
+
+@ray.remote
+def _balance_partial(block: pa.Table, n: int, wcol: str):
+    s, d, w = _np(block["src"]), _np(block["dst"]), _np(block[wcol])
+    return (np.bincount(d, weights=w, minlength=n),   # incoming
+            np.bincount(s, weights=w, minlength=n))   # outgoing
+
+
+def default_blocks() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(4, min(64, cpus))
+
+
+class BspGraph:
+    """Simple-graph engine: dedup'd directed edge blocks (+ lazily derived
+    undirected neighbour blocks) in the object store."""
+
+    def __init__(self, n: int, refs: list, num_edges: int):
+        self.n = n
+        self.refs = refs                  # directed simple (src,dst) blocks
+        self.num_edges = num_edges
+        self._und_refs = None
+        self._outdeg = None
+        self._indeg = None
+        self._bdeg = None
+
+    # ------------------------------------------------------------ construction
+    @classmethod
+    def from_graph(cls, gf, num_blocks: int | None = None) -> "BspGraph":
+        return cls.from_edges(gf.edges, gf.n, num_blocks)
+
+    @classmethod
+    def from_edges(cls, edges_ds, n: int, num_blocks: int | None = None) -> "BspGraph":
+        nb = num_blocks or default_blocks()
+        simple = (edges_ds.select_columns(["src", "dst"])
+                  .groupby(["src", "dst"]).count()
+                  .select_columns(["src", "dst"])
+                  .repartition(nb).materialize())
+        refs = simple.to_arrow_refs()
+        num_edges = simple.count()
+        return cls(n, refs, num_edges)
+
+    @classmethod
+    def from_arrays(cls, src, dst, n: int, num_blocks: int = 4) -> "BspGraph":
+        """Test/driver-side constructor from numpy event arrays."""
+        s, d = K.dedup_pairs(src, dst)
+        refs = []
+        for part in np.array_split(np.arange(len(s)), num_blocks):
+            refs.append(ray.put(pa.table({"src": pa.array(s[part], pa.int64()),
+                                          "dst": pa.array(d[part], pa.int64())})))
+        return cls(n, refs, len(s))
+
+    @property
+    def und_refs(self) -> list:
+        """Blocks of deduplicated undirected neighbour pairs (u, v): both
+        orientations present, self-loop once — SURVEY §1.3 rules. Built once
+        via a second groupby-dedup shuffle."""
+        if self._und_refs is None:
+            import ray.data as rd
+            tbls = []
+            for r in self.refs:
+                tbls.append(r)
+            ds = rd.from_arrow_refs(tbls)
+
+            def both_dirs(b: pa.Table) -> pa.Table:
+                s, d = _np(b["src"]), _np(b["dst"])
+                return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                                 "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+            und = (ds.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+                   .groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+                   .repartition(len(self.refs)).materialize())
+            self._und_refs = und.to_arrow_refs()
+        return self._und_refs
+
+    # ------------------------------------------------------------ degrees
+    def _degree(self, refs, col) -> np.ndarray:
+        parts = ray.get([_degree_partial.remote(r, self.n, col) for r in refs])
+        return np.sum(parts, axis=0).astype(np.int64)
+
+    @property
+    def out_degree(self) -> np.ndarray:
+        if self._outdeg is None:
+            self._outdeg = self._degree(self.refs, "src")
+        return self._outdeg
+
+    @property
+    def in_degree(self) -> np.ndarray:
+        if self._indeg is None:
+            self._indeg = self._degree(self.refs, "dst")
+        return self._indeg
+
+    @property
+    def both_degree(self) -> np.ndarray:
+        if self._bdeg is None:
+            self._bdeg = self._degree(self.und_refs, "src")
+        return self._bdeg
+
+    # ------------------------------------------------------------ algorithms
+    def pagerank(self, damping=0.85, iter_count=20, tol=1e-6, use_l2_norm=True,
+                 checkpoint=None):
+        """Reference-exact PageRank (pagerank.rs:55-179). Returns
+        (scores, iterations, per-superstep seconds list)."""
+        import time
+        n = self.n
+        outdeg = self.out_degree
+        inv_outdeg = np.zeros(n)
+        nz = outdeg > 0
+        inv_outdeg[nz] = 1.0 / outdeg[nz]
+        sink_mask = ~nz
+        prev = np.full(n, 1.0 / n)
+        it0, it = 0, 0
+        if checkpoint is not None:
+            st = checkpoint.load_latest()
+            if st is not None:
+                it0, prev = st["iteration"], st["state"]["rank"]
+        times = []
+        for it in range(it0 + 1, iter_count + 1):
+            t0 = time.perf_counter()
+            rank_ref = ray.put(prev)
+            od_ref = ray.put(inv_outdeg)
+            parts = ray.get([_pr_partial.remote(r, rank_ref, od_ref) for r in self.refs])
+            contrib = np.sum(parts, axis=0)
+            sink = prev[sink_mask].sum()
+            cur = (1.0 - damping) / n + damping * contrib + (damping / n) * sink
+            diff = cur - prev
+            norm = float(np.sqrt(np.square(diff).sum())) if use_l2_norm \
+                else float(np.abs(diff).sum())
+            prev = cur
+            times.append(time.perf_counter() - t0)
+            if checkpoint is not None:
+                checkpoint.save(it, {"rank": prev}, metrics={"norm": norm})
+            if norm <= tol * n:
+                break
+        return prev, it, times
+
+    def wcc(self) -> np.ndarray:
+        """Hash-min label propagation with driver-side pointer doubling;
+        label = min vid in component (connected_components.rs contract)."""
+        label = np.arange(self.n, dtype=np.int64)
+        while True:
+            ref = ray.put(label)
+            parts = ray.get([_minlabel_partial.remote(r, ref) for r in self.refs])
+            new = np.minimum.reduce(parts) if parts else label
+            while True:
+                nl = new[new]
+                if np.array_equal(nl, new):
+                    break
+                new = nl
+            if np.array_equal(new, label):
+                return label
+            label = new
+
+    def lpa(self, iter_count=20, labels=None, until_converged=True):
+        """Synchronous LPA (label_propagation.rs:40-112). Block tasks emit
+        pre-combined (node,label) vote counts; driver adds the self vote and
+        resolves argmax by (count, then label)."""
+        n = self.n
+        prev = np.arange(n, dtype=np.int64) if labels is None else labels.copy()
+        it = 0
+        for it in range(1, iter_count + 1):
+            ref = ray.put(prev)
+            parts = ray.get([_vote_partial.remote(r, ref, n) for r in self.und_refs])
+            keys = np.concatenate([p[0] for p in parts] +
+                                  [np.arange(n, dtype=np.int64) * n + prev])
+            cnts = np.concatenate([p[1] for p in parts] + [np.ones(n, dtype=np.int64)])
+            order = np.argsort(keys, kind="stable")
+            keys, cnts = keys[order], cnts[order]
+            boundary = np.r_[True, keys[1:] != keys[:-1]]
+            idx = np.flatnonzero(boundary)
+            gkeys = keys[idx]
+            gcnt = np.add.reduceat(cnts, idx)
+            g_nodes = gkeys // n
+            g_labels = gkeys - g_nodes * n
+            order2 = np.lexsort((g_labels, gcnt, g_nodes))
+            g_nodes, g_labels = g_nodes[order2], g_labels[order2]
+            last = np.r_[g_nodes[1:] != g_nodes[:-1], True]
+            cur = prev.copy()
+            cur[g_nodes[last]] = g_labels[last]
+            if until_converged and np.array_equal(cur, prev):
+                prev = cur
+                break
+            prev = cur
+        return prev, it
+
+    def kcore_set(self, k: int, iter_count: int = 10**9) -> np.ndarray:
+        alive = self.both_degree >= k
+        it = 0
+        while it < iter_count:
+            it += 1
+            ref = ray.put(alive)
+            parts = ray.get([_alive_count_partial.remote(r, ref, self.n)
+                             for r in self.und_refs])
+            cnt = np.sum(parts, axis=0)
+            new_alive = alive & (cnt >= k)
+            if np.array_equal(new_alive, alive):
+                break
+            alive = new_alive
+        return alive
+
+    def _forward_arrays(self):
+        """Oriented (a<b) forward CSR from the undirected blocks.
+        NOTE(scale): pulled to the driver + broadcast (O(E)); see module
+        docstring for the partitioned alternative."""
+        tbls = ray.get(list(self.und_refs))
+        u = np.concatenate([_np(t["src"]) for t in tbls]) if tbls else np.empty(0, np.int64)
+        v = np.concatenate([_np(t["dst"]) for t in tbls]) if tbls else np.empty(0, np.int64)
+        mask = u < v
+        fu, fv = u[mask], v[mask]
+        order = np.lexsort((fv, fu))
+        fu, fv = fu[order], fv[order]
+        indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(fu, minlength=self.n), out=indptr[1:])
+        return fu, fv, indptr
+
+    def triangle_counts(self, num_tasks: int | None = None):
+        """(global_count, per-node counts); exact, each triangle once
+        (triangle_count.rs:64-116 semantics)."""
+        assert self.n < (1 << 31)
+        fu, fv, indptr = self._forward_arrays()
+        if len(fu) == 0:
+            return 0, np.zeros(self.n, dtype=np.int64)
+        keys = fu * self.n + fv
+        keys_ref = ray.put(keys)
+        indptr_ref = ray.put(indptr)
+        fall_ref = ray.put(fv)
+        nt = num_tasks or len(self.refs)
+        chunks = np.array_split(np.arange(len(fu)), nt)
+        futs = [_tri_partial.remote(fu[c], fv[c], indptr_ref, fall_ref,
+                                    keys_ref, self.n) for c in chunks if len(c)]
+        parts = ray.get(futs)
+        total = sum(p[0] for p in parts)
+        local = np.sum([p[1] for p in parts], axis=0).astype(np.int64) \
+            if parts else np.zeros(self.n, dtype=np.int64)
+        return int(total), local
+
+    def reciprocal_counts(self):
+        """(out_excl_self, in_excl_self, |out∩in|) per node
+        (reciprocity.rs:66-85). Edge-key set broadcast once; O(E) — same
+        scale caveat as triangles."""
+        assert self.n < (1 << 31)
+        tbls = ray.get(list(self.refs))
+        if tbls:
+            s = np.concatenate([_np(t["src"]) for t in tbls])
+            d = np.concatenate([_np(t["dst"]) for t in tbls])
+        else:
+            s = d = np.empty(0, np.int64)
+        m = s != d
+        out_c = np.bincount(s[m], minlength=self.n)
+        in_c = np.bincount(d[m], minlength=self.n)
+        keys = np.sort(s * self.n + d)
+        keys_ref = ray.put(keys)
+        parts = ray.get([_recip_partial.remote(r, keys_ref, self.n) for r in self.refs])
+        inter = np.sum([p[1] for p in parts], axis=0).astype(np.int64) if parts \
+            else np.zeros(self.n, dtype=np.int64)
+        return out_c.astype(np.int64), in_c.astype(np.int64), inter
+
+    def hits(self, iter_count=20, tol=1e-8):
+        hub = np.ones(self.n)
+        auth = np.ones(self.n)
+        it = 0
+        for it in range(1, iter_count + 1):
+            h_ref, a_ref = ray.put(hub), ray.put(auth)
+            parts = ray.get([_hits_partial.remote(r, h_ref, a_ref) for r in self.refs])
+            new_auth = np.sum([p[0] for p in parts], axis=0)
+            new_hub = np.sum([p[1] for p in parts], axis=0)
+            na = np.sqrt(np.square(new_auth).sum())
+            nh = np.sqrt(np.square(new_hub).sum())
+            if na > 0:
+                new_auth /= na
+            if nh > 0:
+                new_hub /= nh
+            md = max(np.abs(new_auth - auth).max(initial=0.0),
+                     np.abs(new_hub - hub).max(initial=0.0))
+            hub, auth = new_hub, new_auth
+            if md <= tol:
+                break
+        return hub, auth, it
