@@ -1,0 +1,159 @@
+"""Text-analysis stages over a document Dataset (training-data pipeline ops).
+
+All stages are vectorized ``map_batches`` bodies over zero-copy Arrow:
+pyarrow.compute string kernels (count_substring_regex / split_pattern) or
+numpy over flattened byte buffers — no per-row Python in the hot path except
+where the kernel is itself the per-row compute (cryptographic hashing).
+
+Ops: token counting, quality stats, language ID (n-gram/stopword heuristic),
+winnowing fingerprints (rolling hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+_B = np.uint64(1_000_003)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens): whitespace-delimited token count; empty/blank
+    text → 0. Mirrors DuckDB
+    ``CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END``."""
+    txt = pc.utf8_trim_whitespace(batch[text_col])
+    n = pc.list_value_length(pc.split_pattern_regex(txt, r"\s+"))
+    n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int32()), n)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": n.cast(pa.int64())})
+
+
+_QUALITY_PATTERNS = {
+    "n_alpha": r"[A-Za-z]",
+    "n_digit": r"[0-9]",
+    "n_space": r"\s",
+    "n_punct": r"[.,;:!?'\"()\[\]{}-]",
+    "n_upper": r"[A-Z]",
+}
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc integer character-class counts + total codepoints — the raw
+    material for quality ratios (kept integral so the DuckDB oracle is
+    bit-exact)."""
+    txt = batch[text_col]
+    cols = {"doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64())}
+    for name, pat in _QUALITY_PATTERNS.items():
+        cols[name] = pc.count_substring_regex(txt, pat).cast(pa.int64())
+    return pa.table(cols)
+
+
+# Tiny per-language marker vocabularies for the heuristic classifier.
+# Deliberately coarse: this mirrors fastText-style langid shape (score =
+# sum of marker hits, argmax), not its quality.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " de ", " que ", " los ", " es "],
+}
+
+
+class LanguageId:
+    """Actor-pool stage: stopword-marker language scorer. Marker list is
+    prepared once per actor (``__init__``), scoring is one
+    count_substring call per (lang, marker) over the whole batch."""
+
+    def __init__(self, markers: dict[str, list[str]] | None = None):
+        self.markers = markers or _LANG_MARKERS
+        self.langs = sorted(self.markers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(batch["text"])
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for m in self.markers[lang]:
+                scores[:, li] += pc.count_substring(txt, m).to_numpy(
+                    zero_copy_only=False)
+        best = np.argmax(scores, axis=1)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "unknown"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(list(pred), pa.string()),
+            "score": pa.array(scores.max(axis=1), pa.int64()),
+        })
+
+
+def _flat_utf8(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated byte buffer + per-row offsets for a string column —
+    the zero-copy path into numpy rolling-hash kernels."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_string())
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + len(arr) + 1]
+    return buf, offsets
+
+
+def kgram_hashes(buf: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hash (base _B, natural u64 wraparound) of every
+    k-byte window of ``buf``; vectorized as k shifted multiply-adds."""
+    n = len(buf)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        out = out * _B + buf[j:n - k + 1 + j].astype(np.uint64)
+    return out
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, window: int = 16,
+                 text_col: str = "text") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al. 2003): per doc,
+    min k-gram hash in each sliding window of ``window`` hashes, deduped.
+    Output one row per (doc_id, fingerprint). ``fingerprint_min`` callers
+    reduce to one row per doc."""
+    buf, offsets = _flat_utf8(batch[text_col])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc, out_fp = [], []
+    for i in range(len(doc_ids)):
+        piece = buf[offsets[i]:offsets[i + 1]]
+        h = kgram_hashes(piece, k)
+        if len(h) == 0:
+            continue
+        if len(h) <= window:
+            fps = np.unique(h.min(keepdims=True))
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(h, window)
+            fps = np.unique(w.min(axis=1))
+        out_doc.append(np.full(len(fps), doc_ids[i], dtype=np.int64))
+        out_fp.append(fps)
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fingerprint": pa.array([], pa.uint64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                     "fingerprint": pa.array(np.concatenate(out_fp))})
+
+
+def token_counts(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: token_count_batch(b, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_stats(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: quality_stats_batch(b, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def language_id(ds, concurrency=(2, 8)):
+    return ds.map_batches(LanguageId, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)
+
+
+def fingerprints(ds, k: int = 8, window: int = 16):
+    return ds.map_batches(lambda b: winnow_batch(b, k, window),
+                          batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,179 @@
+"""Edge-table derivations over the driver's TPC-H-ish testdata tables.
+
+Two deterministic, SQL-checkable graphs (the oracle side lives in
+``__ray_entry__.oracle_sql``):
+
+- **Part co-purchase graph** (`copurchase_edges`): one directed edge event
+  (a.l_partkey → b.l_partkey) per lineitem pair within an order with
+  ``a.l_linenumber < b.l_linenumber``. This is the classic self-join-per-key
+  explosion; here it is a hash-partitioned groupby followed by a fully
+  vectorized per-partition pair kernel (NOT one pandas call per order —
+  orders are tiny and numerous, so per-group dispatch would dominate).
+
+- **User interaction graph** (`user_edges`): for each event, an edge
+  user_id → user_id of the *next* event of the same event_type in
+  (ts, event_id) order (SQL LEAD window). ``t`` = epoch millis of the
+  source event — feeds the temporal window views.
+
+Partitioning note (scale): both deriveations shuffle once on a salt/key
+column; the pair kernel is O(rows) per partition with bounded per-key group
+size (lineitems per order ≤ 7; LEAD needs whole-key ordering, so event_type
+keys are salted only if a single type outgrows a partition — documented
+trade-off, acceptable because message generation is linear).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+N_HASH_PARTS = 64
+
+
+def _pairs_within_groups(key: np.ndarray, val: np.ndarray,
+                         ordinal: np.ndarray,
+                         strict: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (val_i, val_j) with ordinal_i < ordinal_j (strict) or
+    position_i < position_j (strict=False) inside each key group, vectorized:
+    sort by (key, ordinal), bucket groups by size c, reshape each size class
+    to (m, c) and take triu indices once per class."""
+    order = np.lexsort((ordinal, key))
+    k, v, o = key[order], val[order], ordinal[order]
+    boundary = np.r_[True, k[1:] != k[:-1]]
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.r_[starts, len(k)])
+    src_parts, dst_parts = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        sel = starts[counts == c]
+        rows = sel[:, None] + np.arange(c)[None, :]
+        vals = v[rows]                       # (m, c)
+        i, j = np.triu_indices(int(c), 1)
+        s, d = vals[:, i].ravel(), vals[:, j].ravel()
+        if strict:
+            ords = o[rows]
+            m = (ords[:, i] < ords[:, j]).ravel()
+            s, d = s[m], d[m]
+        src_parts.append(s)
+        dst_parts.append(d)
+    if not src_parts:
+        z = np.empty(0, dtype=val.dtype)
+        return z, z
+    return np.concatenate(src_parts), np.concatenate(dst_parts)
+
+
+def copurchase_edges(sf_dir: str) -> rd.Dataset:
+    """Directed part→part co-purchase edge events from lineitem."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = (ok * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)) \
+            % np.uint64(N_HASH_PARTS)
+        return b.append_column("part_id", pa.array(salt.astype(np.int64)))
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        # return an Arrow table: pandas-format BLOCKS poison every
+        # downstream shuffle (sort/groupby on pandas blocks is ~13x slower)
+        s, d = _pairs_within_groups(
+            df["l_orderkey"].to_numpy(),
+            df["l_partkey"].to_numpy(),
+            df["l_linenumber"].to_numpy(), strict=True)
+        return pa.table({"src": pa.array(s.astype(np.int64)),
+                         "dst": pa.array(d.astype(np.int64))})
+
+    return (li.map_batches(add_salt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part_id").map_groups(pairs, batch_format="pandas"))
+
+
+def part_vertex_count(sf_dir: str) -> int:
+    """Vertex universe = partkeys 1..max(p_partkey); vid == partkey (dense,
+    1-based, vid 0 unused)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return int(t["p_partkey"].to_numpy().max()) + 1
+
+
+def copurchase_graph(sf_dir: str):
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    return GraphFrame(copurchase_edges(sf_dir), n=part_vertex_count(sf_dir))
+
+
+def user_edges(sf_dir: str) -> rd.Dataset:
+    """Temporal user→user edges: LEAD(user_id) within event_type in
+    (ts, event_id) order; t = epoch_ms(ts) of the source event."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def lead(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        if len(u) < 2:
+            z = pa.array([], pa.int64())
+            return pa.table({"src": z, "dst": z, "t": z, "event_id": z})
+        return pa.table({"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
+                         "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1])})
+
+    return ev.groupby("event_type").map_groups(lead, batch_format="pandas")
+
+
+def user_vertex_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return int(t["user_id"].to_numpy().max()) + 1
+
+
+def user_graph(sf_dir: str):
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    return GraphFrame(user_edges(sf_dir), n=user_vertex_count(sf_dir))
+
+
+def compact_graph(edges_ds):
+    """Dict-encode a sparse-id edge Dataset into a dense-vid GraphFrame.
+
+    Returns (GraphFrame, node_ids) with node_ids[vid] = original id (sorted
+    ascending — deterministic at any parallelism). The sorted id vector is
+    broadcast once (ray.put) and resolution is a vectorized binary search
+    per batch — no shuffle join (SURVEY §2.4 GID-resolver mapping)."""
+    import ray
+    from raphtory_ray.graph.graph_frame import GraphFrame
+
+    edges = edges_ds.materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["src"].combine_chunks().cast(pa.int64()),
+             b["dst"].combine_chunks().cast(pa.int64())])})
+
+    nodes = (edges.map_batches(endpoints, batch_format="pyarrow",
+                               zero_copy_batch=True).unique("node"))
+    node_ids = np.array(sorted(nodes), dtype=np.int64)
+    ref = ray.put(node_ids)
+
+    def remap(b: pa.Table) -> pa.Table:
+        ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out = {"src": pa.array(np.searchsorted(
+                   ids, b["src"].to_numpy(zero_copy_only=False)), pa.int64()),
+               "dst": pa.array(np.searchsorted(
+                   ids, b["dst"].to_numpy(zero_copy_only=False)), pa.int64())}
+        for c in b.column_names:
+            if c not in ("src", "dst"):
+                out[c] = b[c]
+        return pa.table(out)
+
+    gf = GraphFrame(edges.map_batches(remap, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                    n=len(node_ids),
+                    vertices=pa.table({
+                        "vid": pa.array(np.arange(len(node_ids)), pa.int64()),
+                        "gid": pa.array([str(i) for i in node_ids],
+                                        pa.string())}))
+    return gf, node_ids
