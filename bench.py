@@ -1,0 +1,158 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Headline (BASELINE.json metric): edges/sec per PageRank superstep +
+iterations-to-convergence (tol 1e-6, reference stopping rule) on the
+source-repo edge table at the scale factor inferred from the sf dir, plus
+WCC / LPA / triangle count and a slice of the data-pipeline ops.
+
+Prints ONE JSON line. ``--scaling`` re-runs the headline job in fresh
+processes at num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from raphtory_ray.pipelines.ingest import load_graph
+    from raphtory_ray.sources.corpus import ensure_corpus
+    from raphtory_ray.state.shards import BspGraph
+
+    sf = sf_of(sf_dir)
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    t0 = time.perf_counter()
+    corpus = ensure_corpus(sf=sf)
+    queries["corpus_gen_or_cache"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    gf, files_ds = load_graph(corpus)
+    gf.edges = gf.edges.materialize()    # one pass; algorithms reuse blocks
+    queries["ingest"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = BspGraph.from_graph(gf)
+    gf._bsp = g
+    queries["graph_build_dedup_shuffle"] = time.perf_counter() - t0
+    extra["num_vertices"] = g.n
+    extra["num_edges"] = g.num_edges
+
+    # convergence under the reference stopping rule (sqrt(Σd²) ≤ tol·n)
+    t0 = time.perf_counter()
+    _scores, iters, _ = g.pagerank(iter_count=100, tol=1e-6)
+    queries["pagerank_to_convergence"] = time.perf_counter() - t0
+    extra["pagerank_iterations"] = iters
+
+    # superstep throughput over 10 forced supersteps (reference's own bench
+    # style: unweighted_page_rank(iter=100) forced, algobench.rs:75-97)
+    t0 = time.perf_counter()
+    _scores, _it, step_times = g.pagerank(iter_count=10, tol=0.0)
+    queries["pagerank_10_supersteps"] = time.perf_counter() - t0
+    mean_step = sum(step_times) / len(step_times)
+    extra["pagerank_sec_per_superstep"] = mean_step
+    extra["pagerank_edges_per_sec_per_superstep"] = g.num_edges / mean_step
+
+    t0 = time.perf_counter()
+    g.wcc()
+    queries["wcc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g.lpa()
+    queries["lpa"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g.triangle_counts()
+    queries["triangle_count"] = time.perf_counter() - t0
+
+    # data-pipeline slice over the testdata tables
+    import ray.data as rd
+    t0 = time.perf_counter()
+    from raphtory_ray.data.dedup import minhash_lsh_dedup
+    minhash_lsh_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    queries["doc_minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from raphtory_ray.data.similarity import knn_bruteforce
+    from raphtory_ray.data.dedup import embedding_matrix
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qm = embedding_matrix(
+        emb_t.filter(pc.less(emb_t["vec_id"], 10)).sort_by("vec_id")["embedding"])
+    knn_bruteforce(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qm, k=5)
+    queries["emb_knn_bruteforce"] = time.perf_counter() - t0
+
+    headline = queries["ingest"] + queries["graph_build_dedup_shuffle"] + \
+        queries["pagerank_10_supersteps"]
+    return {
+        "metric": "headline_ingest_plus_pagerank_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
+    """Same job, fresh ray sessions at two parallelism levels."""
+    results = {}
+    for nc in cpus:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(nc),
+                   GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[nc] = json.loads(line)
+    lo, hi = cpus
+    thr_lo = results[lo]["pagerank_edges_per_sec_per_superstep"]
+    thr_hi = results[hi]["pagerank_edges_per_sec_per_superstep"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    return {
+        "metric": "pagerank_superstep_scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "cpus": list(cpus),
+        "throughput_edges_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "headline_sec": {str(lo): results[lo]["value"],
+                         str(hi): results[hi]["value"]},
+        "runs": results,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

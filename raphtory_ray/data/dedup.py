@@ -114,7 +114,8 @@ def _band_rows(sig_tbl: pa.Table, bands: int) -> pa.Table:
     keys, docs = [], []
     for bi in range(bands):
         sl = sigs[:, bi * r:(bi + 1) * r].copy()
-        acc = np.full(len(doc), np.uint64(bi) * np.uint64(0x9E3779B97F4A7C15),
+        acc = np.full(len(doc),
+                      np.uint64((bi * 0x9E3779B97F4A7C15) % (1 << 64)),
                       dtype=np.uint64)
         for c in range(r):
             acc = (acc ^ sl[:, c]) * np.uint64(0x100000001B3)

@@ -43,11 +43,20 @@ def files_table(corpus_ds):
                                  zero_copy_batch=True)
 
 
-def extract_edges(corpus_ds, concurrency: int | tuple = (2, 8)):
+def _pool_size() -> tuple:
+    """Autoscaling actor-pool bounds sized to the cluster (a fixed (2, 8)
+    cap starved 32-CPU runs)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (2, max(4, cpus))
+
+
+def extract_edges(corpus_ds, concurrency: int | tuple | None = None):
     """Edge events from import statements; actor pool so the per-language
     regexes compile once per worker."""
     return corpus_ds.map_batches(ImportExtractor, batch_format="pyarrow",
-                                 zero_copy_batch=True, concurrency=concurrency)
+                                 zero_copy_batch=True,
+                                 concurrency=concurrency or _pool_size())
 
 
 def build_gid_index(files_ds) -> np.ndarray:
@@ -84,11 +93,12 @@ class VidResolver:
         })
 
 
-def resolve_edges(edges_gid_ds, gids: np.ndarray, concurrency: int | tuple = (2, 8)):
+def resolve_edges(edges_gid_ds, gids: np.ndarray,
+                  concurrency: int | tuple | None = None):
     ref = ray.put(gids)
     return edges_gid_ds.map_batches(VidResolver, fn_constructor_args=(ref,),
                                     batch_format="pyarrow", zero_copy_batch=True,
-                                    concurrency=concurrency)
+                                    concurrency=concurrency or _pool_size())
 
 
 def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:

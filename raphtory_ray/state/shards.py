@@ -61,27 +61,54 @@ def _degree_partial(block: pa.Table, n: int, col: str) -> np.ndarray:
 
 
 @ray.remote
-def _pr_partial(block: pa.Table, rank: np.ndarray, inv_outdeg: np.ndarray) -> np.ndarray:
+def _pr_partial(block: pa.Table, rank: np.ndarray, inv_outdeg: np.ndarray):
+    """Sparse partial: (distinct dst vids, summed contributions). Returning
+    a dense O(V) vector per block floods the driver at B blocks × V floats;
+    the sparse form is bounded by block rows (a built-in local combiner)."""
     s, d = _sd(block)
-    return np.bincount(d, weights=rank[s] * inv_outdeg[s], minlength=len(rank))
+    uds, inv = np.unique(d, return_inverse=True)
+    sums = np.bincount(inv, weights=rank[s] * inv_outdeg[s])
+    return uds, sums
 
 
 @ray.remote
-def _minlabel_partial(block: pa.Table, label: np.ndarray) -> np.ndarray:
-    s, d = _sd(block)
-    out = label.copy()
-    np.minimum.at(out, d, label[s])
-    np.minimum.at(out, s, label[d])
-    return out
-
-
-@ray.remote
-def _vote_partial(block: pa.Table, prev: np.ndarray, n: int):
-    """LPA: per-block combined label votes → (packed u*n+label keys, counts)."""
+def _lpa_step_owned(block: pa.Table, prev: np.ndarray, n: int):
+    """LPA superstep over a src-OWNED undirected block (every neighbour row
+    of each u in this block lives here): count votes {prev[v] for v in
+    nbrs(u)} + self vote, resolve argmax by (count, then LARGEST label —
+    label_propagation.rs:84-95) entirely in-task; return (us, new_labels)
+    for the owned vertex set. Ownership makes the combine local — no
+    cross-block vote merge."""
     u, v = _sd(block)
-    keys = u.astype(np.int64) * n + prev[v]
+    if len(u) == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    own = np.unique(u)
+    keys = np.concatenate([u * np.int64(n) + prev[v],
+                           own * np.int64(n) + prev[own]])   # self votes
     uk, cnt = np.unique(keys, return_counts=True)
-    return uk, cnt
+    nodes = uk // n
+    labels = uk - nodes * n
+    # argmax per node by (count, label): lexsort ascending → last row wins
+    order = np.lexsort((labels, cnt, nodes))
+    nodes, labels = nodes[order], labels[order]
+    last = np.r_[nodes[1:] != nodes[:-1], True]
+    return nodes[last], labels[last]
+
+
+@ray.remote
+def _wcc_step_owned(block: pa.Table, label: np.ndarray):
+    """Hash-min superstep over a src-OWNED undirected block: new label of u =
+    min(label[u], min label of neighbours). Returns only changed (u, label)
+    — disjoint across blocks by ownership."""
+    u, v = _sd(block)
+    if len(u) == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    out = label.copy()
+    np.minimum.at(out, u, label[v])
+    chg = np.flatnonzero(out != label)
+    return chg, out[chg]
 
 
 @ray.remote
@@ -156,6 +183,71 @@ def default_blocks() -> int:
     return max(4, min(64, cpus))
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+@ray.remote
+def _split_pairs(block: pa.Table, P: int, key: str):
+    """Map side of the explicit hash shuffle: local dedup (combiner), then
+    route each pair to bucket hash(key-endpoint) % P. num_returns=P — piece
+    p goes only to merger p (no all-to-all over-shipping)."""
+    s, d = _sd(block)
+    s, d = K.dedup_pairs(s, d)
+    kv = (d if key == "dst" else s).astype(np.uint64)
+    b = ((kv * _GOLD) >> np.uint64(33)) % np.uint64(P)
+    order = np.argsort(b)
+    s, d, b = s[order], d[order], b[order]
+    bounds = np.searchsorted(b, np.arange(P + 1))
+    out = []
+    for p in range(P):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        out.append(pa.table({"src": pa.array(s[lo:hi]),
+                             "dst": pa.array(d[lo:hi])}))
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _merge_bucket(*pieces: pa.Table) -> pa.Table:
+    s = np.concatenate([_np(t["src"]) for t in pieces]) \
+        if pieces else np.empty(0, np.int64)
+    d = np.concatenate([_np(t["dst"]) for t in pieces]) \
+        if pieces else np.empty(0, np.int64)
+    s, d = K.dedup_pairs(s, d)
+    return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _both_dirs(b: pa.Table) -> pa.Table:
+    s, d = _sd(b)
+    return pa.table({"src": pa.array(np.concatenate([s, d])),
+                     "dst": pa.array(np.concatenate([d, s]))})
+
+
+def _shuffle_pairs(block_refs: list, P: int, key: str) -> list:
+    """Explicit two-stage hash shuffle of (src, dst) blocks → exactly P
+    deduplicated blocks, bucket p OWNING all pairs whose ``key`` endpoint
+    hashes to p. Raw Ray tasks rather than Dataset groupby because the
+    algorithms depend on this ownership invariant (vertex-local combines in
+    LPA/WCC/k-core); Dataset block boundaries don't guarantee it.
+
+    Skew note: a hub destination vertex lands in one bucket, but a bucket's
+    cost is O(rows), and pre-dedup in the map side bounds rows by distinct
+    pairs; at 10^12 scale add a second salt level for buckets whose row
+    count exceeds a threshold (split u's rows, second combine round —
+    documented, not needed at sandbox scale)."""
+    splits = [_split_pairs.options(num_returns=P if P > 1 else 1)
+              .remote(r, P, key) for r in block_refs]
+    if P == 1:
+        return [_merge_bucket.remote(*splits)]
+    return [_merge_bucket.remote(*[sp[p] for sp in splits])
+            for p in range(P)]
+
+
 class BspGraph:
     """Simple-graph engine: dedup'd directed edge blocks (+ lazily derived
     undirected neighbour blocks) in the object store."""
@@ -176,13 +268,12 @@ class BspGraph:
 
     @classmethod
     def from_edges(cls, edges_ds, n: int, num_blocks: int | None = None) -> "BspGraph":
+        """Directed simple-edge blocks partitioned by hash(dst) — dst
+        ownership makes every message-combine (groupby dst) task-local."""
         nb = num_blocks or default_blocks()
-        simple = (edges_ds.select_columns(["src", "dst"])
-                  .groupby(["src", "dst"]).count()
-                  .select_columns(["src", "dst"])
-                  .repartition(nb).materialize())
-        refs = simple.to_arrow_refs()
-        num_edges = simple.count()
+        mat = (edges_ds.select_columns(["src", "dst"]).materialize())
+        refs = _shuffle_pairs(mat.to_arrow_refs(), nb, key="dst")
+        num_edges = int(sum(ray.get([_block_rows.remote(r) for r in refs])))
         return cls(n, refs, num_edges)
 
     @classmethod
@@ -201,21 +292,9 @@ class BspGraph:
         orientations present, self-loop once — SURVEY §1.3 rules. Built once
         via a second groupby-dedup shuffle."""
         if self._und_refs is None:
-            import ray.data as rd
-            tbls = []
-            for r in self.refs:
-                tbls.append(r)
-            ds = rd.from_arrow_refs(tbls)
-
-            def both_dirs(b: pa.Table) -> pa.Table:
-                s, d = _np(b["src"]), _np(b["dst"])
-                return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
-                                 "dst": pa.array(np.concatenate([d, s]), pa.int64())})
-
-            und = (ds.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
-                   .groupby(["src", "dst"]).count().select_columns(["src", "dst"])
-                   .repartition(len(self.refs)).materialize())
-            self._und_refs = und.to_arrow_refs()
+            nb = max(4, len(self.refs))
+            both = [_both_dirs.remote(r) for r in self.refs]
+            self._und_refs = _shuffle_pairs(both, nb, key="src")
         return self._und_refs
 
     # ------------------------------------------------------------ degrees
@@ -260,12 +339,14 @@ class BspGraph:
             if st is not None:
                 it0, prev = st["iteration"], st["state"]["rank"]
         times = []
+        od_ref = ray.put(inv_outdeg)      # constant across supersteps
         for it in range(it0 + 1, iter_count + 1):
             t0 = time.perf_counter()
             rank_ref = ray.put(prev)
-            od_ref = ray.put(inv_outdeg)
             parts = ray.get([_pr_partial.remote(r, rank_ref, od_ref) for r in self.refs])
-            contrib = np.sum(parts, axis=0)
+            contrib = np.zeros(n)
+            for uds, sums in parts:
+                np.add.at(contrib, uds, sums)
             sink = prev[sink_mask].sum()
             cur = (1.0 - damping) / n + damping * contrib + (damping / n) * sink
             diff = cur - prev
@@ -280,13 +361,17 @@ class BspGraph:
         return prev, it, times
 
     def wcc(self) -> np.ndarray:
-        """Hash-min label propagation with driver-side pointer doubling;
-        label = min vid in component (connected_components.rs contract)."""
+        """Hash-min label propagation over src-owned undirected blocks with
+        driver-side pointer doubling; label = min vid in component
+        (connected_components.rs contract)."""
         label = np.arange(self.n, dtype=np.int64)
         while True:
             ref = ray.put(label)
-            parts = ray.get([_minlabel_partial.remote(r, ref) for r in self.refs])
-            new = np.minimum.reduce(parts) if parts else label
+            parts = ray.get([_wcc_step_owned.remote(r, ref)
+                             for r in self.und_refs])
+            new = label.copy()
+            for chg, vals in parts:       # disjoint by ownership
+                new[chg] = vals
             while True:
                 nl = new[new]
                 if np.array_equal(nl, new):
@@ -297,31 +382,19 @@ class BspGraph:
             label = new
 
     def lpa(self, iter_count=20, labels=None, until_converged=True):
-        """Synchronous LPA (label_propagation.rs:40-112). Block tasks emit
-        pre-combined (node,label) vote counts; driver adds the self vote and
-        resolves argmax by (count, then label)."""
+        """Synchronous LPA (label_propagation.rs:40-112). Each src-owned
+        undirected block resolves its vertices' votes (incl. self vote)
+        entirely in-task; the driver only scatters disjoint updates."""
         n = self.n
         prev = np.arange(n, dtype=np.int64) if labels is None else labels.copy()
         it = 0
         for it in range(1, iter_count + 1):
             ref = ray.put(prev)
-            parts = ray.get([_vote_partial.remote(r, ref, n) for r in self.und_refs])
-            keys = np.concatenate([p[0] for p in parts] +
-                                  [np.arange(n, dtype=np.int64) * n + prev])
-            cnts = np.concatenate([p[1] for p in parts] + [np.ones(n, dtype=np.int64)])
-            order = np.argsort(keys, kind="stable")
-            keys, cnts = keys[order], cnts[order]
-            boundary = np.r_[True, keys[1:] != keys[:-1]]
-            idx = np.flatnonzero(boundary)
-            gkeys = keys[idx]
-            gcnt = np.add.reduceat(cnts, idx)
-            g_nodes = gkeys // n
-            g_labels = gkeys - g_nodes * n
-            order2 = np.lexsort((g_labels, gcnt, g_nodes))
-            g_nodes, g_labels = g_nodes[order2], g_labels[order2]
-            last = np.r_[g_nodes[1:] != g_nodes[:-1], True]
+            parts = ray.get([_lpa_step_owned.remote(r, ref, n)
+                             for r in self.und_refs])
             cur = prev.copy()
-            cur[g_nodes[last]] = g_labels[last]
+            for us, ls in parts:          # disjoint by ownership
+                cur[us] = ls
             if until_converged and np.array_equal(cur, prev):
                 prev = cur
                 break
