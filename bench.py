@@ -50,7 +50,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["ingest"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    g = BspGraph.from_graph(gf)
+    nb = int(os.environ.get("RAY_GRAFT_BLOCKS", "0")) or None
+    g = BspGraph.from_graph(gf, num_blocks=nb)
     gf._bsp = g
     queries["graph_build_dedup_shuffle"] = time.perf_counter() - t0
     extra["num_vertices"] = g.n
@@ -114,30 +115,88 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+RA_NODES = int(os.environ.get("RA_NODES", "10000000"))
+RA_K = int(os.environ.get("RA_K", "20"))
+RA_BLOCKS = int(os.environ.get("RA_BLOCKS", "32"))
+RA_STEPS = int(os.environ.get("RA_STEPS", "10"))
+
+
+def _scaling_edges_path() -> str:
+    return f"/tmp/raphtory_ray_cache/ra_n{RA_NODES}_k{RA_K}"
+
+
+def run_scaling_single(num_cpus: int) -> dict:
+    """One fresh-session run of the scaling workload: PageRank supersteps on
+    a random_attachment graph (the reference's own algobench graph family,
+    algobench.rs:75-97, scaled up) via the actor-sharded engine. Fixed
+    partition count (RA_BLOCKS) at every parallelism level — same data
+    layout, only the worker count varies, as on an N- vs 4N-node cluster."""
+    import time
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data as rd
+    from raphtory_ray.sources.graphgen import random_attachment
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+
+    path = _scaling_edges_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        random_attachment(RA_NODES, RA_K).write_parquet(path)
+        open(os.path.join(path, "_SUCCESS"), "w").write("ok")
+
+    t0 = time.perf_counter()
+    edges = rd.read_parquet(path, columns=["src", "dst"])
+    g = BspGraph.from_edges(edges, RA_NODES, num_blocks=RA_BLOCKS)
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng = ShardedPageRank.from_bsp(g, num_workers=min(num_cpus, RA_BLOCKS))
+    init_s = time.perf_counter() - t0
+
+    _scores, _it, step_times = eng.pagerank(iter_count=RA_STEPS, tol=0.0)
+    mean_step = sum(step_times) / len(step_times)
+    return {
+        "num_cpus": num_cpus,
+        "num_nodes": RA_NODES,
+        "num_edges": g.num_edges,
+        "num_partitions": RA_BLOCKS,
+        "graph_build_sec": build_s,
+        "engine_init_sec": init_s,
+        "supersteps": RA_STEPS,
+        "sec_per_superstep": mean_step,
+        "edges_per_sec_per_superstep": g.num_edges / mean_step,
+    }
+
+
 def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
-    """Same job, fresh ray sessions at two parallelism levels."""
+    """Same job, fresh ray sessions at two parallelism levels (N vs 4N)."""
     results = {}
     for nc in cpus:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(nc),
-                   GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(nc))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single"],
+            [sys.executable, os.path.abspath(__file__), "--scaling-single"],
             env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[nc] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling run at {nc} cpus failed:\n"
+                               f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        results[nc] = json.loads(lines[-1])
     lo, hi = cpus
-    thr_lo = results[lo]["pagerank_edges_per_sec_per_superstep"]
-    thr_hi = results[hi]["pagerank_edges_per_sec_per_superstep"]
+    thr_lo = results[lo]["edges_per_sec_per_superstep"]
+    thr_hi = results[hi]["edges_per_sec_per_superstep"]
     eff = thr_hi / (thr_lo * (hi / lo))
     return {
         "metric": "pagerank_superstep_scaling_efficiency",
         "value": eff,
         "unit": "ratio",
-        "sf": sf_of(sf_dir),
+        "workload": f"random_attachment(n={RA_NODES}, k={RA_K}), "
+                    f"{RA_BLOCKS} partitions, {RA_STEPS} supersteps",
         "cpus": list(cpus),
         "throughput_edges_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
-        "headline_sec": {str(lo): results[lo]["value"],
-                         str(hi): results[hi]["value"]},
+        "sec_per_superstep": {str(lo): results[lo]["sec_per_superstep"],
+                              str(hi): results[hi]["sec_per_superstep"]},
         "runs": results,
     }
 
@@ -145,7 +204,9 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-single" in sys.argv:
+        print(json.dumps(run_scaling_single(num_cpus)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -1,0 +1,231 @@
+"""Sequential-in-the-reference algorithms (SURVEY §2.8 "seq"): SCC, Dijkstra,
+betweenness, plus the WindowSet iteration views.
+
+The reference runs these single-threaded on shared memory (scc.rs:20-117
+Tarjan; dijkstra.rs:97-246 binary heap; betweenness.rs:29-119 Brandes).
+Mirrored here as driver-side computations over the materialized simple-edge
+arrays — per SURVEY §7.4 these are out of the north-rule core, and their
+per-node state (Tarjan stacks, heaps) is inherently sequential. Betweenness
+is source-parallelized over Ray tasks (the one axis the reference's own
+structure allows)."""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from raphtory_ray.graph.graph_frame import GraphFrame
+from raphtory_ray.graph.node_state import NodeState
+
+
+def _csr(gf, weights_col: str | None = None, reverse: bool = False):
+    """Driver-side CSR of the dedup'd simple edges (+optional per-event
+    weight reduced by min, matching dijkstra's first-seen semantics)."""
+    from raphtory_ray.state.shards import BspGraph
+    g = gf if isinstance(gf, BspGraph) else None
+    if g is None:
+        cached = getattr(gf, "_bsp", None)
+        if cached is None:
+            cached = BspGraph.from_graph(gf)
+            gf._bsp = cached
+        g = cached
+    tbls = ray.get(list(g.refs))
+    s = np.concatenate([t["src"].to_numpy(zero_copy_only=False)
+                        for t in tbls]) if tbls else np.empty(0, np.int64)
+    d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False)
+                        for t in tbls]) if tbls else np.empty(0, np.int64)
+    if reverse:
+        s, d = d, s
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    indptr = np.zeros(g.n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=g.n), out=indptr[1:])
+    return g.n, d, indptr
+
+
+def strongly_connected_components(gf) -> NodeState:
+    """Iterative Tarjan (scc.rs:20-117); component id = min vid in SCC."""
+    n, adj, indptr = _csr(gf)
+    UNSET = -1
+    index = np.full(n, UNSET, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.arange(n, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != UNSET:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for ei in range(indptr[v] + pi, indptr[v + 1]):
+                w = int(adj[ei])
+                if index[w] == UNSET:
+                    work[-1] = (v, ei - indptr[v] + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp[w] = label
+    return NodeState(comp, gf if isinstance(gf, GraphFrame) else None, "scc")
+
+
+def dijkstra_single_source_shortest_paths(gf, source: int,
+                                          targets=None,
+                                          weight: np.ndarray | None = None,
+                                          direction: str = "out"):
+    """Weighted shortest paths (dijkstra.rs:97-246). ``weight`` is a
+    per-simple-edge array aligned with the CSR order, or None for unit
+    weights. Returns {target: (cost, [path])}."""
+    n, adj, indptr = _csr(gf, reverse=(direction == "in"))
+    w = np.ones(len(adj)) if weight is None else np.asarray(weight, float)
+    dist = np.full(n, np.inf)
+    prev = np.full(n, -1, dtype=np.int64)
+    dist[source] = 0.0
+    heap = [(0.0, source)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist[v]:
+            continue
+        for ei in range(indptr[v], indptr[v + 1]):
+            u = int(adj[ei])
+            alt = dv + w[ei]
+            if alt < dist[u]:
+                dist[u] = alt
+                prev[u] = v
+                heapq.heappush(heap, (alt, u))
+    out = {}
+    tgts = range(n) if targets is None else targets
+    for t in tgts:
+        if np.isfinite(dist[t]):
+            path = []
+            c = t
+            while c != -1:
+                path.append(int(c))
+                c = prev[c]
+            out[int(t)] = (float(dist[t]), path[::-1])
+    return out
+
+
+@ray.remote
+def _brandes_sources(adj, indptr, sources, n):
+    """Brandes accumulation for a slice of sources (betweenness.rs:29-119
+    inner loop) — source-parallel over the task pool."""
+    delta_total = np.zeros(n)
+    for s in sources:
+        stack = []
+        preds: list[list[int]] = [[] for _ in range(n)]
+        sigma = np.zeros(n)
+        sigma[s] = 1.0
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[s] = 0
+        queue = [s]
+        qi = 0
+        while qi < len(queue):
+            v = queue[qi]
+            qi += 1
+            stack.append(v)
+            for ei in range(indptr[v], indptr[v + 1]):
+                w = int(adj[ei])
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(n)
+        for v in reversed(stack):
+            for p in preds[v]:
+                delta[p] += sigma[p] / sigma[v] * (1.0 + delta[v])
+        delta[s] = 0.0
+        delta_total += delta
+    return delta_total
+
+
+def betweenness_centrality(gf, k: int | None = None,
+                           normalized: bool = True,
+                           num_tasks: int = 8) -> NodeState:
+    """Brandes betweenness, sources fanned out over Ray tasks."""
+    n, adj, indptr = _csr(gf)
+    sources = np.arange(n if k is None else min(k, n))
+    adj_ref, ind_ref = ray.put(adj), ray.put(indptr)
+    chunks = [c for c in np.array_split(sources, num_tasks) if len(c)]
+    parts = ray.get([_brandes_sources.remote(adj_ref, ind_ref, c, n)
+                     for c in chunks])
+    bc = np.sum(parts, axis=0) if parts else np.zeros(n)
+    if normalized and n > 2:
+        bc = bc / ((n - 1) * (n - 2))
+    return NodeState(bc, gf if isinstance(gf, GraphFrame) else None,
+                     "betweenness")
+
+
+# -------------------------------------------------------------- WindowSet
+
+def expanding(gf: GraphFrame, step: int, start: int | None = None,
+              end: int | None = None):
+    """Expanding WindowSet (time.rs:147-196): views [start, b) for b =
+    start+step, start+2·step, … ≤ end. Bounds default to the data's
+    earliest/latest event time (+1 for inclusivity, as in the reference)."""
+    lo, hi = _time_bounds(gf, start, end)
+    b = lo + step
+    views = []
+    while b < hi + step:
+        views.append(gf.window(None, min(b, hi)))
+        b += step
+    return views
+
+
+def rolling(gf: GraphFrame, window: int, step: int | None = None,
+            start: int | None = None, end: int | None = None):
+    """Rolling WindowSet: [b-window, b) advancing by step (default window)."""
+    step = step or window
+    lo, hi = _time_bounds(gf, start, end)
+    b = lo + window
+    views = []
+    while b < hi + step:
+        e = min(b, hi)
+        views.append(gf.window(e - window, e))
+        b += step
+    return views
+
+
+def _time_bounds(gf: GraphFrame, start, end):
+    import pyarrow.compute as pc
+    if start is None or end is None:
+        mn, mx = None, None
+        for blk in gf.edges.select_columns(["t"]).iter_batches(
+                batch_format="pyarrow"):
+            if blk.num_rows:
+                bmn, bmx = pc.min(blk["t"]).as_py(), pc.max(blk["t"]).as_py()
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        start = mn if start is None else start
+        end = (mx + 1) if end is None else end
+    return start, end

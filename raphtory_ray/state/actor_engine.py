@@ -1,0 +1,251 @@
+"""Actor-sharded BSP engine — vertex state lives IN the partition actors.
+
+This is the at-scale superstep path the north_star describes ("CSR adjacency
+blocks held in stateful actor-pool partitions"): P actors each own
+
+- a dst-partitioned CSR edge block (rows sorted by dst, built once),
+- the rank slice for the vids they own (hash(v) % P == part_id),
+- per-row static factors (1/outdeg[src]) and src→(owner, index) routing
+  tables precomputed at init.
+
+A superstep is ONE actor-call round: each actor zero-copy-reads every
+partition's rank-slice object from plasma (the all-gather), computes its
+owned vertices' new ranks, publishes the new slice with ray.put, and
+returns (slice_ref, sink_partial_for_next_iter, diff²_partial). The driver
+does O(P) work per superstep — no O(V) serialization through the driver,
+unlike the task path in state/shards.py (which stays for small graphs and
+the other algorithms).
+
+Compared against shards.BspGraph.pagerank in tests: same recurrence
+(pagerank.rs:55-179 incl. sink mass and the sqrt(Σd²) ≤ tol·n stop rule),
+identical scores to ~1e-12 (summation grouping differs).
+
+Fault tolerance / resume: every ``checkpoint_every`` iterations the driver
+gathers the P slices (parallel plasma reads) and writes the partitioned
+parquet + manifest of pipelines.checkpoint; ``pagerank(..., checkpoint=)``
+resumes from the latest complete manifest by re-seeding actor slices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part_of(v: np.ndarray, P: int) -> np.ndarray:
+    return (((v.astype(np.uint64) * _GOLD) >> np.uint64(33))
+            % np.uint64(P)).astype(np.int64)
+
+
+def _owned_vids(n: int, P: int, p: int) -> np.ndarray:
+    v = np.arange(n, dtype=np.int64)
+    return v[_part_of(v, P) == p]
+
+
+def _pos_in_partition(n: int, P: int) -> np.ndarray:
+    """pos[v] = index of v within its owner's sorted owned-vid list."""
+    part = _part_of(np.arange(n, dtype=np.int64), P)
+    pos = np.empty(n, dtype=np.int64)
+    for p in range(P):
+        m = part == p
+        pos[m] = np.arange(int(m.sum()))
+    return pos
+
+
+@ray.remote
+class PRShard:
+    """One WORKER of the sharded PageRank state, owning one or more of the P
+    data partitions (partition count is fixed by the data layout; worker
+    count tracks the cluster — an N-node vs 4N-node cluster runs the same
+    partitions on fewer/more workers)."""
+
+    def __init__(self, part_ids: list, P: int, n: int, block_refs: list,
+                 outdeg_ref, pos_ref):
+        blocks = ray.get(list(block_refs))
+        outdeg = ray.get(outdeg_ref) if isinstance(outdeg_ref, ray.ObjectRef) else outdeg_ref
+        pos = ray.get(pos_ref) if isinstance(pos_ref, ray.ObjectRef) else pos_ref
+        self.part_ids, self.P, self.n = list(part_ids), P, n
+        owned_per = [_owned_vids(n, P, p) for p in self.part_ids]
+        self.slice_bounds = np.r_[0, np.cumsum([len(o) for o in owned_per])]
+        self.owned = np.concatenate(owned_per) if owned_per else np.empty(0, np.int64)
+        ss, ds = [], []
+        for b in blocks:
+            if b.num_rows:
+                ss.append(b["src"].to_numpy(zero_copy_only=False))
+                ds.append(b["dst"].to_numpy(zero_copy_only=False))
+        s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        d = np.concatenate(ds) if ds else np.empty(0, np.int64)
+        # rows grouped by source partition (contiguous gather per q), with
+        # one permutation back into dst-sorted order for the combine
+        src_part = _part_of(s, P)
+        gorder = np.argsort(src_part, kind="stable")
+        self.gather_bounds = np.searchsorted(src_part[gorder],
+                                             np.arange(P + 1))
+        s_g, d_g = s[gorder], d[gorder]
+        self.src_idx_g = pos[s_g]
+        dorder = np.argsort(d_g, kind="stable")      # gathered → dst-sorted
+        self.perm = dorder
+        d_sorted = d_g[dorder]
+        uds, start = np.unique(d_sorted, return_index=True)
+        # owned vector is concat of sorted per-partition lists → locate uds
+        self.dst_local = _index_in(self.owned, uds)
+        self.start = start
+        with np.errstate(divide="ignore"):
+            f = 1.0 / outdeg[s_g]
+        self.factor_g = np.where(outdeg[s_g] > 0, f, 0.0)
+        self.sink_mask = outdeg[self.owned] == 0
+        self.rank = np.full(len(self.owned), 1.0 / n)
+
+    def _split_slices(self, full: np.ndarray) -> list:
+        return [ray.put(full[self.slice_bounds[i]:self.slice_bounds[i + 1]])
+                for i in range(len(self.part_ids))]
+
+    def publish(self):
+        """([slice_refs in part_ids order], sink_partial)."""
+        return self._split_slices(self.rank), \
+            float(self.rank[self.sink_mask].sum())
+
+    def set_rank(self, values: np.ndarray):
+        self.rank = np.asarray(values, dtype=np.float64)
+
+    def get_rank(self):
+        return self.owned, self.rank
+
+    def step(self, slice_refs: list, sink_total: float, damping: float):
+        """One superstep: all-gather the P rank slices (zero-copy plasma
+        reads, contiguous per-partition gathers), combine into owned new
+        ranks, publish. Returns ([refs], sink_partial_of_new, diff²)."""
+        slices = ray.get(list(slice_refs))
+        w = np.empty(len(self.src_idx_g))
+        for q in range(self.P):
+            lo, hi = self.gather_bounds[q], self.gather_bounds[q + 1]
+            if hi > lo:
+                w[lo:hi] = slices[q][self.src_idx_g[lo:hi]]
+        w *= self.factor_g
+        w = w[self.perm]
+        base = (1.0 - damping) / self.n + damping * sink_total / self.n
+        new = np.full(len(self.owned), base)
+        if len(self.start):
+            new[self.dst_local] += damping * np.add.reduceat(w, self.start)
+        diff2 = float(np.square(new - self.rank).sum())
+        self.rank = new
+        return self._split_slices(new), \
+            float(new[self.sink_mask].sum()), diff2
+
+
+def _index_in(sorted_concat: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Index of each value in a concat of sorted runs — the owned vector is
+    per-partition-sorted, not globally sorted, so use an argsort-based map."""
+    order = np.argsort(sorted_concat, kind="stable")
+    pos = np.searchsorted(sorted_concat[order], values)
+    return order[pos]
+
+
+class ShardedPageRank:
+    """Driver handle over the PRShard pool."""
+
+    def __init__(self, edge_block_refs: list, n: int, outdeg: np.ndarray,
+                 num_workers: int | None = None):
+        """edge_block_refs: dst-partitioned blocks (one per PARTITION) from
+        shards._shuffle_pairs(key='dst') — partition p MUST hold exactly the
+        edges whose dst hashes to p with this module's _part_of.
+
+        Workers: min(cluster CPUs, P) actors at num_cpus=1 each, every
+        worker owning a contiguous stripe of partitions. Whole-CPU actors
+        keep the worker count honestly bounded by the cluster size (Ray
+        does not pin cores; fractional actors would silently over-run an
+        artificially small ray.init(num_cpus=N))."""
+        P = len(edge_block_refs)
+        self.P, self.n = P, n
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # default leaves one CPU of headroom so a forgotten engine can't
+        # wedge the whole cluster; the scaling bench passes num_workers
+        # explicitly to use every CPU
+        W = num_workers or max(1, min(cpus - 1, P))
+        od_ref = ray.put(outdeg)
+        pos_ref = ray.put(_pos_in_partition(n, P))
+        stripes = np.array_split(np.arange(P), W)
+        self.stripes = [s for s in stripes if len(s)]
+        self.shards = [
+            PRShard.options(num_cpus=1).remote(
+                stripe.tolist(), P, n,
+                [edge_block_refs[p] for p in stripe], od_ref, pos_ref)
+            for stripe in self.stripes]
+
+    @classmethod
+    def from_bsp(cls, g, **kw) -> "ShardedPageRank":
+        """From a shards.BspGraph — its refs are already dst-partitioned
+        with the same hash (shards._GOLD ≡ _GOLD here)."""
+        return cls(list(g.refs), g.n, g.out_degree, **kw)
+
+    def pagerank(self, damping: float = 0.85, iter_count: int = 20,
+                 tol: float = 1e-6, use_l2_norm: bool = True,
+                 checkpoint=None, checkpoint_every: int = 1):
+        """Reference recurrence (pagerank.rs:55-179). Returns
+        (scores, iterations, per-superstep seconds)."""
+        import time
+        it0 = 0
+        if checkpoint is not None:
+            st = checkpoint.load_latest()
+            if st is not None:
+                it0 = st["iteration"]
+                self.seed_ranks(st["state"]["rank"])
+        pub = ray.get([s.publish.remote() for s in self.shards])
+        slice_refs = self._compose(p[0] for p in pub)
+        sink = float(sum(p[1] for p in pub))
+        times, it = [], it0
+        for it in range(it0 + 1, iter_count + 1):
+            t0 = time.perf_counter()
+            outs = ray.get([s.step.remote(slice_refs, sink, damping)
+                            for s in self.shards])
+            slice_refs = self._compose(o[0] for o in outs)
+            sink = float(sum(o[1] for o in outs))
+            diff2 = sum(o[2] for o in outs)
+            norm = float(np.sqrt(diff2)) if use_l2_norm else None
+            if not use_l2_norm:
+                raise NotImplementedError("L1 path uses shards.BspGraph")
+            times.append(time.perf_counter() - t0)
+            if checkpoint is not None and it % checkpoint_every == 0:
+                checkpoint.save(it, {"rank": self.gather()},
+                                metrics={"norm": norm})
+            if norm <= tol * self.n:
+                break
+        return self.gather(), it, times
+
+    def _compose(self, per_actor_ref_lists) -> list:
+        """Per-actor slice-ref lists (in stripe order) → refs indexed by
+        partition id 0..P-1."""
+        out = [None] * self.P
+        for stripe, refs in zip(self.stripes, per_actor_ref_lists):
+            for pid, r in zip(stripe, refs):
+                out[pid] = r
+        return out
+
+    def gather(self) -> np.ndarray:
+        out = np.empty(self.n)
+        for owned, vals in ray.get([s.get_rank.remote() for s in self.shards]):
+            out[owned] = vals
+        return out
+
+    def seed_ranks(self, full: np.ndarray):
+        refs = []
+        for stripe, s in zip(self.stripes, self.shards):
+            owned = np.concatenate([_owned_vids(self.n, self.P, int(p))
+                                    for p in stripe])
+            refs.append(s.set_rank.remote(full[owned]))
+        ray.get(refs)
+
+    def shutdown(self):
+        """Release the worker actors (and their CPUs) immediately."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

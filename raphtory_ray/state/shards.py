@@ -61,14 +61,28 @@ def _degree_partial(block: pa.Table, n: int, col: str) -> np.ndarray:
 
 
 @ray.remote
-def _pr_partial(block: pa.Table, rank: np.ndarray, inv_outdeg: np.ndarray):
-    """Sparse partial: (distinct dst vids, summed contributions). Returning
-    a dense O(V) vector per block floods the driver at B blocks × V floats;
-    the sparse form is bounded by block rows (a built-in local combiner)."""
+def _csr_by_dst(block: pa.Table):
+    """One-time per-block prep: rows sorted by dst + group index — the
+    static CSR adjacency slice each superstep gathers over (north_star's
+    'CSR adjacency blocks'; built once, pinned in the object store)."""
     s, d = _sd(block)
-    uds, inv = np.unique(d, return_inverse=True)
-    sums = np.bincount(inv, weights=rank[s] * inv_outdeg[s])
-    return uds, sums
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    uds, start = np.unique(d, return_index=True)
+    return s, uds, start
+
+
+@ray.remote
+def _pr_superstep(csr, rank: np.ndarray, inv_outdeg: np.ndarray):
+    """Sparse superstep partial over a prepped CSR block: (owned dst vids,
+    summed contributions). reduceat over the pre-sorted rows — no per-
+    superstep sort; output size bounded by owned vertices, and dst-ownership
+    makes partials DISJOINT, so the driver combine is a plain scatter."""
+    s, uds, start = csr
+    if len(uds) == 0:
+        return uds, np.empty(0)
+    w = rank[s] * inv_outdeg[s]
+    return uds, np.add.reduceat(w, start)
 
 
 @ray.remote
@@ -257,9 +271,17 @@ class BspGraph:
         self.refs = refs                  # directed simple (src,dst) blocks
         self.num_edges = num_edges
         self._und_refs = None
+        self._csr_refs = None
         self._outdeg = None
         self._indeg = None
         self._bdeg = None
+
+    @property
+    def csr_refs(self) -> list:
+        """Per-block dst-sorted CSR slices, built once (superstep hot path)."""
+        if self._csr_refs is None:
+            self._csr_refs = [_csr_by_dst.remote(r) for r in self.refs]
+        return self._csr_refs
 
     # ------------------------------------------------------------ construction
     @classmethod
@@ -278,12 +300,17 @@ class BspGraph:
 
     @classmethod
     def from_arrays(cls, src, dst, n: int, num_blocks: int = 4) -> "BspGraph":
-        """Test/driver-side constructor from numpy event arrays."""
+        """Test/driver-side constructor from numpy event arrays. Partitions
+        by hash(dst) — ALL constructors must uphold the dst-ownership
+        invariant (the PageRank combine is a disjoint scatter)."""
         s, d = K.dedup_pairs(src, dst)
+        bucket = ((d.astype(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(num_blocks)
         refs = []
-        for part in np.array_split(np.arange(len(s)), num_blocks):
-            refs.append(ray.put(pa.table({"src": pa.array(s[part], pa.int64()),
-                                          "dst": pa.array(d[part], pa.int64())})))
+        for p in range(num_blocks):
+            m = bucket == p
+            refs.append(ray.put(pa.table({"src": pa.array(s[m], pa.int64()),
+                                          "dst": pa.array(d[m], pa.int64())})))
         return cls(n, refs, len(s))
 
     @property
@@ -340,13 +367,17 @@ class BspGraph:
                 it0, prev = st["iteration"], st["state"]["rank"]
         times = []
         od_ref = ray.put(inv_outdeg)      # constant across supersteps
+        csr = self.csr_refs               # built once
         for it in range(it0 + 1, iter_count + 1):
             t0 = time.perf_counter()
             rank_ref = ray.put(prev)
-            parts = ray.get([_pr_partial.remote(r, rank_ref, od_ref) for r in self.refs])
+            parts = ray.get([_pr_superstep.remote(r, rank_ref, od_ref)
+                             for r in csr])
             contrib = np.zeros(n)
             for uds, sums in parts:
-                np.add.at(contrib, uds, sums)
+                # dst-owned blocks → disjoint vid sets → plain scatter,
+                # O(V) total driver work per superstep
+                contrib[uds] = sums
             sink = prev[sink_mask].sum()
             cur = (1.0 - damping) / n + damping * contrib + (damping / n) * sink
             diff = cur - prev

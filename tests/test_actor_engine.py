@@ -1,0 +1,102 @@
+"""ShardedPageRank (actor-partitioned engine) — equivalence with the task
+engine, golden conformance, checkpoint/resume (kill-and-resume contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+GOLDEN_EVENTS = [
+    (10, 1, 3), (11, 1, 2), (12, 1, 2), (9, 1, 2), (12, 2, 4), (13, 2, 5),
+    (14, 5, 5), (14, 5, 4), (5, 4, 6), (15, 4, 7), (10, 4, 7), (11, 4, 7),
+    (10, 5, 8)]
+GOLDEN_PR = {1: 0.07209850165402759, 2: 0.10274080842110422,
+             3: 0.10274080842110422, 4: 0.1615298183542792,
+             5: 0.1615298183542792, 6: 0.14074777909144864,
+             7: 0.14074777909144864, 8: 0.11786468661230831}
+
+
+def _golden_graph():
+    from raphtory_ray.core.ids import encode_event_list
+    from raphtory_ray.state.shards import BspGraph
+    t, s, d, m = encode_event_list(GOLDEN_EVENTS)
+    return BspGraph.from_arrays(s, d, len(m), num_blocks=4), m
+
+
+def test_golden_fixture(ray_session):
+    """test_algorithms.py:326-340 golden floats + iteration count."""
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    g, m = _golden_graph()
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr, it, _ = eng.pagerank()
+    golden = np.array([GOLDEN_PR[k] for k in sorted(m, key=m.get)])
+    assert it == 10
+    assert np.allclose(pr, golden, atol=1e-6)
+
+
+def test_matches_task_engine(ray_session):
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 1500, 9000)
+    dst = rng.integers(0, 1500, 9000)
+    g = BspGraph.from_arrays(src, dst, 1500, num_blocks=6)
+    pr_task, it_task, _ = g.pagerank()
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_act, it_act, _ = eng.pagerank()
+    assert it_task == it_act
+    assert np.allclose(pr_task, pr_act, atol=1e-12)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Kill-and-resume: run 3 supersteps with checkpointing, build a FRESH
+    engine (simulated restart), resume from the manifest, final scores match
+    an uninterrupted run bit-for-bit and no superstep is recomputed."""
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 800, 5000)
+    dst = rng.integers(0, 800, 5000)
+    g = BspGraph.from_arrays(src, dst, 800, num_blocks=4)
+
+    with ShardedPageRank.from_bsp(g) as ref_eng:
+        full, it_full, _ = ref_eng.pagerank(iter_count=8, tol=0.0)
+    ck = CheckpointManager(str(tmp_path / "ck"), num_partitions=4)
+    with ShardedPageRank.from_bsp(g) as eng1:
+        eng1.pagerank(iter_count=3, tol=0.0, checkpoint=ck)  # "killed" at 3
+    assert ck.iterations()[-1] == 3
+    meta = ck.load_latest()
+    assert meta["metrics"]["norm"] > 0        # lineage metrics recorded
+
+    with ShardedPageRank.from_bsp(g) as eng2:     # fresh actors = restart
+        resumed, it_res, steps = eng2.pagerank(iter_count=8, tol=0.0,
+                                               checkpoint=ck)
+    assert it_res == 8
+    assert len(steps) == 5                    # only 4..8 recomputed
+    assert np.array_equal(full, resumed)
+
+
+def test_graphgen_deterministic(ray_session):
+    """Generators reproduce identical edge sets at different parallelism."""
+    from raphtory_ray.sources.graphgen import (ba_preferential_attachment,
+                                               erdos_renyi,
+                                               random_attachment)
+    for gen in (lambda p: random_attachment(3000, 5, parallelism=p),
+                lambda p: ba_preferential_attachment(2000, 3, parallelism=p),
+                lambda p: erdos_renyi(300, 0.01, parallelism=p)):
+        a = gen(2).to_pandas().sort_values(["src", "dst", "event_id"])
+        b = gen(7).to_pandas().sort_values(["src", "dst", "event_id"])
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+        assert len(a) > 0
+
+
+def test_graphgen_degree_shapes(ray_session):
+    """BA should produce a heavier max in-degree than uniform attachment."""
+    from raphtory_ray.sources.graphgen import (ba_preferential_attachment,
+                                               random_attachment)
+    ra = random_attachment(4000, 4).to_pandas()
+    ba = ba_preferential_attachment(4000, 4).to_pandas()
+    ra_max = ra.groupby("dst").size().max()
+    ba_max = ba.groupby("dst").size().max()
+    assert ba_max > 2 * ra_max

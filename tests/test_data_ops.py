@@ -1,0 +1,195 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+
+Oracles here are brute-force numpy/python reimplementations; the SQL-vs-Ray
+battery lives in __ray_entry__ + tools/check_oracle.py (driver gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_ds(texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for tasty snacks ")
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """60 distinct docs + planted near-dup pairs (small edits) + one exact
+    dup pair."""
+    rng = np.random.default_rng(17)
+    words = BASE.split()
+    texts = []
+    for i in range(60):
+        perm = rng.permutation(words).tolist()
+        texts.append(" ".join(perm * 3) + f" unique token {i}")
+    # near dups: copy with a small edit
+    texts.append(texts[3].replace("fox", "cat"))           # 60 ~ 3
+    texts.append(texts[7] + " tiny suffix")                # 61 ~ 7
+    texts.append(texts[11])                                # 62 == 11 exact
+    return _doc_ds(texts)
+
+
+def test_exact_dedup(planted_docs):
+    from raphtory_ray.data.dedup import exact_dedup
+    t = exact_dedup(planted_docs).to_pandas()
+    assert len(t) == 62                      # 63 docs, one exact dup pair
+    dup = t[t["n_docs"] > 1]
+    assert len(dup) == 1
+    assert int(dup["keep_id"].iloc[0]) == 11
+
+
+def test_minhash_lsh_dedup_finds_planted(planted_docs):
+    from raphtory_ray.data.dedup import minhash_lsh_dedup
+    t = minhash_lsh_dedup(planted_docs, threshold=0.6).to_pandas()
+    cl = dict(zip(t["doc_id"], t["cluster_id"]))
+    assert cl[60] == cl[3] == 3
+    assert cl[61] == cl[7] == 7
+    assert cl[62] == cl[11] == 11
+    # distinct docs stay singletons
+    singles = [i for i in range(60) if i not in (3, 7, 11)]
+    assert all(cl[i] == i for i in singles)
+
+
+def test_simhash_dedup_finds_planted(planted_docs):
+    from raphtory_ray.data.dedup import simhash_dedup
+    t = simhash_dedup(planted_docs, max_hamming=6).to_pandas()
+    cl = dict(zip(t["doc_id"], t["cluster_id"]))
+    assert cl[62] == cl[11]                  # exact dup: hamming 0
+    # word-permutation docs share the SAME bag of words → same simhash;
+    # simhash clusters by content fingerprint, so planted edits also match
+    assert cl[60] == cl[3]
+
+
+def test_token_and_quality_counts(ray_session):
+    from raphtory_ray.data.text import token_counts, quality_stats
+    ds = _doc_ds(["Hello, World 42!", "", "   ", "one"])
+    t = token_counts(ds).to_pandas().sort_values("doc_id")
+    assert t["n_tokens"].tolist() == [3, 0, 0, 1]
+    q = quality_stats(ds).to_pandas().sort_values("doc_id")
+    assert q["n_chars"].tolist() == [16, 0, 3, 3]
+    assert q["n_alpha"].tolist() == [10, 0, 0, 3]
+    assert q["n_digit"].tolist() == [2, 0, 0, 0]
+    assert q["n_punct"].tolist() == [2, 0, 0, 0]
+    assert q["n_upper"].tolist() == [2, 0, 0, 0]
+
+
+def test_language_id(ray_session):
+    from raphtory_ray.data.text import language_id
+    ds = _doc_ds(["the cat is on the mat and the dog is here",
+                  "der hund ist nicht der beste und die katze",
+                  "zzzz qqqq"])
+    t = language_id(ds).to_pandas().sort_values("doc_id")
+    assert t["pred_lang"].tolist() == ["en", "de", "unknown"]
+
+
+def test_winnow_fingerprints_detect_overlap(ray_session):
+    from raphtory_ray.data.text import fingerprints
+    a = "x" * 3 + BASE * 2
+    b = "y" * 7 + BASE * 2            # same long core, different prefix
+    c = "completely different content with nothing shared at all here"
+    ds = _doc_ds([a, b, c])
+    t = fingerprints(ds).to_pandas()
+    fps = {i: set(t[t["doc_id"] == i]["fingerprint"]) for i in range(3)}
+    j_ab = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    j_ac = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert j_ab > 0.6
+    assert j_ac < 0.05
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((80, 16)).astype(np.float32)
+    # planted near-dups: tiny perturbations of rows 5 and 9
+    extra = np.stack([base[5] + 0.001 * rng.standard_normal(16).astype(np.float32),
+                      base[9] * 1.5])      # 81 ~ 9 (cosine 1.0, scaled)
+    mat = np.vstack([base, extra])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), 16)})
+    return rd.from_arrow(tbl), mat
+
+
+def test_knn_bruteforce_matches_numpy(emb_ds):
+    from raphtory_ray.data.similarity import knn_bruteforce
+    ds, mat = emb_ds
+    q = mat[:4].astype(np.float64)
+    t = knn_bruteforce(ds, q, k=3).to_pandas()
+    m64 = mat.astype(np.float64)
+    unit = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ unit.T
+    for qi in range(4):
+        order = np.lexsort((np.arange(len(mat)), -sims[qi]))[:3]
+        got = t[t["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order.tolist()
+
+
+def test_knn_ivf_recall(emb_ds):
+    from raphtory_ray.data.similarity import knn_bruteforce, knn_ivf
+    ds, mat = emb_ds
+    q = mat[:6].astype(np.float64)
+    exact = knn_bruteforce(ds, q, k=5).to_pandas()
+    approx = knn_ivf(ds, q, k=5, n_clusters=8, nprobe=4).to_pandas()
+    hits = tot = 0
+    for qi in range(6):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.6                 # nprobe=4/8 buckets
+
+
+def test_embedding_dedup_planted(emb_ds):
+    from raphtory_ray.data.dedup import embedding_dedup
+    ds, _ = emb_ds
+    t = embedding_dedup(ds, threshold=0.99, nbits=8).to_pandas()
+    cl = dict(zip(t["vec_id"], t["cluster_id"]))
+    assert cl[80] == cl[5] == 5
+    assert cl[81] == cl[9] == 9
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data as rd
+    from raphtory_ray.data.multimodal import (DecodeAudioStage,
+                                              decode_images, image_features,
+                                              sample_frames)
+    payloads = [bytes([i, i + 1]) * (50 + i) for i in range(8)]
+    imgs = rd.from_arrow(pa.table({
+        "item_id": pa.array(range(8), pa.int64()),
+        "image": pa.array(payloads, pa.binary())}))
+    feats = image_features(decode_images(imgs)).to_pandas()
+    assert len(feats) == 8 and len(feats["features"][0]) == 22
+    # deterministic across runs
+    feats2 = image_features(decode_images(imgs)).to_pandas()
+    assert all(np.array_equal(a, b)
+               for a, b in zip(feats["features"], feats2["features"]))
+    # audio: variable-length list column + duration metadata
+    auds = rd.from_arrow(pa.table({
+        "item_id": pa.array(range(4), pa.int64()),
+        "audio": pa.array(payloads[:4], pa.binary())}))
+    out = auds.map_batches(DecodeAudioStage(), batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    assert (out["duration_s"] > 0).all()
+    # video frame sampling: one row per sampled frame
+    vids = rd.from_arrow(pa.table({
+        "item_id": pa.array(range(2), pa.int64()),
+        "video": pa.array(payloads[:2], pa.binary())}))
+    fr = sample_frames(vids, every_n=10).to_pandas()
+    assert len(fr) == 2 * 3                  # 30 frames, every 10th
+    # non-fake mode marks the codec seam
+    from raphtory_ray.data.multimodal import DecodeImageStage
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)._decode(b"payload")
