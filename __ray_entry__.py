@@ -168,6 +168,73 @@ def _q_hits(sf_dir: str) -> pa.Table:
     return t.append_column("auth", pa.array(auth, pa.float64()))
 
 
+def _q_lcc(sf_dir: str) -> pa.Table:
+    """Members of the largest weakly connected component (lcc.rs:24-47);
+    tie-break = smallest component label."""
+    _, g, ids = _copurchase(sf_dir)
+    labels = g.wcc()
+    vals, cnts = np.unique(labels, return_counts=True)
+    big = vals[np.argmax(cnts)]          # vals sorted → first max = min label
+    return pa.table({"vid": pa.array(np.sort(ids[labels == big]), pa.int64())})
+
+
+def _q_sssp_hops(sf_dir: str) -> pa.Table:
+    """BFS hop counts over directed simple edges from the smallest node id
+    (single_source_shortest_path.rs:62-107)."""
+    gf, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms import single_source_shortest_path
+    paths = single_source_shortest_path(g, source=0)
+    vids = np.array(sorted(paths), dtype=np.int64)
+    hops = np.array([len(paths[int(v)]) - 1 for v in vids], dtype=np.int64)
+    return pa.table({"vid": pa.array(ids[vids], pa.int64()),
+                     "hops": pa.array(hops, pa.int64())})
+
+
+def _q_out_component(sf_dir: str) -> pa.Table:
+    """Descendant set of the smallest node id (out_components.rs:65-221)."""
+    _, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms import out_component
+    members = out_component(g, 0)
+    return pa.table({"vid": pa.array(ids[members], pa.int64())})
+
+
+def _q_in_component(sf_dir: str) -> pa.Table:
+    """Ancestor set of the smallest node id (in_components.rs:55-224)."""
+    _, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms import in_component
+    members = in_component(g, 0)
+    return pa.table({"vid": pa.array(ids[members], pa.int64())})
+
+
+def _q_clustering(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient (clustering_coefficient/local.rs):
+    triangles(v) / C(deg_excl_self(v), 2) over nodes with deg ≥ 2."""
+    gf, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms import _self_loop_mask
+    _, tri = g.triangle_counts()
+    deg = (g.both_degree - _self_loop_mask(g)).astype(np.float64)
+    denom = deg * (deg - 1) / 2.0
+    keep = denom > 0
+    vals = tri[keep] / denom[keep]
+    return pa.table({"vid": pa.array(ids[keep], pa.int64()),
+                     "clustering": pa.array(vals, pa.float64())})
+
+
+def _q_degree_stats(sf_dir: str) -> pa.Table:
+    """Global degree reductions (metrics/degree.rs:50-94) in one row."""
+    _, g, _ = _copurchase(sf_dir)
+    b, i, o = g.both_degree, g.in_degree, g.out_degree
+    return pa.table({
+        "max_degree": pa.array([int(b.max())], pa.int64()),
+        "min_degree": pa.array([int(b.min())], pa.int64()),
+        "avg_degree": pa.array([float(b.mean())], pa.float64()),
+        "max_in_degree": pa.array([int(i.max())], pa.int64()),
+        "min_in_degree": pa.array([int(i.min())], pa.int64()),
+        "max_out_degree": pa.array([int(o.max())], pa.int64()),
+        "min_out_degree": pa.array([int(o.min())], pa.int64()),
+    })
+
+
 # ----------------------------------------------------------- temporal / user
 
 def _q_user_edges(sf_dir: str):
@@ -195,6 +262,83 @@ def _q_user_window_out_degree(sf_dir: str) -> pa.Table:
     deg = g.out_degree
     vids = np.arange(gf.n, dtype=np.int64)
     return _nodestate_table(vids, deg, "out_degree", pa.int64(), keep=deg > 0)
+
+
+def _q_user_balance(sf_dir: str) -> pa.Table:
+    """Per-user net Σ of the edge weight over temporal events
+    (balance.rs:44-123, direction=BOTH: incoming +w, outgoing −w); restricted
+    to users that appear as an edge endpoint.
+
+    Weights are quantized to integer cents BEFORE summing (identically in the
+    SQL oracle) so partial-sum order — which differs between the partitioned
+    combine and DuckDB — cannot perturb low-order float bits."""
+    import pyarrow.compute as pc
+    from raphtory_ray.algorithms import balance
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+
+    def cents(b: pa.Table) -> pa.Table:
+        w = pc.floor(pc.add(pc.multiply(b["w"], pa.scalar(100.0)),
+                            pa.scalar(0.5)))
+        return b.set_column(b.schema.get_field_index("w"), "w", w)
+
+    gf = GraphFrame(gf.edges.map_batches(cents, batch_format="pyarrow",
+                                         zero_copy_batch=True).materialize(),
+                    gf.n, gf.vertices)
+    st = balance(gf, weight_col="w", direction="both")
+    from raphtory_ray.state.shards import BspGraph
+    g = BspGraph.from_graph(gf)
+    endpoint = g.both_degree > 0
+    vids = np.flatnonzero(endpoint)
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "balance": pa.array(st.values[endpoint] / 100.0,
+                                         pa.float64())})
+
+
+def _q_user_rolling_counts(sf_dir: str) -> pa.Table:
+    """Temporal-edge count per rolling window (WindowSet, time.rs:147-196):
+    window = span//4, step = window, bounds = data earliest..latest+1."""
+    from raphtory_ray.algorithms.extra import rolling, _time_bounds
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    window = max(1, (hi - lo) // 4)
+    views = rolling(gf, window=window, step=window)
+    rows = []
+    for w in views:
+        rows.append((w.start, w.end, w.count_temporal_edges()))
+    return pa.table({
+        "t0": pa.array([r[0] for r in rows], pa.int64()),
+        "t1": pa.array([r[1] for r in rows], pa.int64()),
+        "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def _q_user_temporal_reach(sf_dir: str) -> pa.Table:
+    """Time-respecting reachable set from the smallest active user at the
+    earliest event time (temporal_reachability.rs:78-219)."""
+    from raphtory_ray.algorithms import temporally_reachable_nodes
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, _hi = _time_bounds(gf, None, None)
+    seed = _min_src_user(gf)
+    reached = temporally_reachable_nodes(gf, start_time=lo, seeds=[seed])
+    return pa.table({"vid": pa.array(np.sort(reached), pa.int64())})
+
+
+def _min_src_user(gf) -> int:
+    import pyarrow.compute as pc
+    best = None
+    for blk in gf.edges.select_columns(["src"]).iter_batches(
+            batch_format="pyarrow"):
+        if blk.num_rows:
+            m = pc.min(blk["src"]).as_py()
+            best = m if best is None else min(best, m)
+    return int(best)
 
 
 # -------------------------------------------------------------- doc queries
@@ -236,6 +380,11 @@ def _q_doc_fingerprints(sf_dir: str) -> pa.Table:
                      Min("fingerprint", alias_name="min_fingerprint")))
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")) \
         .select(["doc_id", "n_fingerprints", "min_fingerprint"])
+
+
+def _q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
+    from raphtory_ray.data.dedup import ngram_jaccard_dedup
+    return ngram_jaccard_dedup(_docs(sf_dir))
 
 
 def _q_doc_minhash_dedup(sf_dir: str) -> pa.Table:
@@ -331,8 +480,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lpa": _q_lpa,
         "copurchase_kcore4": _q_kcore,
         "copurchase_hits": _q_hits,
+        "copurchase_lcc": _q_lcc,
+        "copurchase_sssp_hops": _q_sssp_hops,
+        "copurchase_out_component": _q_out_component,
+        "copurchase_in_component": _q_in_component,
+        "copurchase_clustering": _q_clustering,
+        "copurchase_degree_stats": _q_degree_stats,
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
+        "user_balance": _q_user_balance,
+        "user_rolling_edge_counts": _q_user_rolling_counts,
+        "user_temporal_reach": _q_user_temporal_reach,
+        "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
         "doc_quality_stats": _q_doc_quality,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -379,11 +538,24 @@ _TRI = """tri AS (
 
 _USER_EDGES = """user_edges AS (
   SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
-         epoch_ms(ts) AS t, event_id
+         epoch_ms(ts) AS t, event_id, value AS w
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
   QUALIFY dst IS NOT NULL
 )"""
+
+# WCC label closure: lab accumulates (node, candidate-label) pairs; the
+# recursive term propagates any known label across an undirected edge and
+# UNION dedups, so the fixpoint holds every prefix-min label a node can see;
+# MIN per node = the component's smallest member (= the engine's label rule).
+_WCC_LAB = """lab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM und GROUP BY u
+  UNION
+  SELECT und.u, lab.label FROM lab JOIN und ON lab.node = und.v
+),
+comp AS (SELECT node AS vid, MIN(label) AS component FROM lab GROUP BY node)"""
+
+_SRC0 = "(SELECT MIN(LEAST(src, dst)) FROM dedup)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -445,9 +617,120 @@ SELECT (SELECT COUNT(*) FROM ds x JOIN ds y
         ON x.src = y.dst AND x.dst = y.src)::DOUBLE
      / (SELECT COUNT(*) FROM ds) AS reciprocity
 """,
+        "copurchase_wcc": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP}, {_UND}, {_WCC_LAB}
+SELECT vid, component FROM comp
+""",
+        "copurchase_lcc": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP}, {_UND}, {_WCC_LAB},
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+big AS (SELECT component FROM sizes ORDER BY sz DESC, component LIMIT 1)
+SELECT vid FROM comp WHERE component = (SELECT component FROM big)
+""",
+        "copurchase_sssp_hops": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+walk AS (
+  -- hops < 64 bounds cycle re-entry; BFS depth here is far below that
+  -- (the engine side has no cap — a diameter > 64 graph would need one)
+  SELECT {_SRC0} AS node, 0 AS hops
+  UNION
+  SELECT dedup.dst, walk.hops + 1
+  FROM walk JOIN dedup ON dedup.src = walk.node
+  WHERE walk.hops < 64
+)
+SELECT node AS vid, MIN(hops)::BIGINT AS hops FROM walk GROUP BY node
+""",
+        "copurchase_out_component": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+reach AS (
+  SELECT dst AS node FROM dedup WHERE src = {_SRC0}
+  UNION
+  SELECT dedup.dst FROM reach JOIN dedup ON dedup.src = reach.node
+)
+SELECT node AS vid FROM reach
+""",
+        "copurchase_in_component": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+reach AS (
+  SELECT src AS node FROM dedup WHERE dst = {_SRC0}
+  UNION
+  SELECT dedup.src FROM reach JOIN dedup ON dedup.dst = reach.node
+)
+SELECT node AS vid FROM reach
+""",
+        "copurchase_clustering": f"""
+WITH {_PAIRS}, {_DEDUP}, {_UND}, {_ORIENTED}, {_TRI},
+roles AS (
+  SELECT x AS vid FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+ltri AS (SELECT vid, COUNT(*) AS tri_n FROM roles GROUP BY vid),
+deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und WHERE u <> v GROUP BY u)
+SELECT deg.vid,
+       COALESCE(ltri.tri_n, 0)::DOUBLE / (deg.d * (deg.d - 1) / 2.0)
+         AS clustering
+FROM deg LEFT JOIN ltri ON deg.vid = ltri.vid
+WHERE deg.d >= 2
+""",
+        "copurchase_degree_stats": f"""
+WITH {_PAIRS}, {_DEDUP}, {_UND},
+nodes AS (SELECT DISTINCT u AS vid FROM und),
+bdeg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u),
+odeg AS (SELECT src AS vid, COUNT(DISTINCT dst) AS d FROM dedup GROUP BY src),
+ideg AS (SELECT dst AS vid, COUNT(DISTINCT src) AS d FROM dedup GROUP BY dst),
+j AS (
+  SELECT n.vid, b.d AS bd, COALESCE(o.d, 0) AS od, COALESCE(i.d, 0) AS idg
+  FROM nodes n
+  JOIN bdeg b ON n.vid = b.vid
+  LEFT JOIN odeg o ON n.vid = o.vid
+  LEFT JOIN ideg i ON n.vid = i.vid
+)
+SELECT MAX(bd)::BIGINT AS max_degree, MIN(bd)::BIGINT AS min_degree,
+       (SUM(bd)::DOUBLE / COUNT(*)) AS avg_degree,
+       MAX(idg)::BIGINT AS max_in_degree, MIN(idg)::BIGINT AS min_in_degree,
+       MAX(od)::BIGINT AS max_out_degree, MIN(od)::BIGINT AS min_out_degree
+FROM j
+""",
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
-SELECT src, dst, t, event_id FROM user_edges
+SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_balance": f"""
+WITH {_USER_EDGES},
+cents AS (SELECT src, dst, FLOOR(w * 100.0 + 0.5) AS c FROM user_edges),
+nodes AS (SELECT src AS vid FROM cents UNION SELECT dst FROM cents),
+inc AS (SELECT dst AS vid, SUM(c) AS s FROM cents GROUP BY dst),
+outg AS (SELECT src AS vid, SUM(c) AS s FROM cents GROUP BY src)
+SELECT n.vid, (COALESCE(i.s, 0) - COALESCE(o.s, 0)) / 100.0 AS balance
+FROM nodes n LEFT JOIN inc i ON n.vid = i.vid
+             LEFT JOIN outg o ON n.vid = o.vid
+""",
+        "user_rolling_edge_counts": f"""
+WITH {_USER_EDGES},
+bounds AS (SELECT MIN(t) AS lo, MAX(t) + 1 AS hi FROM user_edges),
+params AS (SELECT lo, hi, GREATEST((hi - lo) // 4, 1) AS win FROM bounds),
+marks AS (
+  SELECT LEAST(lo + win * i, hi) AS e, win
+  FROM params, generate_series(1, 100000) AS gs(i)
+  WHERE lo + win * (i - 1) < hi
+)
+SELECT e - win AS t0, e AS t1,
+       (SELECT COUNT(*) FROM user_edges ue
+        WHERE ue.t >= m.e - m.win AND ue.t < m.e)::BIGINT AS n_edges
+FROM marks m
+""",
+        "user_temporal_reach": f"""
+WITH RECURSIVE {_USER_EDGES},
+start_t AS (SELECT MIN(t) AS t0 FROM user_edges),
+seed AS (SELECT MIN(src) AS v FROM user_edges),
+reach AS (
+  SELECT v AS node, (SELECT t0 FROM start_t) AS tt FROM seed
+  UNION
+  SELECT e.dst, e.t FROM reach r JOIN user_edges e
+  ON e.src = r.node AND e.t >= r.tt
+)
+SELECT DISTINCT node AS vid FROM reach
 """,
         "user_window_out_degree": f"""
 WITH {_USER_EDGES},

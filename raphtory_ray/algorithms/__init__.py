@@ -27,6 +27,7 @@ __all__ = [
     "local_clustering_coefficient", "global_clustering_coefficient",
     "global_reciprocity", "all_local_reciprocity",
     "hits", "balance", "in_components", "out_components",
+    "in_component", "out_component",
     "largest_connected_component", "single_source_shortest_path",
     "temporally_reachable_nodes", "fast_rp",
 ]
@@ -279,6 +280,43 @@ def in_components(gf) -> list[np.ndarray]:
 
 def out_components(gf) -> list[np.ndarray]:
     return _closure_sets(_bsp(gf), reverse=False)
+
+
+def _single_closure(g: BspGraph, source: int, reverse: bool) -> np.ndarray:
+    """BFS closure of ONE node (in_components.rs single-node variant
+    in_component/out_component): frontier levels as vectorized numpy
+    membership passes over the concatenated simple-edge arrays."""
+    tbls = ray.get(list(g.refs))
+    if tbls:
+        s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls])
+        d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tbls])
+    else:
+        s = d = np.empty(0, np.int64)
+    if reverse:
+        s, d = d, s
+    seen = np.zeros(g.n, dtype=bool)
+    frontier = np.zeros(g.n, dtype=bool)
+    frontier[source] = True
+    result = np.zeros(g.n, dtype=bool)
+    while frontier.any():
+        nxt = np.zeros(g.n, dtype=bool)
+        hit = frontier[s]
+        nxt[d[hit]] = True
+        result |= nxt
+        nxt &= ~seen
+        seen |= nxt
+        frontier = nxt
+    return np.flatnonzero(result)
+
+
+def in_component(gf, source: int) -> np.ndarray:
+    """Ancestors of ``source`` (nodes that can reach it)."""
+    return _single_closure(_bsp(gf), source, reverse=True)
+
+
+def out_component(gf, source: int) -> np.ndarray:
+    """Descendants of ``source`` (nodes reachable from it)."""
+    return _single_closure(_bsp(gf), source, reverse=False)
 
 
 # ------------------------------------------------------------------ pathing

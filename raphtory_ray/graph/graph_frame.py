@@ -29,6 +29,8 @@ class GraphFrame:
         self.edges = edges
         self.n = int(n)
         self.vertices = vertices
+        self.start = None      # window bounds when this is a windowed view
+        self.end = None
 
     # ------------------------------------------------------------------ views
     def window(self, start: int | None, end: int | None) -> "GraphFrame":
@@ -44,9 +46,12 @@ class GraphFrame:
                 m = m2 if m is None else pc.and_(m, m2)
             return b if m is None else b.filter(m)
 
-        return GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
-                                                 zero_copy_batch=True),
-                          self.n, self.vertices)
+        g = GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
+                                              zero_copy_batch=True),
+                       self.n, self.vertices)
+        # reference views expose their bounds (GraphView.start/end, time.rs)
+        g.start, g.end = lo, hi
+        return g
 
     def at(self, t: int) -> "GraphFrame":
         return self.window(t, t + 1)

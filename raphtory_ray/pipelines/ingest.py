@@ -61,9 +61,25 @@ def extract_edges(corpus_ds, concurrency: int | tuple | None = None):
 
 def build_gid_index(files_ds) -> np.ndarray:
     """Sorted distinct gid vector; vid = position. Deterministic regardless
-    of block order/parallelism."""
-    gids = files_ds.unique("gid")
-    return np.array(sorted(gids), dtype=object)
+    of block order/parallelism.
+
+    Per-block local distinct (map_batches) → driver np.unique merge: one
+    streaming pass, no groupby shuffle (``ds.unique`` costs a full Aggregate
+    exchange for what is a combiner-friendly distinct). The driver holds
+    only the distinct-gid vector — fine to ~10^8 vertices; beyond that,
+    switch to the distributed sort + per-block offset exchange documented in
+    the module docstring."""
+    def _distinct(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["gid"].to_pylist(), dtype=object))
+        return pa.table({"gid": pa.array(u, pa.string())})
+
+    parts = files_ds.select_columns(["gid"]).map_batches(
+        _distinct, batch_format="pyarrow", zero_copy_batch=True)
+    chunks = [np.asarray(t["gid"].to_pylist(), dtype=object)
+              for t in parts.iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.empty(0, dtype=object)
+    return np.unique(np.concatenate(chunks))
 
 
 class VidResolver:

@@ -109,18 +109,22 @@ def user_edges(sf_dir: str) -> rd.Dataset:
     """Temporal user→user edges: LEAD(user_id) within event_type in
     (ts, event_id) order; t = epoch_ms(ts) of the source event."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id", "event_type"])
+                         columns=["event_id", "ts", "user_id", "event_type",
+                                  "value"])
 
     def lead(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["ts", "event_id"], kind="stable")
         u = df["user_id"].to_numpy()
         t = df["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
         eid = df["event_id"].to_numpy()
+        w = df["value"].to_numpy().astype(np.float64)
         if len(u) < 2:
             z = pa.array([], pa.int64())
-            return pa.table({"src": z, "dst": z, "t": z, "event_id": z})
+            return pa.table({"src": z, "dst": z, "t": z, "event_id": z,
+                             "w": pa.array([], pa.float64())})
         return pa.table({"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
-                         "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1])})
+                         "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1]),
+                         "w": pa.array(w[:-1], pa.float64())})
 
     return ev.groupby("event_type").map_groups(lead, batch_format="pandas")
 

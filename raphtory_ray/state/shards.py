@@ -187,6 +187,8 @@ def _recip_partial(block: pa.Table, keys: np.ndarray, n: int):
 
 @ray.remote
 def _balance_partial(block: pa.Table, n: int, wcol: str):
+    if "src" not in block.column_names:   # empty-partition blocks materialize
+        return (np.zeros(n), np.zeros(n))  # with an EMPTY schema in Ray Data
     s, d, w = _np(block["src"]), _np(block["dst"]), _np(block[wcol])
     return (np.bincount(d, weights=w, minlength=n),   # incoming
             np.bincount(s, weights=w, minlength=n))   # outgoing
