@@ -447,13 +447,48 @@ def _q_corpus_files(sf_dir: str):
         ["gid", "sha256", "t", "n_bytes"])
 
 
+def _corpus_graph(sf_dir: str):
+    """Cached (GraphFrame with BspGraph) for the synthetic source-repo
+    corpus at this sf — ingest + dedup shuffle run once per process."""
+    key = ("corpus_graph", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from raphtory_ray.pipelines.ingest import load_graph
+        from raphtory_ray.sources.corpus import ensure_corpus
+        from raphtory_ray.state.shards import BspGraph
+        path = ensure_corpus(sf=_corpus_sf(sf_dir))
+        gf, _files = load_graph(path)
+        gf.edges = gf.edges.materialize()
+        gf._bsp = BspGraph.from_graph(gf)
+        _GRAPH_CACHE[key] = gf
+    return _GRAPH_CACHE[key]
+
+
 def _q_corpus_pagerank(sf_dir: str) -> pa.Table:
     from raphtory_ray.algorithms import pagerank
-    from raphtory_ray.pipelines.ingest import load_graph
-    from raphtory_ray.sources.corpus import ensure_corpus
-    path = ensure_corpus(sf=_corpus_sf(sf_dir))
-    gf, _files = load_graph(path)
-    return pagerank(gf).to_arrow()
+    return pagerank(_corpus_graph(sf_dir)).to_arrow()
+
+
+def _q_corpus_wcc(sf_dir: str) -> pa.Table:
+    from raphtory_ray.algorithms import weakly_connected_components
+    return weakly_connected_components(_corpus_graph(sf_dir)).to_arrow()
+
+
+def _q_corpus_triangles(sf_dir: str) -> pa.Table:
+    from raphtory_ray.algorithms import triangle_count
+    return pa.table({"n_triangles":
+                     pa.array([triangle_count(_corpus_graph(sf_dir))],
+                              pa.int64())})
+
+
+def _q_scc(sf_dir: str) -> pa.Table:
+    """Tarjan SCC labels (scc.rs:20-117); label = min node id in the SCC
+    (closure-based SQL oracle exists but runs ~2 min at sf0.01 → rows-only
+    here; golden conformance lives in tests/)."""
+    _, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms.extra import strongly_connected_components
+    comp = strongly_connected_components(g).values
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "scc": pa.array(ids[comp], pa.int64())})
 
 
 # ---------------------------------------------------------------- contract
@@ -486,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_in_component": _q_in_component,
         "copurchase_clustering": _q_clustering,
         "copurchase_degree_stats": _q_degree_stats,
+        "copurchase_scc": _q_scc,
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
@@ -505,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup": _q_embedding_dedup,
         "corpus_files": _q_corpus_files,
         "corpus_pagerank": _q_corpus_pagerank,
+        "corpus_wcc": _q_corpus_wcc,
+        "corpus_triangle_count": _q_corpus_triangles,
     }
 
 
