@@ -1,0 +1,87 @@
+"""Single-node components, SCC, temporal reachability, WindowSet bounds —
+the algorithm surface added on top of the core four (SURVEY §2.8: seq +
+pathing + WindowSet rows)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _gf(edges, n, ray_session=None):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    s, d, t = (np.array([e[i] for e in edges], dtype=np.int64)
+               for i in range(3))
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(s), "dst": pa.array(d), "t": pa.array(t),
+        "event_id": pa.array(np.arange(len(s), dtype=np.int64))}))
+    return GraphFrame(ds, n=n)
+
+
+def test_single_node_components(ray_session):
+    # 0→1→2→0 cycle, 2→3, 3→4→3 cycle, 5→0
+    from raphtory_ray.algorithms import in_component, out_component
+    gf = _gf([(0, 1, 0), (1, 2, 0), (2, 0, 0), (2, 3, 0),
+              (3, 4, 0), (4, 3, 0), (5, 0, 0)], n=6)
+    assert set(out_component(gf, 0).tolist()) == {0, 1, 2, 3, 4}
+    assert set(in_component(gf, 3).tolist()) == {0, 1, 2, 3, 4, 5}
+    assert set(in_component(gf, 5).tolist()) == set()
+    # matches the all-nodes variant
+    from raphtory_ray.algorithms import out_components
+    assert set(out_components(gf)[0].tolist()) == \
+        set(out_component(gf, 0).tolist())
+
+
+def test_scc_fixture(ray_session):
+    from raphtory_ray.algorithms.extra import strongly_connected_components
+    gf = _gf([(0, 1, 0), (1, 2, 0), (2, 0, 0), (2, 3, 0),
+              (3, 4, 0), (4, 3, 0), (5, 0, 0)], n=6)
+    comp = strongly_connected_components(gf).values
+    np.testing.assert_array_equal(comp, [0, 0, 0, 3, 3, 5])
+
+
+def test_temporal_reachability(ray_session):
+    # 1→2 happens BEFORE 0→1, so taint from 0 cannot ride it
+    from raphtory_ray.algorithms import temporally_reachable_nodes
+    gf = _gf([(0, 1, 5), (1, 2, 3), (1, 3, 7)], n=4)
+    got = set(temporally_reachable_nodes(gf, start_time=0, seeds=[0]).tolist())
+    assert got == {0, 1, 3}
+    # starting later excludes the t=5 edge
+    got = set(temporally_reachable_nodes(gf, start_time=6, seeds=[0]).tolist())
+    assert got == {0}
+
+
+def test_window_bounds_and_rolling(ray_session):
+    from raphtory_ray.algorithms.extra import expanding, rolling
+    gf = _gf([(i % 3, (i + 1) % 3, i) for i in range(10)], n=3)
+    w = gf.window(2, 7)
+    assert (w.start, w.end) == (2, 7)
+    assert w.count_temporal_edges() == 5
+
+    views = rolling(gf, window=4, step=4)
+    assert views, "rolling produced no windows"
+    for v in views:
+        assert v.end - v.start == 4
+        want = sum(1 for t in range(10) if v.start <= t < v.end)
+        assert v.count_temporal_edges() == want
+    # every event is covered by at least one rolling window
+    assert views[0].start == 0 and views[-1].end == 10
+
+    exp = expanding(gf, step=4)
+    assert exp[-1].count_temporal_edges() == 10
+    counts = [v.count_temporal_edges() for v in exp]
+    assert counts == sorted(counts)
+
+
+def test_balance_direction_variants(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms import balance
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    tbl = pa.table({"src": pa.array([0, 1], pa.int64()),
+                    "dst": pa.array([1, 2], pa.int64()),
+                    "t": pa.array([0, 1], pa.int64()),
+                    "w": pa.array([2.0, 3.0])})
+    gf = GraphFrame(rd.from_arrow(tbl), n=3)
+    np.testing.assert_allclose(balance(gf, "w", "in").values, [0, 2, 3])
+    np.testing.assert_allclose(balance(gf, "w", "out").values, [-2, -3, 0])
+    np.testing.assert_allclose(balance(gf, "w", "both").values, [-2, -1, 3])
