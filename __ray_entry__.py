@@ -480,6 +480,17 @@ def _q_corpus_triangles(sf_dir: str) -> pa.Table:
                               pa.int64())})
 
 
+def _q_corpus_repo_edges(sf_dir: str) -> pa.Table:
+    """repo→repo dependency rollup (north_star's second edge family)."""
+    from raphtory_ray.pipelines.ingest import extract_edges, read_corpus, \
+        repo_edges
+    from raphtory_ray.sources.corpus import ensure_corpus
+    path = ensure_corpus(sf=_corpus_sf(sf_dir))
+    ds = repo_edges(extract_edges(read_corpus(path)))
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return t.select(["src_repo", "dst_repo", "n_imports"])
+
+
 def _q_scc(sf_dir: str) -> pa.Table:
     """Tarjan SCC labels (scc.rs:20-117); label = min node id in the SCC
     (closure-based SQL oracle exists but runs ~2 min at sf0.01 → rows-only
@@ -543,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pagerank": _q_corpus_pagerank,
         "corpus_wcc": _q_corpus_wcc,
         "corpus_triangle_count": _q_corpus_triangles,
+        "corpus_repo_edges": _q_corpus_repo_edges,
     }
 
 

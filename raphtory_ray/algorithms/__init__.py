@@ -206,7 +206,9 @@ def all_local_reciprocity(gf) -> NodeState:
     return NodeState(vals, gf, "reciprocity")
 
 
-def hits(gf, iter_count: int = 20, tol: float = 1e-8) -> tuple[NodeState, NodeState]:
+def hits(gf, iter_count: int = 20, tol: float = 0.01) -> tuple[NodeState, NodeState]:
+    """Sum-normalized HITS, reference stopping rule (hits.rs:53-158,
+    max-diff ≤ 0.01 for both scores)."""
     hub, auth, _ = _bsp(gf).hits(iter_count, tol)
     return NodeState(hub, gf, "hub"), NodeState(auth, gf, "auth")
 

@@ -355,26 +355,26 @@ def local_clustering(src, dst, n: int) -> np.ndarray:
 # HITS
 # ---------------------------------------------------------------------------
 
-def hits(src, dst, n: int, iter_count: int = 20, tol: float = 1e-8) -> tuple[np.ndarray, np.ndarray, int]:
-    """Hub/authority scores (hits.rs:53-158): per iteration
-    auth_i = Σ_{j→i} hub_j, hub_i = Σ_{i→j} auth_j (previous values),
-    each normalized by sqrt of sum of squares; stop when max |Δ| <= tol.
-    Returns (hubs, auths, iterations)."""
+def hits(src, dst, n: int, iter_count: int = 20, tol: float = 0.01) -> tuple[np.ndarray, np.ndarray, int]:
+    """Hub/authority scores with REFERENCE normalization (hits.rs:53-158):
+    per iteration recv_hub_i = Σ_{j→i} hub_j, recv_auth_i = Σ_{i→j} auth_j
+    (previous values); auth = recv_hub / Σ recv_hub and
+    hub = recv_auth / Σ recv_auth (sum-normalized, NOT L2 — hits.rs:104-110);
+    stop when max |Δhub| ≤ tol AND max |Δauth| ≤ tol (reference fixes
+    tol = 0.01, hits.rs:128-140). Returns (hubs, auths, iterations)."""
     s, d = dedup_pairs(src, dst)
     hub = np.ones(n)
     auth = np.ones(n)
     it = 0
     for it in range(1, iter_count + 1):
-        new_auth = np.bincount(d, weights=hub[s], minlength=n)
-        new_hub = np.bincount(s, weights=auth[d], minlength=n)
-        na = np.sqrt(np.square(new_auth).sum())
-        nh = np.sqrt(np.square(new_hub).sum())
-        if na > 0:
-            new_auth = new_auth / na
-        if nh > 0:
-            new_hub = new_hub / nh
-        md = max(np.abs(new_auth - auth).max(initial=0.0), np.abs(new_hub - hub).max(initial=0.0))
+        recv_hub = np.bincount(d, weights=hub[s], minlength=n)
+        recv_auth = np.bincount(s, weights=auth[d], minlength=n)
+        th, ta = recv_hub.sum(), recv_auth.sum()
+        new_auth = recv_hub / th if th > 0 else recv_hub
+        new_hub = recv_auth / ta if ta > 0 else recv_auth
+        md_h = np.abs(new_hub - hub).max(initial=0.0)
+        md_a = np.abs(new_auth - auth).max(initial=0.0)
         hub, auth = new_hub, new_auth
-        if md <= tol:
+        if md_h <= tol and md_a <= tol:
             break
     return hub, auth, it

@@ -117,6 +117,29 @@ def resolve_edges(edges_gid_ds, gids: np.ndarray,
                                     concurrency=concurrency or _pool_size())
 
 
+def repo_edges(edges_gid_ds) -> "rd.Dataset":
+    """repo→repo rollup of the file→file gid edge events (north_star:
+    "repo→repo and file→file dependency edges"): distinct
+    (repo(src_gid), repo(dst_gid)) pairs, self-edges dropped. repo(gid) =
+    the first two path segments ("org{o}/repo{r}")."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def rollup(b: pa.Table) -> pa.Table:
+        def repo_of(col):
+            parts = pc.split_pattern(col, "/", max_splits=2)
+            return pc.binary_join_element_wise(
+                pc.list_element(parts, 0), pc.list_element(parts, 1), "/")
+        rs, rd_ = repo_of(b["src_gid"]), repo_of(b["dst_gid"])
+        t = pa.table({"src_repo": rs, "dst_repo": rd_})
+        return t.filter(pc.invert(pc.equal(t["src_repo"], t["dst_repo"])))
+
+    return (edges_gid_ds.map_batches(rollup, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+            .groupby(["src_repo", "dst_repo"])
+            .aggregate(Count(alias_name="n_imports")))
+
+
 def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:
     """Full ingest: corpus parquet dir → (GraphFrame, files_ds).
 

@@ -63,7 +63,7 @@ class PRShard:
     partitions on fewer/more workers)."""
 
     def __init__(self, part_ids: list, P: int, n: int, block_refs: list,
-                 outdeg_ref, pos_ref):
+                 outdeg_ref, pos_ref, dtype: str = "float64"):
         blocks = ray.get(list(block_refs))
         outdeg = ray.get(outdeg_ref) if isinstance(outdeg_ref, ray.ObjectRef) else outdeg_ref
         pos = ray.get(pos_ref) if isinstance(pos_ref, ray.ObjectRef) else pos_ref
@@ -85,19 +85,27 @@ class PRShard:
         self.gather_bounds = np.searchsorted(src_part[gorder],
                                              np.arange(P + 1))
         s_g, d_g = s[gorder], d[gorder]
-        self.src_idx_g = pos[s_g]
+        # int32 index arrays: partition-local indices stay < 2^31 at any
+        # realistic partition size — halves per-superstep index traffic
+        self.src_idx_g = pos[s_g].astype(np.int32)
         dorder = np.argsort(d_g, kind="stable")      # gathered → dst-sorted
-        self.perm = dorder
+        self.perm = dorder.astype(np.int32) \
+            if len(d_g) < 2**31 else dorder
         d_sorted = d_g[dorder]
         uds, start = np.unique(d_sorted, return_index=True)
         # owned vector is concat of sorted per-partition lists → locate uds
         self.dst_local = _index_in(self.owned, uds)
         self.start = start
+        # dtype: float64 (default, conformance path) or float32 — the
+        # documented bandwidth/precision trade-off for the scaling workload
+        # (slices + per-edge streams halve; global sums & convergence stay
+        # f64; score rel-error ~1e-7, inside the 1e-6 contract)
+        self.dtype = np.dtype(dtype)
         with np.errstate(divide="ignore"):
             f = 1.0 / outdeg[s_g]
-        self.factor_g = np.where(outdeg[s_g] > 0, f, 0.0)
+        self.factor_g = np.where(outdeg[s_g] > 0, f, 0.0).astype(self.dtype)
         self.sink_mask = outdeg[self.owned] == 0
-        self.rank = np.full(len(self.owned), 1.0 / n)
+        self.rank = np.full(len(self.owned), 1.0 / n, dtype=self.dtype)
 
     def _split_slices(self, full: np.ndarray) -> list:
         return [ray.put(full[self.slice_bounds[i]:self.slice_bounds[i + 1]])
@@ -106,34 +114,53 @@ class PRShard:
     def publish(self):
         """([slice_refs in part_ids order], sink_partial)."""
         return self._split_slices(self.rank), \
-            float(self.rank[self.sink_mask].sum())
+            float(self.rank[self.sink_mask].sum(dtype=np.float64))
 
     def set_rank(self, values: np.ndarray):
-        self.rank = np.asarray(values, dtype=np.float64)
+        self.rank = np.asarray(values, dtype=self.dtype)
 
     def get_rank(self):
         return self.owned, self.rank
 
-    def step(self, slice_refs: list, sink_total: float, damping: float):
+    def step(self, slice_refs: list, sink_total: float, damping: float,
+             timings: bool = False):
         """One superstep: all-gather the P rank slices (zero-copy plasma
         reads, contiguous per-partition gathers), combine into owned new
-        ranks, publish. Returns ([refs], sink_partial_of_new, diff²)."""
+        ranks, publish. Returns ([refs], sink_partial_of_new, diff²[, times])."""
+        import time
+        t0 = time.perf_counter()
         slices = ray.get(list(slice_refs))
-        w = np.empty(len(self.src_idx_g))
+        t1 = time.perf_counter()
+        if not hasattr(self, "_w"):      # reuse step buffers — per-step
+            self._w = np.empty(len(self.src_idx_g), dtype=self.dtype)
+            self._w2 = np.empty(len(self.src_idx_g), dtype=self.dtype)
+            # (fresh large allocations each step churn THP/compaction)
+        w = self._w
         for q in range(self.P):
             lo, hi = self.gather_bounds[q], self.gather_bounds[q + 1]
             if hi > lo:
                 w[lo:hi] = slices[q][self.src_idx_g[lo:hi]]
         w *= self.factor_g
-        w = w[self.perm]
+        np.take(w, self.perm, out=self._w2)
+        w = self._w2
+        t2 = time.perf_counter()
         base = (1.0 - damping) / self.n + damping * sink_total / self.n
-        new = np.full(len(self.owned), base)
+        new = np.full(len(self.owned), base, dtype=self.dtype)
         if len(self.start):
-            new[self.dst_local] += damping * np.add.reduceat(w, self.start)
-        diff2 = float(np.square(new - self.rank).sum())
+            new[self.dst_local] += (damping *
+                                    np.add.reduceat(w, self.start)).astype(
+                                        self.dtype, copy=False)
+        d = (new - self.rank).astype(np.float64, copy=False)
+        diff2 = float(np.square(d).sum())
         self.rank = new
-        return self._split_slices(new), \
-            float(new[self.sink_mask].sum()), diff2
+        t3 = time.perf_counter()
+        out = (self._split_slices(new),
+               float(new[self.sink_mask].sum(dtype=np.float64)), diff2)
+        if timings:
+            t4 = time.perf_counter()
+            return out + ({"get": t1 - t0, "gather": t2 - t1,
+                           "combine": t3 - t2, "publish": t4 - t3},)
+        return out
 
 
 def _index_in(sorted_concat: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -148,7 +175,7 @@ class ShardedPageRank:
     """Driver handle over the PRShard pool."""
 
     def __init__(self, edge_block_refs: list, n: int, outdeg: np.ndarray,
-                 num_workers: int | None = None):
+                 num_workers: int | None = None, dtype: str = "float64"):
         """edge_block_refs: dst-partitioned blocks (one per PARTITION) from
         shards._shuffle_pairs(key='dst') — partition p MUST hold exactly the
         edges whose dst hashes to p with this module's _part_of.
@@ -172,7 +199,8 @@ class ShardedPageRank:
         self.shards = [
             PRShard.options(num_cpus=1).remote(
                 stripe.tolist(), P, n,
-                [edge_block_refs[p] for p in stripe], od_ref, pos_ref)
+                [edge_block_refs[p] for p in stripe], od_ref, pos_ref,
+                dtype)
             for stripe in self.stripes]
 
     @classmethod

@@ -264,6 +264,43 @@ def _shuffle_pairs(block_refs: list, P: int, key: str) -> list:
             for p in range(P)]
 
 
+@ray.remote
+def _write_block(block: pa.Table, path: str) -> int:
+    import pyarrow.parquet as pq
+    pq.write_table(block, path)
+    return block.num_rows
+
+
+@ray.remote
+def _read_block(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    return pq.read_table(path)
+
+
+def save_partitioned_blocks(refs: list, out_dir: str) -> int:
+    """Persist hash-partitioned edge blocks as blocks_p{i}.parquet — the
+    resumable partitioned layout (one file per partition; a rerun loads the
+    finished partitioning instead of re-shuffling). Returns total rows."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    rows = ray.get([_write_block.remote(r, os.path.join(out_dir, f"blocks_p{i}.parquet"))
+                    for i, r in enumerate(refs)])
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(len(refs)))
+    return int(sum(rows))
+
+
+def load_partitioned_blocks(out_dir: str) -> list | None:
+    """Block refs from a finished save_partitioned_blocks dir (or None)."""
+    import os
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        return None
+    P = int(open(marker).read())
+    return [_read_block.remote(os.path.join(out_dir, f"blocks_p{i}.parquet"))
+            for i in range(P)]
+
+
 class BspGraph:
     """Simple-graph engine: dedup'd directed edge blocks (+ lazily derived
     undirected neighbour blocks) in the object store."""
@@ -506,24 +543,24 @@ class BspGraph:
             else np.zeros(self.n, dtype=np.int64)
         return out_c.astype(np.int64), in_c.astype(np.int64), inter
 
-    def hits(self, iter_count=20, tol=1e-8):
+    def hits(self, iter_count=20, tol=0.01):
+        """Reference HITS (hits.rs:53-158): sum-normalized each iteration
+        (auth = recv_hub / Σ recv_hub), stop when BOTH max-diffs ≤ tol
+        (reference fixes tol = 0.01)."""
         hub = np.ones(self.n)
         auth = np.ones(self.n)
         it = 0
         for it in range(1, iter_count + 1):
             h_ref, a_ref = ray.put(hub), ray.put(auth)
             parts = ray.get([_hits_partial.remote(r, h_ref, a_ref) for r in self.refs])
-            new_auth = np.sum([p[0] for p in parts], axis=0)
-            new_hub = np.sum([p[1] for p in parts], axis=0)
-            na = np.sqrt(np.square(new_auth).sum())
-            nh = np.sqrt(np.square(new_hub).sum())
-            if na > 0:
-                new_auth /= na
-            if nh > 0:
-                new_hub /= nh
-            md = max(np.abs(new_auth - auth).max(initial=0.0),
-                     np.abs(new_hub - hub).max(initial=0.0))
+            recv_hub = np.sum([p[0] for p in parts], axis=0)
+            recv_auth = np.sum([p[1] for p in parts], axis=0)
+            th, ta = recv_hub.sum(), recv_auth.sum()
+            new_auth = recv_hub / th if th > 0 else recv_hub
+            new_hub = recv_auth / ta if ta > 0 else recv_auth
+            md_h = np.abs(new_hub - hub).max(initial=0.0)
+            md_a = np.abs(new_auth - auth).max(initial=0.0)
             hub, auth = new_hub, new_auth
-            if md <= tol:
+            if md_h <= tol and md_a <= tol:
                 break
         return hub, auth, it

@@ -48,6 +48,22 @@ def test_matches_task_engine(ray_session):
     assert np.allclose(pr_task, pr_act, atol=1e-12)
 
 
+def test_fp32_transport_within_contract(ray_session):
+    """fp32 rank transport (the scaling workload's bandwidth trade-off)
+    stays inside the 1e-6 contract vs the f64 task engine."""
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 1500, 9000)
+    dst = rng.integers(0, 1500, 9000)
+    g = BspGraph.from_arrays(src, dst, 1500, num_blocks=6)
+    pr_task, _, _ = g.pagerank(iter_count=15, tol=0.0)
+    with ShardedPageRank.from_bsp(g, dtype="float32") as eng:
+        pr_32, _, _ = eng.pagerank(iter_count=15, tol=0.0)
+    assert np.allclose(pr_32, pr_task, atol=1e-6)
+    assert np.allclose(pr_32, pr_task, rtol=5e-5)
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     """Kill-and-resume: run 3 supersteps with checkpointing, build a FRESH
     engine (simulated restart), resume from the manifest, final scores match

@@ -73,6 +73,44 @@ def test_window_bounds_and_rolling(ray_session):
     assert counts == sorted(counts)
 
 
+def test_balance_reference_golden(ray_session):
+    """Reference balance fixture (test_algorithms.py::test_balance_algorithm,
+    nodes renumbered 1..5 → 0..4)."""
+    import ray.data as rd
+    from raphtory_ray.algorithms import balance
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = [(0, 1, 10.0), (0, 3, 20.0), (1, 2, 5.0), (2, 1, 2.0),
+             (2, 0, 1.0), (3, 2, 10.0), (3, 0, 5.0), (0, 4, 2.0)]
+    tbl = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "t": pa.array(list(range(1, len(edges) + 1)), pa.int64()),
+        "w": pa.array([e[2] for e in edges])})
+    gf = GraphFrame(rd.from_arrow(tbl), n=5)
+    np.testing.assert_allclose(balance(gf, "w", "both").values,
+                               [-26.0, 7.0, 12.0, 5.0, 2.0])
+    np.testing.assert_allclose(balance(gf, "w", "in").values,
+                               [6.0, 12.0, 15.0, 20.0, 2.0])
+
+
+def test_hits_sum_normalization(ray_session):
+    """HITS parity: sum-normalized (Σ auth = Σ hub = 1 per iteration,
+    hits.rs:104-110) and stops when both max-diffs ≤ 0.01."""
+    from raphtory_ray.core import kernels as K
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 40, 200)
+    d = rng.integers(0, 40, 200)
+    hub, auth, it = K.hits(s, d, 40)
+    assert hub.sum() == pytest.approx(1.0)
+    assert auth.sum() == pytest.approx(1.0)
+    from raphtory_ray.state.shards import BspGraph
+    g = BspGraph.from_arrays(s, d, 40, num_blocks=3)
+    h2, a2, it2 = g.hits()
+    np.testing.assert_allclose(h2, hub, atol=1e-12)
+    np.testing.assert_allclose(a2, auth, atol=1e-12)
+    assert it2 == it
+
+
 def test_balance_direction_variants(ray_session):
     import ray.data as rd
     from raphtory_ray.algorithms import balance
