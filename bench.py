@@ -170,7 +170,9 @@ def run_scaling_single(num_cpus: int) -> dict:
                                    dtype=dtype)
     init_s = time.perf_counter() - t0
 
-    _scores, _it, step_times = eng.pagerank(iter_count=RA_STEPS, tol=0.0)
+    gather_mode = os.environ.get("RA_GATHER", "central")
+    _scores, _it, step_times = eng.pagerank(iter_count=RA_STEPS, tol=0.0,
+                                            gather_mode=gather_mode)
     # median of post-warmup steps: superstep time on a shared box is noisy
     # (plasma allocation churn, kernel compaction); median is the robust
     # per-superstep cost estimate
@@ -183,6 +185,7 @@ def run_scaling_single(num_cpus: int) -> dict:
         "num_edges": g.num_edges,
         "num_partitions": RA_BLOCKS,
         "dtype": dtype,
+        "gather_mode": gather_mode,
         "graph_build_sec": build_s,
         "engine_init_sec": init_s,
         "supersteps": RA_STEPS,

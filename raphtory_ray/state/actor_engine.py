@@ -91,6 +91,11 @@ class PRShard:
         dorder = np.argsort(d_g, kind="stable")      # gathered → dst-sorted
         self.perm = dorder.astype(np.int32) \
             if len(d_g) < 2**31 else dorder
+        # global src vids in dst-sorted row order — the "central" all-gather
+        # path gathers straight from one driver-assembled rank vector,
+        # skipping both the per-partition loop and the permutation pass
+        self.s_sorted = s_g[dorder].astype(
+            np.int32 if n < 2**31 else np.int64)
         d_sorted = d_g[dorder]
         uds, start = np.unique(d_sorted, return_index=True)
         # owned vector is concat of sorted per-partition lists → locate uds
@@ -104,6 +109,7 @@ class PRShard:
         with np.errstate(divide="ignore"):
             f = 1.0 / outdeg[s_g]
         self.factor_g = np.where(outdeg[s_g] > 0, f, 0.0).astype(self.dtype)
+        self.factor_sorted = self.factor_g[dorder]
         self.sink_mask = outdeg[self.owned] == 0
         self.rank = np.full(len(self.owned), 1.0 / n, dtype=self.dtype)
 
@@ -163,6 +169,67 @@ class PRShard:
         return out
 
 
+    def step_owned(self, *args):
+        """p2p superstep variant whose output slices are TASK RETURNS
+        (driver-owned plasma objects) instead of actor-side ray.puts: a
+        borrowed-ref ray.get then resolves ownership against the idle
+        driver rather than a busy peer actor — the O(W·P) owner-RPC storm
+        of `step` measured dominant at W=32 disappears, while the driver
+        still does only O(P) work (it never reads the slice data).
+
+        args = (*slice_refs, sink_total, damping). The slice refs are passed
+        as TOP-LEVEL task args, so Ray resolves them before the task runs
+        (raylet-prefetched, zero-copy) — no in-task ray.get at all. Returns
+        (*owned_slices, (sink_partial, diff²)) via num_returns."""
+        slices, sink_total, damping = \
+            list(args[:-2]), args[-2], args[-1]
+        if not hasattr(self, "_w"):
+            self._w = np.empty(len(self.src_idx_g), dtype=self.dtype)
+        w = self._w
+        for q in range(self.P):
+            lo, hi = self.gather_bounds[q], self.gather_bounds[q + 1]
+            if hi > lo:
+                w[lo:hi] = slices[q][self.src_idx_g[lo:hi]]
+        w *= self.factor_g
+        w = np.take(w, self.perm)
+        base = (1.0 - damping) / self.n + damping * sink_total / self.n
+        new = np.full(len(self.owned), base, dtype=self.dtype)
+        if len(self.start):
+            new[self.dst_local] += (damping *
+                                    np.add.reduceat(w, self.start)).astype(
+                                        self.dtype, copy=False)
+        d = (new - self.rank).astype(np.float64, copy=False)
+        diff2 = float(np.square(d).sum())
+        self.rank = new
+        outs = [new[self.slice_bounds[i]:self.slice_bounds[i + 1]]
+                for i in range(len(self.part_ids))]
+        tail = (float(new[self.sink_mask].sum(dtype=np.float64)), diff2)
+        return (*outs, tail) if outs else tail
+
+    def step_full(self, full_ref, sink_total: float, damping: float):
+        """One superstep against a single driver-assembled rank vector
+        (central all-gather): ONE driver-owned plasma object per superstep
+        instead of P actor-owned slices, so owner-resolution RPCs per step
+        drop from O(W·P) to O(W) — measured dominant at W=32 on one box.
+        Returns (owned_new_values, sink_partial, diff²). Scale note: the
+        driver does O(V) assembly per superstep; beyond ~10^8 vertices
+        switch to the p2p slice path (`step`) or a tree-gather."""
+        full = ray.get(full_ref) if isinstance(full_ref, ray.ObjectRef) \
+            else full_ref
+        w = full[self.s_sorted]
+        w *= self.factor_sorted
+        base = (1.0 - damping) / self.n + damping * sink_total / self.n
+        new = np.full(len(self.owned), base, dtype=self.dtype)
+        if len(self.start):
+            new[self.dst_local] += (damping *
+                                    np.add.reduceat(w, self.start)).astype(
+                                        self.dtype, copy=False)
+        d = (new - self.rank).astype(np.float64, copy=False)
+        diff2 = float(np.square(d).sum())
+        self.rank = new
+        return new, float(new[self.sink_mask].sum(dtype=np.float64)), diff2
+
+
 def _index_in(sorted_concat: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Index of each value in a concat of sorted runs — the owned vector is
     per-partition-sorted, not globally sorted, so use an argsort-based map."""
@@ -187,6 +254,8 @@ class ShardedPageRank:
         artificially small ray.init(num_cpus=N))."""
         P = len(edge_block_refs)
         self.P, self.n = P, n
+        self.dtype = np.dtype(dtype)
+        self._sink_mask_full = outdeg == 0      # central-gather bookkeeping
         cpus = int(ray.cluster_resources().get("CPU", 8))
         # default leaves one CPU of headroom so a forgotten engine can't
         # wedge the whole cluster; the scaling bench passes num_workers
@@ -209,12 +278,33 @@ class ShardedPageRank:
         with the same hash (shards._GOLD ≡ _GOLD here)."""
         return cls(list(g.refs), g.n, g.out_degree, **kw)
 
+    def _owned_concat(self, stripe) -> np.ndarray:
+        return np.concatenate([_owned_vids(self.n, self.P, int(p))
+                               for p in stripe])
+
     def pagerank(self, damping: float = 0.85, iter_count: int = 20,
                  tol: float = 1e-6, use_l2_norm: bool = True,
-                 checkpoint=None, checkpoint_every: int = 1):
+                 checkpoint=None, checkpoint_every: int = 1,
+                 gather_mode: str = "p2p"):
         """Reference recurrence (pagerank.rs:55-179). Returns
-        (scores, iterations, per-superstep seconds)."""
+        (scores, iterations, per-superstep seconds).
+
+        gather_mode:
+        - "p2p" (default): actors publish per-partition slices; every actor
+          all-gathers every slice from plasma. O(P) driver work, but O(W·P)
+          borrowed-object resolutions per superstep.
+        - "central": actors return owned values; the driver assembles ONE
+          rank vector and ray.puts it (O(V) driver work, O(W) resolutions).
+          Faster until driver assembly dominates (~10^8+ vertices)."""
         import time
+        if gather_mode == "central":
+            return self._pagerank_central(damping, iter_count, tol,
+                                          use_l2_norm, checkpoint,
+                                          checkpoint_every)
+        if gather_mode == "p2p-owned":
+            return self._pagerank_p2p_owned(damping, iter_count, tol,
+                                            use_l2_norm, checkpoint,
+                                            checkpoint_every)
         it0 = 0
         if checkpoint is not None:
             st = checkpoint.load_latest()
@@ -242,6 +332,94 @@ class ShardedPageRank:
             if norm <= tol * self.n:
                 break
         return self.gather(), it, times
+
+    def _pagerank_p2p_owned(self, damping, iter_count, tol, use_l2_norm,
+                            checkpoint, checkpoint_every):
+        """p2p all-gather with driver-owned slice objects (see
+        PRShard.step_owned). O(P) driver work per superstep; slice data
+        never moves through the driver."""
+        import time
+        it0 = 0
+        full0 = None
+        if checkpoint is not None:
+            st = checkpoint.load_latest()
+            if st is not None:
+                it0 = st["iteration"]
+                full0 = st["state"]["rank"].astype(self.dtype)
+                self.seed_ranks(full0)
+        # initial slices: driver-owned ray.puts
+        slice_refs = [None] * self.P
+        sink = 0.0
+        for stripe in self.stripes:
+            for p in stripe:
+                owned = _owned_vids(self.n, self.P, int(p))
+                vals = (np.full(len(owned), 1.0 / self.n, dtype=self.dtype)
+                        if full0 is None else full0[owned])
+                slice_refs[p] = ray.put(vals)
+        init_rank = (np.full(self.n, 1.0 / self.n, dtype=self.dtype)
+                     if full0 is None else full0)
+        sink = float(init_rank[self._sink_mask_full].sum(dtype=np.float64))
+        times, it = [], it0
+        for it in range(it0 + 1, iter_count + 1):
+            t0 = time.perf_counter()
+            rounds = []
+            for stripe, s in zip(self.stripes, self.shards):
+                nr = len(stripe) + 1
+                rounds.append(s.step_owned.options(num_returns=nr).remote(
+                    *slice_refs, sink, damping))
+            tails = []
+            for stripe, refs in zip(self.stripes, rounds):
+                refs = refs if isinstance(refs, list) else [refs]
+                for pid, r in zip(stripe, refs[:-1]):
+                    slice_refs[pid] = r
+                tails.append(refs[-1])
+            tails = ray.get(tails)
+            sink = float(sum(t[0] for t in tails))
+            diff2 = sum(t[1] for t in tails)
+            if not use_l2_norm:
+                raise NotImplementedError("L1 path uses shards.BspGraph")
+            norm = float(np.sqrt(diff2))
+            times.append(time.perf_counter() - t0)
+            if checkpoint is not None and it % checkpoint_every == 0:
+                checkpoint.save(it, {"rank": self.gather()},
+                                metrics={"norm": norm})
+            if norm <= tol * self.n:
+                break
+        return self.gather(), it, times
+
+    def _pagerank_central(self, damping, iter_count, tol, use_l2_norm,
+                          checkpoint, checkpoint_every):
+        import time
+        owned_per = [self._owned_concat(st) for st in self.stripes]
+        full = np.full(self.n, 1.0 / self.n, dtype=self.dtype)
+        it0 = 0
+        if checkpoint is not None:
+            st = checkpoint.load_latest()
+            if st is not None:
+                it0 = st["iteration"]
+                full = st["state"]["rank"].astype(self.dtype)
+                self.seed_ranks(full)
+        sink = float(full[self._sink_mask_full].sum(dtype=np.float64))
+        times, it = [], it0
+        for it in range(it0 + 1, iter_count + 1):
+            t0 = time.perf_counter()
+            ref = ray.put(full)
+            outs = ray.get([s.step_full.remote(ref, sink, damping)
+                            for s in self.shards])
+            for owned, (vals, _s, _d) in zip(owned_per, outs):
+                full[owned] = vals
+            sink = float(sum(o[1] for o in outs))
+            diff2 = sum(o[2] for o in outs)
+            if not use_l2_norm:
+                raise NotImplementedError("L1 path uses shards.BspGraph")
+            norm = float(np.sqrt(diff2))
+            times.append(time.perf_counter() - t0)
+            if checkpoint is not None and it % checkpoint_every == 0:
+                checkpoint.save(it, {"rank": full.astype(np.float64)},
+                                metrics={"norm": norm})
+            if norm <= tol * self.n:
+                break
+        return full.astype(np.float64), it, times
 
     def _compose(self, per_actor_ref_lists) -> list:
         """Per-actor slice-ref lists (in stripe order) → refs indexed by

@@ -48,6 +48,48 @@ def test_matches_task_engine(ray_session):
     assert np.allclose(pr_task, pr_act, atol=1e-12)
 
 
+def test_central_gather_matches_p2p(ray_session):
+    """gather_mode='central' (driver-assembled all-gather) is numerically
+    identical to the p2p slice path and resumes from checkpoints."""
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 900, 6000)
+    dst = rng.integers(0, 900, 6000)
+    g = BspGraph.from_arrays(src, dst, 900, num_blocks=5)
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_p2p, it_a, _ = eng.pagerank(iter_count=8, tol=0.0)
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_c, it_b, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                     gather_mode="central")
+    assert it_a == it_b
+    np.testing.assert_allclose(pr_p2p, pr_c, atol=1e-15)
+
+
+def test_central_gather_checkpoint_resume(ray_session, tmp_path):
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(14)
+    src = rng.integers(0, 700, 4000)
+    dst = rng.integers(0, 700, 4000)
+    g = BspGraph.from_arrays(src, dst, 700, num_blocks=4)
+    with ShardedPageRank.from_bsp(g) as eng:
+        full, _, _ = eng.pagerank(iter_count=7, tol=0.0,
+                                  gather_mode="central")
+    ck = CheckpointManager(str(tmp_path / "ck"), num_partitions=4)
+    with ShardedPageRank.from_bsp(g) as eng:
+        eng.pagerank(iter_count=3, tol=0.0, checkpoint=ck,
+                     gather_mode="central")
+    with ShardedPageRank.from_bsp(g) as eng:
+        resumed, it_res, steps = eng.pagerank(iter_count=7, tol=0.0,
+                                              checkpoint=ck,
+                                              gather_mode="central")
+    assert it_res == 7 and len(steps) == 4
+    np.testing.assert_array_equal(full, resumed)
+
+
 def test_fp32_transport_within_contract(ray_session):
     """fp32 rank transport (the scaling workload's bandwidth trade-off)
     stays inside the 1e-6 contract vs the f64 task engine."""
