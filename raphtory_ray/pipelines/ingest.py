@@ -44,11 +44,14 @@ def files_table(corpus_ds):
 
 
 def _pool_size() -> tuple:
-    """Autoscaling actor-pool bounds sized to the cluster (a fixed (2, 8)
-    cap starved 32-CPU runs)."""
+    """Autoscaling actor-pool bounds sized to the cluster.
+
+    min=1: a chained pair of pools with min=2 each deadlocked 4-CPU runs
+    (four idle min-actors held every slot and the upstream read starved —
+    round-1 verdict item 1). max leaves ≥2 slots for read/shuffle tasks."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (2, max(4, cpus))
+    return (1, max(2, cpus - 2))
 
 
 def extract_edges(corpus_ds, concurrency: int | tuple | None = None):
@@ -63,23 +66,28 @@ def build_gid_index(files_ds) -> np.ndarray:
     """Sorted distinct gid vector; vid = position. Deterministic regardless
     of block order/parallelism.
 
-    Per-block local distinct (map_batches) → driver np.unique merge: one
-    streaming pass, no groupby shuffle (``ds.unique`` costs a full Aggregate
-    exchange for what is a combiner-friendly distinct). The driver holds
-    only the distinct-gid vector — fine to ~10^8 vertices; beyond that,
-    switch to the distributed sort + per-block offset exchange documented in
-    the module docstring."""
+    Per-block local distinct (map_batches, Arrow ``pc.unique``) → driver
+    numpy merge: one streaming pass, no groupby shuffle (``ds.unique`` costs
+    a full Aggregate exchange for what is a combiner-friendly distinct).
+    Returned as fixed-width numpy unicode (``np.str_``), NOT object dtype:
+    it ray.put/gets zero-copy (plain UCS4 buffer) and searchsorted compares
+    run in C. The driver holds only the distinct-gid vector — fine to
+    ~10^8 vertices; beyond that, switch to the distributed sort +
+    per-block offset exchange documented in the module docstring."""
+    import pyarrow.compute as pc
+
     def _distinct(b: pa.Table) -> pa.Table:
-        u = np.unique(np.asarray(b["gid"].to_pylist(), dtype=object))
-        return pa.table({"gid": pa.array(u, pa.string())})
+        return pa.table({"gid": pc.unique(b["gid"].combine_chunks())})
 
     parts = files_ds.select_columns(["gid"]).map_batches(
         _distinct, batch_format="pyarrow", zero_copy_batch=True)
-    chunks = [np.asarray(t["gid"].to_pylist(), dtype=object)
-              for t in parts.iter_batches(batch_format="pyarrow")]
+    chunks = [np.asarray(t["gid"].to_pylist(), dtype=np.str_)
+              for t in parts.iter_batches(batch_format="pyarrow")
+              if t.num_rows]
     if not chunks:
-        return np.empty(0, dtype=object)
-    return np.unique(np.concatenate(chunks))
+        return np.empty(0, dtype="U1")
+    width = max(c.dtype.itemsize for c in chunks) // 4
+    return np.unique(np.concatenate([c.astype(f"U{width}") for c in chunks]))
 
 
 class VidResolver:
@@ -93,8 +101,8 @@ class VidResolver:
         self.gids = ray.get(gids_ref) if isinstance(gids_ref, ray.ObjectRef) else gids_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sg = np.asarray(batch["src_gid"].to_pylist(), dtype=object)
-        dg = np.asarray(batch["dst_gid"].to_pylist(), dtype=object)
+        sg = np.asarray(batch["src_gid"].to_pylist(), dtype=np.str_)
+        dg = np.asarray(batch["dst_gid"].to_pylist(), dtype=np.str_)
         src = np.searchsorted(self.gids, sg)
         dst = np.searchsorted(self.gids, dg)
         # validity: positions must actually hold the gid
@@ -117,11 +125,27 @@ def resolve_edges(edges_gid_ds, gids: np.ndarray,
                                     concurrency=concurrency or _pool_size())
 
 
+class ExtractResolveStage:
+    """Fused extract+resolve: one actor pool instead of two chained pools.
+
+    Chaining two autoscaling pools deadlocked at num_cpus=4 (each pool's
+    min-actors held every scheduler slot and the upstream read starved).
+    Fusing also halves the intermediate edge-event traffic: gid-form events
+    never leave the actor."""
+
+    def __init__(self, gids_ref):
+        self.extract = ImportExtractor()
+        self.resolve = VidResolver(gids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.resolve(self.extract(batch))
+
+
 def repo_edges(edges_gid_ds) -> "rd.Dataset":
     """repo→repo rollup of the file→file gid edge events (north_star:
-    "repo→repo and file→file dependency edges"): distinct
-    (repo(src_gid), repo(dst_gid)) pairs, self-edges dropped. repo(gid) =
-    the first two path segments ("org{o}/repo{r}")."""
+    "repo→repo and file→file dependency edges"): per-pair import-event
+    counts (every edge event counts into n_imports), self-edges dropped.
+    repo(gid) = the first two path segments ("org{o}/repo{r}")."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
@@ -150,7 +174,11 @@ def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:
     """
     files_ds = files_table(read_corpus(corpus_path)).materialize()
     gids = build_gid_index(files_ds)
-    edges = resolve_edges(extract_edges(read_corpus(corpus_path)), gids)
+    ref = ray.put(gids)
+    edges = read_corpus(corpus_path).map_batches(
+        ExtractResolveStage, fn_constructor_args=(ref,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_pool_size())
     vertices = pa.table({"vid": pa.array(np.arange(len(gids)), pa.int64()),
                          "gid": pa.array(list(gids), pa.string())})
     return GraphFrame(edges, n=len(gids), vertices=vertices), files_ds
