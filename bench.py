@@ -197,14 +197,17 @@ def run_scaling_single(num_cpus: int) -> dict:
 def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     """Same job, fresh ray sessions at two parallelism levels (N vs 4N).
 
-    Each run is pinned to its first `nc` physical cores with taskset:
-    ray.init(num_cpus=N) only caps Ray's scheduling tokens — without
-    pinning, an "8-CPU" session still spreads its workers over all 32
-    physical cores and the comparison measures nothing. Pinning is the
-    sandbox's honest stand-in for an N-node vs 4N-node cluster."""
+    NO core pinning: each run launches exactly `nc` Ray workers via
+    ray.init(num_cpus=nc) in a fresh process — an N-worker run on a 32-core
+    box gives every worker a dedicated core, modelling N cluster nodes.
+    Pinning with taskset would instead force Ray's system processes
+    (raylet/GCS/driver) to contend with the workers inside the mask, which
+    no real cluster node would see."""
     reps = int(os.environ.get("RA_REPS", "2"))
     cpus = tuple(int(x) for x in
                  os.environ.get("RA_CPUS", ",".join(map(str, cpus))).split(","))
+    if len(cpus) != 2:
+        raise SystemExit(f"RA_CPUS must give exactly two levels 'lo,hi', got {cpus!r}")
     all_runs: dict[int, list] = {nc: [] for nc in cpus}
     # interleave repetitions (A/B/A/B): the sandbox VM's host steals CPU in
     # bursts (dmesg: "sched: DL replenish lagged"), so per-level best-of
@@ -237,7 +240,8 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
         "unit": "ratio",
         "workload": f"random_attachment(n={RA_NODES}, k={RA_K}), "
                     f"{RA_BLOCKS} partitions, {RA_STEPS} supersteps, "
-                    f"taskset-pinned cores, best-of-{reps} interleaved runs, "
+                    f"no core pinning (num_cpus-capped fresh Ray sessions), "
+                    f"best-of-{reps} interleaved runs, "
                     f"median post-warmup superstep",
         "cpus": list(cpus),
         "throughput_edges_per_sec": {str(lo): thr_lo, str(hi): thr_hi},

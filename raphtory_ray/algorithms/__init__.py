@@ -246,10 +246,17 @@ def largest_connected_component(gf) -> GraphFrame:
 
 
 def _closure_sets(g: BspGraph, reverse: bool) -> list[np.ndarray]:
-    """Per-node ancestor (reverse=True) / descendant sets via CSR BFS.
-    Driver-side on the materialized simple-edge arrays — the reference runs
-    per-node BFS inside tasks too (in_components.rs:99-120); non-core,
-    sizes are unbounded (O(V^2) worst case) by nature."""
+    """Per-node ancestor (reverse=True) / descendant sets via a BITSET
+    transitive closure (round-1 fix: was a per-node Python BFS, O(V·E) of
+    interpreter loops).
+
+    B is an (n × ⌈n/64⌉) uint64 bit matrix, row u = u's closure-so-far.
+    Each pass ORs every node's row with its out-neighbours' rows in two
+    vectorized ops (gather + bitwise_or.reduceat); converges in O(diameter)
+    passes. The O(V²/8) bit matrix is inherent to the output (the reference
+    materializes the same sets, in_components.rs:99-120); this path is for
+    the all-nodes variant at analysis scale — per-node queries use
+    _single_closure."""
     tbls = ray.get(list(g.refs))
     if tbls:
         s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls])
@@ -258,20 +265,26 @@ def _closure_sets(g: BspGraph, reverse: bool) -> list[np.ndarray]:
         s = d = np.empty(0, np.int64)
     if reverse:
         s, d = d, s
-    order = np.argsort(s, kind="stable")
-    s, d = s[order], d[order]
-    indptr = np.zeros(g.n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(s, minlength=g.n), out=indptr[1:])
+    n = g.n
+    W = max(1, (n + 63) // 64)
+    B = np.zeros((n, W), dtype=np.uint64)
+    if len(s):
+        # seed: direct neighbours
+        np.bitwise_or.at(B, (s, d // 64), np.uint64(1) << (d % 64).astype(np.uint64))
+        order = np.argsort(s, kind="stable")
+        s_o, d_o = s[order], d[order]
+        us, starts = np.unique(s_o, return_index=True)
+        while True:
+            red = np.bitwise_or.reduceat(B[d_o], starts, axis=0)
+            new = B.copy()
+            new[us] |= red
+            if np.array_equal(new, B):
+                break
+            B = new
     out = []
-    for v in range(g.n):
-        seen = set()
-        stack = list(d[indptr[v]:indptr[v + 1]])
-        while stack:
-            u = stack.pop()
-            if u not in seen:
-                seen.add(u)
-                stack.extend(d[indptr[u]:indptr[u + 1]])
-        out.append(np.array(sorted(seen), dtype=np.int64))
+    for v in range(n):
+        bits = np.unpackbits(B[v].view(np.uint8), bitorder="little")[:n]
+        out.append(np.flatnonzero(bits).astype(np.int64))
     return out
 
 
@@ -333,22 +346,44 @@ def single_source_shortest_path(gf, source: int, cutoff: int | None = None) -> d
         if tbls else np.empty(0, np.int64)
     d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tbls]) \
         if tbls else np.empty(0, np.int64)
-    order = np.argsort(s, kind="stable")
-    s, d = s[order], d[order]
-    indptr = np.zeros(g.n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(s, minlength=g.n), out=indptr[1:])
-    paths = {int(source): [int(source)]}
-    frontier = [int(source)]
+    # vectorized frontier BFS with a parent array (round-1 fix: was a
+    # per-row Python loop with list-per-node paths): each level is two
+    # numpy passes over the edge arrays; paths reconstructed at the end
+    # (O(total output size), the result is paths by contract)
+    parent = np.full(g.n, -1, dtype=np.int64)
+    dist = np.full(g.n, -1, dtype=np.int64)
+    parent[source] = source
+    dist[source] = 0
+    frontier = np.zeros(g.n, dtype=bool)
+    frontier[source] = True
     depth = 0
-    while frontier and (cutoff is None or depth < cutoff):
+    while frontier.any() and (cutoff is None or depth < cutoff):
         depth += 1
-        nxt = []
-        for u in frontier:
-            for v in d[indptr[u]:indptr[u + 1]].tolist():
-                if v not in paths:
-                    paths[v] = paths[u] + [v]
-                    nxt.append(v)
-        frontier = nxt
+        hit = frontier[s]
+        cand_d, cand_s = d[hit], s[hit]
+        fresh = dist[cand_d] < 0
+        cand_d, cand_s = cand_d[fresh], cand_s[fresh]
+        if not len(cand_d):
+            break
+        # one parent per newly found node: smallest-src parent for a
+        # deterministic path choice (any shortest path satisfies the
+        # reference contract, single_source_shortest_path.rs:62-107)
+        o = np.lexsort((cand_s, cand_d))
+        cand_d, cand_s = cand_d[o], cand_s[o]
+        first = np.r_[True, cand_d[1:] != cand_d[:-1]]
+        nd, np_ = cand_d[first], cand_s[first]
+        parent[nd] = np_
+        dist[nd] = depth
+        frontier = np.zeros(g.n, dtype=bool)
+        frontier[nd] = True
+    paths: dict[int, list[int]] = {}
+    for v in np.flatnonzero(dist >= 0).tolist():
+        chain = [v]
+        u = v
+        while u != source:
+            u = int(parent[u])
+            chain.append(u)
+        paths[v] = chain[::-1]
     return paths
 
 

@@ -85,9 +85,11 @@ class PRShard:
         self.gather_bounds = np.searchsorted(src_part[gorder],
                                              np.arange(P + 1))
         s_g, d_g = s[gorder], d[gorder]
-        # int32 index arrays: partition-local indices stay < 2^31 at any
-        # realistic partition size — halves per-superstep index traffic
-        self.src_idx_g = pos[s_g].astype(np.int32)
+        # int32 index arrays when partition-local indices fit — halves
+        # per-superstep index traffic; fall back to int64 past 2^31
+        src_pos = pos[s_g]
+        self.src_idx_g = src_pos.astype(np.int32) \
+            if (len(src_pos) == 0 or src_pos.max() < 2**31) else src_pos
         dorder = np.argsort(d_g, kind="stable")      # gathered → dst-sorted
         self.perm = dorder.astype(np.int32) \
             if len(d_g) < 2**31 else dorder

@@ -25,8 +25,9 @@ Scale notes (explicit, per north_rule):
   vertices (8 GB/array). Beyond that the same superstep bodies run against
   hash-partitioned state actors; the kernels are unchanged. (10^12-file
   scale needs that path; this sandbox cannot exercise it.)
-- Triangle counting broadcasts the oriented CSR (O(E)); the at-scale path is
-  hash-partitioning wedges by min endpoint + semi-join against edge buckets.
+- Triangle counting / reciprocity run as fully partitioned wedge/probe
+  semi-joins (hash-shuffled oriented blocks; no task or driver ever holds
+  the full edge set) — see triangle_counts / reciprocal_counts.
 """
 
 from __future__ import annotations
@@ -140,49 +141,170 @@ def _hits_partial(block: pa.Table, hub: np.ndarray, auth: np.ndarray):
 
 
 @ray.remote
-def _tri_partial(fu: np.ndarray, fv: np.ndarray, indptr: np.ndarray,
-                 fall: np.ndarray, keys: np.ndarray, n: int):
-    """Wedge-probe triangle counting over a slice of oriented edges.
-    fu/fv: this task's oriented edges (a<b); indptr/fall: global forward CSR;
-    keys: sorted packed edge keys for membership probes."""
-    local = np.zeros(n, dtype=np.int64)
-    total = 0
-    bdeg = indptr[1:] - indptr[:-1]
-    reps = bdeg[fv]
-    if reps.sum() == 0:
-        return 0, local
-    wa = np.repeat(fu, reps)
-    wb = np.repeat(fv, reps)
-    row_start = np.repeat(indptr[fv], reps)
-    within = np.arange(len(wa)) - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
-    wc = fall[row_start + within]
-    wkeys = wa * n + wc
-    pos = np.searchsorted(keys, wkeys)
-    pos[pos >= len(keys)] = len(keys) - 1
-    hit = keys[pos] == wkeys
-    total = int(hit.sum())
-    if total:
-        local += np.bincount(wa[hit], minlength=n)
-        local += np.bincount(wb[hit], minlength=n)
-        local += np.bincount(wc[hit], minlength=n)
-    return total, local
+def _merge_concat(*pieces: pa.Table) -> pa.Table:
+    """Concat shuffle pieces WITHOUT dedup (oriented blocks are already
+    globally unique: one row per undirected edge)."""
+    good = [t for t in pieces if t.num_rows and "src" in t.column_names]
+    if not good:
+        z = pa.array(np.empty(0, np.int64))
+        return pa.table({"src": z, "dst": z})
+    return pa.concat_tables(good)
 
 
 @ray.remote
-def _recip_partial(block: pa.Table, keys: np.ndarray, n: int):
-    """Per-block reciprocity partials: for non-self-loop edges (u,v), count
-    per-u (outdeg excl self) and per-u reciprocated (does (v,u) exist?) via
-    binary search over the broadcast sorted edge-key set."""
+def _degree_noself(block: pa.Table, n: int):
+    s, d = _sd(block)
+    m = s != d
+    return (np.bincount(s[m], minlength=n), np.bincount(d[m], minlength=n))
+
+
+@ray.remote
+def _req_split(block: pa.Table, P: int):
+    """Reciprocity request routing: non-self edges (u, v) → bucket
+    hash(v) % P, where the probe for reversed key (v, u) can be answered
+    locally against the src-partitioned key set."""
     s, d = _sd(block)
     m = s != d
     s, d = s[m], d[m]
-    out_c = np.bincount(s, minlength=n)
-    rkeys = d * n + s
-    pos = np.searchsorted(keys, rkeys)
-    pos[pos >= len(keys)] = len(keys) - 1
-    hit = keys[pos] == rkeys
-    inter = np.bincount(s[hit], minlength=n)
-    return out_c, inter
+    bk = ((d.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(P)
+    order = np.argsort(bk)
+    s, d, bk = s[order], d[order], bk[order]
+    bounds = np.searchsorted(bk, np.arange(P + 1))
+    out = [pa.table({"src": pa.array(s[bounds[p]:bounds[p + 1]]),
+                     "dst": pa.array(d[bounds[p]:bounds[p + 1]])})
+           for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _recip_probe(Sq: pa.Table, n: int, *req_pieces: pa.Table) -> np.ndarray:
+    """Does (v, u) exist? Probe against this partition's sorted keys only.
+    Returns per-u reciprocated-count partial."""
+    a_e, b_e = _sd(Sq)
+    keys = np.sort(a_e * n + b_e)
+    inter = np.zeros(n, dtype=np.int64)
+    for req in req_pieces:
+        s, d = _sd(req)
+        if not len(s):
+            continue
+        rkeys = d * n + s
+        pos = np.searchsorted(keys, rkeys)
+        pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+        hit = keys[pos] == rkeys if len(keys) else np.zeros(len(rkeys), bool)
+        if hit.any():
+            inter += np.bincount(s[hit], minlength=n)
+    return inter
+
+
+@ray.remote
+def _orient_split(block: pa.Table, P: int, key: str):
+    """Oriented (a<b) rows of an undirected block, routed to bucket
+    hash(a or b) % P. Map side of the partitioned triangle pipeline."""
+    u, v = _sd(block)
+    m = u < v
+    a, b = u[m], v[m]
+    kv = (a if key == "src" else b).astype(np.uint64)
+    bk = ((kv * _GOLD) >> np.uint64(33)) % np.uint64(P)
+    order = np.argsort(bk)
+    a, b, bk = a[order], b[order], bk[order]
+    bounds = np.searchsorted(bk, np.arange(P + 1))
+    out = [pa.table({"src": pa.array(a[bounds[p]:bounds[p + 1]]),
+                     "dst": pa.array(b[bounds[p]:bounds[p + 1]])})
+           for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _wedge_split(Dp: pa.Table, Sp: pa.Table, P: int, chunk_wedges: int):
+    """Wedges (a, m, c) with a<m<c from in-edges (a,m) ∈ Dp (dst-partition
+    of the middle vertex) × out-edges (m,c) ∈ Sp (src-partition of the same
+    middle vertex), routed to the probe partition hash(a) % P.
+
+    Generation runs in bounded chunks of in-edges (≤ chunk_wedges expansion
+    each) so a hub middle vertex can't blow task memory; the per-bucket
+    output accumulates across chunks."""
+    ua, um = _sd(Dp)
+    sm, sc = _sd(Sp)
+    order = np.argsort(sm, kind="stable")
+    sm, sc = sm[order], sc[order]
+    ums, starts = np.unique(sm, return_index=True)
+    counts = np.diff(np.r_[starts, len(sm)])
+    # out-degree (within partition) of each in-edge's middle vertex
+    pos = np.searchsorted(ums, um)
+    pos_c = np.minimum(pos, max(len(ums) - 1, 0))
+    if len(ums):
+        has = ums[pos_c] == um
+        reps = np.where(has, counts[pos_c], 0)
+        row_start = np.where(has, starts[pos_c], 0)
+    else:
+        reps = np.zeros(len(um), dtype=np.int64)
+        row_start = reps
+    buckets: list[list] = [[] for _ in range(P)]
+    csum = np.cumsum(reps)
+    chunk_bounds = [0]
+    while chunk_bounds[-1] < len(ua):
+        lo = chunk_bounds[-1]
+        base = csum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(csum, base + chunk_wedges)) + 1
+        chunk_bounds.append(min(max(hi, lo + 1), len(ua)))
+    for ci in range(len(chunk_bounds) - 1):
+        lo, hi = chunk_bounds[ci], chunk_bounds[ci + 1]
+        r = reps[lo:hi]
+        tot = int(r.sum())
+        if tot == 0:
+            continue
+        wa = np.repeat(ua[lo:hi], r)
+        wm = np.repeat(um[lo:hi], r)
+        rs = np.repeat(row_start[lo:hi], r)
+        within = np.arange(tot) - np.repeat(np.r_[0, np.cumsum(r)[:-1]], r)
+        wc = sc[rs + within]
+        bk = ((wa.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(P)
+        o = np.argsort(bk)
+        wa, wm, wc, bk = wa[o], wm[o], wc[o], bk[o]
+        bounds = np.searchsorted(bk, np.arange(P + 1))
+        for p in range(P):
+            blo, bhi = int(bounds[p]), int(bounds[p + 1])
+            if bhi > blo:
+                buckets[p].append((wa[blo:bhi], wm[blo:bhi], wc[blo:bhi]))
+    out = []
+    for p in range(P):
+        if buckets[p]:
+            out.append(pa.table({
+                "a": pa.array(np.concatenate([x[0] for x in buckets[p]])),
+                "m": pa.array(np.concatenate([x[1] for x in buckets[p]])),
+                "c": pa.array(np.concatenate([x[2] for x in buckets[p]]))}))
+        else:
+            z = pa.array(np.empty(0, np.int64))
+            out.append(pa.table({"a": z, "m": z, "c": z}))
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _probe_count(Sq: pa.Table, n: int, *wedge_pieces: pa.Table):
+    """Probe side: does closing edge (a, c) exist in this partition's
+    oriented edge set?  This task holds ONLY its partition's keys — no
+    global CSR / key broadcast (round-1 fix). Returns (triangle_total,
+    per-node count partial)."""
+    a_e, b_e = _sd(Sq)
+    keys = np.sort(a_e * n + b_e)
+    local = np.zeros(n, dtype=np.int64)
+    total = 0
+    for w in wedge_pieces:
+        if w.num_rows == 0 or "a" not in w.column_names:
+            continue
+        wa = _np(w["a"])
+        wm = _np(w["m"])
+        wc = _np(w["c"])
+        wkeys = wa * n + wc
+        pos = np.searchsorted(keys, wkeys)
+        pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+        hit = keys[pos] == wkeys if len(keys) else np.zeros(len(wkeys), bool)
+        total += int(hit.sum())
+        if hit.any():
+            local += np.bincount(wa[hit], minlength=n)
+            local += np.bincount(wm[hit], minlength=n)
+            local += np.bincount(wc[hit], minlength=n)
+    return total, local
 
 
 @ray.remote
@@ -486,62 +608,84 @@ class BspGraph:
             alive = new_alive
         return alive
 
-    def _forward_arrays(self):
-        """Oriented (a<b) forward CSR from the undirected blocks.
-        NOTE(scale): pulled to the driver + broadcast (O(E)); see module
-        docstring for the partitioned alternative."""
-        tbls = ray.get(list(self.und_refs))
-        u = np.concatenate([_np(t["src"]) for t in tbls]) if tbls else np.empty(0, np.int64)
-        v = np.concatenate([_np(t["dst"]) for t in tbls]) if tbls else np.empty(0, np.int64)
-        mask = u < v
-        fu, fv = u[mask], v[mask]
-        order = np.lexsort((fv, fu))
-        fu, fv = fu[order], fv[order]
-        indptr = np.zeros(self.n + 1, dtype=np.int64)
-        np.cumsum(np.bincount(fu, minlength=self.n), out=indptr[1:])
-        return fu, fv, indptr
-
-    def triangle_counts(self, num_tasks: int | None = None):
+    def triangle_counts(self, chunk_wedges: int = 4_000_000):
         """(global_count, per-node counts); exact, each triangle once
-        (triangle_count.rs:64-116 semantics)."""
+        (triangle_count.rs:64-116 semantics).
+
+        Fully partitioned wedge semi-join (round-1 fix — no task or the
+        driver ever holds the full edge set):
+        1. orient a<b, hash-shuffle by src → S_p and by dst → D_p;
+        2. wedge task p joins D_p × S_p on the middle vertex (all edges of
+           middle m meet in partition p by construction) and routes wedges
+           (a, m, c) to probe partition hash(a), generating in ≤chunk_wedges
+           chunks so hub middles can't blow task memory;
+        3. probe task q checks closing edges (a, c) against ONLY its own
+           partition's sorted keys and returns (count, bincount) partials.
+        Skew note: a hub FIRST endpoint concentrates probes in one bucket;
+        probes are O(rows) streaming, so cost stays linear in that bucket's
+        wedge count."""
         assert self.n < (1 << 31)
-        fu, fv, indptr = self._forward_arrays()
-        if len(fu) == 0:
-            return 0, np.zeros(self.n, dtype=np.int64)
-        keys = fu * self.n + fv
-        keys_ref = ray.put(keys)
-        indptr_ref = ray.put(indptr)
-        fall_ref = ray.put(fv)
-        nt = num_tasks or len(self.refs)
-        chunks = np.array_split(np.arange(len(fu)), nt)
-        futs = [_tri_partial.remote(fu[c], fv[c], indptr_ref, fall_ref,
-                                    keys_ref, self.n) for c in chunks if len(c)]
+        P = len(self.und_refs)
+        S = self._oriented_split("src")
+        D = self._oriented_split("dst")
+        if P == 1:
+            wparts = [[_wedge_split.remote(D[0], S[0], P, chunk_wedges)]]
+        else:
+            w = [_wedge_split.options(num_returns=P).remote(
+                D[p], S[p], P, chunk_wedges) for p in range(P)]
+            wparts = [[w[p][q] for p in range(P)] for q in range(P)]
+        futs = [_probe_count.remote(S[q], self.n, *wparts[q])
+                for q in range(P)]
         parts = ray.get(futs)
         total = sum(p[0] for p in parts)
         local = np.sum([p[1] for p in parts], axis=0).astype(np.int64) \
             if parts else np.zeros(self.n, dtype=np.int64)
         return int(total), local
 
+    def _oriented_split(self, key: str) -> list:
+        """Oriented (a<b) edge blocks hash-partitioned by ``key`` endpoint
+        (built from und_refs so each undirected edge appears exactly once)."""
+        P = len(self.und_refs)
+        cache = self.__dict__.setdefault("_oriented_cache", {})
+        if key not in cache:
+            splits = [_orient_split.options(num_returns=P if P > 1 else 1)
+                      .remote(r, P, key) for r in self.und_refs]
+            if P == 1:
+                cache[key] = [_merge_concat.remote(*splits)]
+            else:
+                cache[key] = [_merge_concat.remote(*[sp[p] for sp in splits])
+                              for p in range(P)]
+        return cache[key]
+
     def reciprocal_counts(self):
         """(out_excl_self, in_excl_self, |out∩in|) per node
-        (reciprocity.rs:66-85). Edge-key set broadcast once; O(E) — same
-        scale caveat as triangles."""
+        (reciprocity.rs:66-85).
+
+        Partitioned probe (round-1 fix): edges are re-bucketed by hash(dst)
+        so the reverse-edge probe (v, u) lands in the partition that owns
+        src=v's keys; each probe task holds only its partition's sorted
+        keys — no O(E) driver pull or key broadcast."""
         assert self.n < (1 << 31)
-        tbls = ray.get(list(self.refs))
-        if tbls:
-            s = np.concatenate([_np(t["src"]) for t in tbls])
-            d = np.concatenate([_np(t["dst"]) for t in tbls])
+        P = len(self.refs)
+        # out/in degree partials excluding self-loops (distributed bincounts)
+        parts = ray.get([_degree_noself.remote(r, self.n) for r in self.refs])
+        out_c = np.sum([p[0] for p in parts], axis=0).astype(np.int64)
+        in_c = np.sum([p[1] for p in parts], axis=0).astype(np.int64)
+        # probe-side: directed edges keyed by src partition == self.refs is
+        # dst-partitioned, so build src-partitioned blocks once
+        srcp = _shuffle_pairs(self.refs, P, key="src")
+        # request-side: bucket by hash(dst) = owner of the reversed key
+        if P == 1:
+            reqs = [[_req_split.remote(self.refs[0], P)]]
         else:
-            s = d = np.empty(0, np.int64)
-        m = s != d
-        out_c = np.bincount(s[m], minlength=self.n)
-        in_c = np.bincount(d[m], minlength=self.n)
-        keys = np.sort(s * self.n + d)
-        keys_ref = ray.put(keys)
-        parts = ray.get([_recip_partial.remote(r, keys_ref, self.n) for r in self.refs])
-        inter = np.sum([p[1] for p in parts], axis=0).astype(np.int64) if parts \
-            else np.zeros(self.n, dtype=np.int64)
-        return out_c.astype(np.int64), in_c.astype(np.int64), inter
+            rq = [_req_split.options(num_returns=P).remote(r, P)
+                  for r in self.refs]
+            reqs = [[rq[p][q] for p in range(len(self.refs))]
+                    for q in range(P)]
+        futs = [_recip_probe.remote(srcp[q], self.n, *reqs[q])
+                for q in range(P)]
+        inter = np.sum(ray.get(futs), axis=0).astype(np.int64)
+        return out_c, in_c, inter
 
     def hits(self, iter_count=20, tol=0.01):
         """Reference HITS (hits.rs:53-158): sum-normalized each iteration
