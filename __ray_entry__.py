@@ -341,6 +341,110 @@ def _min_src_user(gf) -> int:
     return int(best)
 
 
+# ------------------------------------------------------- property filters
+
+def _q_user_filtered_out_degree(sf_dir: str) -> pa.Table:
+    """Exploded-edge property filter (filter/mod.rs:13-21 composed with And):
+    keep only purchase events with w > 50, then distinct-dst out-degree."""
+    from raphtory_ray.graph.filter import Prop
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    from raphtory_ray.state.shards import BspGraph
+    gf = user_graph(sf_dir, keep_type=True)
+    gf2 = gf.filter_exploded_edges(
+        (Prop("etype") == "purchase") & (Prop("w") > 50.0))
+    g = BspGraph.from_graph(gf2)
+    deg = g.out_degree
+    vids = np.arange(gf2.n, dtype=np.int64)
+    return _nodestate_table(vids, deg, "out_degree", pa.int64(), keep=deg > 0)
+
+
+def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
+    """Edge-level filter, LATEST semantics (edge_property_filtered_graph.rs:
+    an edge passes iff its latest event's property matches; ALL its events
+    survive). Returns per-edge event counts of the surviving edges."""
+    from raphtory_ray.graph.filter import Prop
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir).filter_edges(Prop("w") > 50.0, "latest")
+    t = pa.concat_tables(
+        gf.edges.select_columns(["src", "dst"])
+        .iter_batches(batch_format="pyarrow"))
+    import pandas as pd
+    df = t.to_pandas().groupby(["src", "dst"]).size().reset_index(
+        name="n_events")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _q_user_node_filter(sf_dir: str) -> pa.Table:
+    """Node filter (node_filtered_graph.rs): induced subgraph on nodes whose
+    node_type metadata is 'even'; distinct surviving (src, dst) edges."""
+    from raphtory_ray.graph.filter import Field
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    vids = np.arange(gf.n, dtype=np.int64)
+    gf.vertices = pa.table({
+        "vid": pa.array(vids, pa.int64()),
+        "gid": pa.array([f"user{v}" for v in vids], pa.string()),
+        "node_type": pa.array(np.where(vids % 2 == 0, "even", "odd"))})
+    sub = gf.filter_nodes(Field("node_type") == "even")
+    t = pa.concat_tables(
+        sub.edges.select_columns(["src", "dst"])
+        .iter_batches(batch_format="pyarrow"))
+    import pandas as pd
+    df = t.to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ----------------------------------------------------- community detection
+
+def _q_user_louvain(sf_dir: str) -> pa.Table:
+    """Louvain communities over the user graph (louvain.rs:27-81),
+    weight = latest event value per directed edge. Labels relabeled to each
+    community's min member vid (the reference's labels are arbitrary —
+    louvain.rs:47 shuffles). No SQL oracle (iterative local optimum);
+    invariants covered by tests/test_louvain.py."""
+    from raphtory_ray.algorithms.louvain import louvain, modularity
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    com = louvain(gf, 1.0, weight_col="w", seed=42)
+    q = modularity(gf, com, 1.0, weight_col="w")
+    q0 = modularity(gf, np.arange(gf.n, dtype=np.int64), 1.0,
+                    weight_col="w")
+    assert q >= q0 - 1e-12, "louvain must not lose to singletons"
+    # canonical-ish labels: min member vid per community
+    minv = np.full(int(com.max()) + 1, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(minv, com, np.arange(gf.n, dtype=np.int64))
+    from raphtory_ray.state.shards import BspGraph
+    active = BspGraph.from_graph(gf).both_degree > 0
+    vids = np.flatnonzero(active)
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "community": pa.array(minv[com[vids]], pa.int64())})
+
+
+def _q_user_modularity_singletons(sf_dir: str) -> pa.Table:
+    """Modularity of the all-singletons partition (modularity.rs value():
+    e/m2 − ΣK²/m2², k/m2 excluding self-loops, e = self-loop weight only).
+    Weights = latest event value per directed edge, quantized to cents
+    identically in the SQL oracle so partial-sum order can't perturb
+    low-order float bits."""
+    import pyarrow.compute as pc
+    from raphtory_ray.algorithms.louvain import modularity
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+
+    def cents(b: pa.Table) -> pa.Table:
+        w = pc.floor(pc.add(pc.multiply(b["w"], pa.scalar(100.0)),
+                            pa.scalar(0.5)))
+        return b.set_column(b.schema.get_field_index("w"), "w", w)
+
+    gf = GraphFrame(gf.edges.map_batches(cents, batch_format="pyarrow",
+                                         zero_copy_batch=True).materialize(),
+                    gf.n)
+    q = modularity(gf, np.arange(gf.n, dtype=np.int64), 1.0, weight_col="w")
+    return pa.table({"modularity": pa.array([q], pa.float64())})
+
+
 # -------------------------------------------------------------- doc queries
 
 def _q_doc_tokens(sf_dir: str):
@@ -538,6 +642,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_balance": _q_user_balance,
         "user_rolling_edge_counts": _q_user_rolling_counts,
         "user_temporal_reach": _q_user_temporal_reach,
+        "user_filtered_out_degree": _q_user_filtered_out_degree,
+        "user_edge_latest_filter": _q_user_edge_latest_filter,
+        "user_node_filter": _q_user_node_filter,
+        "user_louvain": _q_user_louvain,
+        "user_modularity_singletons": _q_user_modularity_singletons,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
         "doc_quality_stats": _q_doc_quality,
@@ -745,6 +854,58 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_filtered_out_degree": f"""
+WITH {_USER_EDGES},
+typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
+         event_type AS etype, value AS ew
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL
+),
+filt AS (SELECT * FROM typed WHERE etype = 'purchase' AND ew > 50.0)
+SELECT src AS vid, COUNT(DISTINCT dst)::BIGINT AS out_degree
+FROM filt GROUP BY src
+""",
+        "user_edge_latest_filter": f"""
+WITH {_USER_EDGES},
+latest AS (
+  SELECT src, dst, w,
+         ROW_NUMBER() OVER (PARTITION BY src, dst
+                            ORDER BY t DESC, event_id DESC) AS rn
+  FROM user_edges
+),
+pass AS (SELECT src, dst FROM latest WHERE rn = 1 AND w > 50.0)
+SELECT e.src, e.dst, COUNT(*) AS n_events
+FROM user_edges e JOIN pass p ON e.src = p.src AND e.dst = p.dst
+GROUP BY e.src, e.dst
+""",
+        "user_node_filter": f"""
+WITH {_USER_EDGES}
+SELECT DISTINCT src, dst FROM user_edges
+WHERE src % 2 = 0 AND dst % 2 = 0
+""",
+        "user_modularity_singletons": f"""
+WITH {_USER_EDGES},
+latest AS (
+  SELECT src, dst, w,
+         ROW_NUMBER() OVER (PARTITION BY src, dst
+                            ORDER BY t DESC, event_id DESC) AS rn
+  FROM user_edges
+),
+ew AS (SELECT src, dst, FLOOR(w * 100.0 + 0.5) AS c FROM latest WHERE rn = 1),
+nonself AS (SELECT * FROM ew WHERE src <> dst),
+selfs AS (SELECT COALESCE(SUM(c), 0) AS s FROM ew WHERE src = dst),
+deg AS (
+  SELECT node, SUM(c) AS k FROM (
+    SELECT src AS node, c FROM nonself
+    UNION ALL
+    SELECT dst AS node, c FROM nonself
+  ) GROUP BY node
+),
+m AS (SELECT SUM(k) AS m2, SUM(k * k) AS kk FROM deg)
+SELECT (SELECT s FROM selfs) / m2 - kk / (m2 * m2) AS modularity FROM m
 """,
         "user_balance": f"""
 WITH {_USER_EDGES},

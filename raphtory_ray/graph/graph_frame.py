@@ -2,11 +2,22 @@
 dimension table, with lazily-composed views.
 
 Mirrors the reference's view algebra (SURVEY §1.4): a view never
-materializes; ``window``/``layer``/``subgraph`` return a new GraphFrame whose
-edge Dataset has an extra vectorized filter stage. The temporal model is the
-reference's event log: one row per (src, dst, t, event_id[, layer]) edge
-event (timeindex.rs:28 EventTime = (t, event_id); half-open windows
+materializes; ``window``/``layer``/``subgraph``/``filter_*`` return a new
+GraphFrame whose edge Dataset has an extra vectorized filter stage. The
+temporal model is the reference's event log: one row per
+(src, dst, t, event_id[, layer, ...properties]) edge event
+(timeindex.rs:28 EventTime = (t, event_id); half-open windows
 time.rs:113-117).
+
+Property model (round-2, Prop system parity — prop_enum.rs:141-157,
+property_addition_ops.rs:18-121):
+- temporal EDGE properties = extra columns on the edge-event Dataset (the
+  event table IS the exploded form; an event row's property columns are
+  that event's property values);
+- NODE metadata = extra columns on the ``vertices`` dimension table
+  (gid, node_type, ...);
+- temporal NODE properties = the optional ``node_events`` Dataset
+  (vid, t, event_id, ...columns).
 """
 
 from __future__ import annotations
@@ -16,26 +27,47 @@ from typing import Sequence
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+
+from raphtory_ray.graph.filter import FilterExpr
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 class GraphFrame:
     """edges: ray.data.Dataset with at least (src:int64, dst:int64) and
-    optionally (t:int64, event_id:int64, layer:string, w:float64).
+    optionally (t:int64, event_id:int64, layer:string, w:float64, + any
+    temporal property columns).
     n: number of vertices (dense vid space [0, n)).
-    vertices: optional pyarrow.Table (vid:int64, gid:string) dimension table.
+    vertices: optional pyarrow.Table (vid:int64, gid:string, + metadata
+    columns such as node_type).
+    node_events: optional ray.data.Dataset (vid, t, event_id, + temporal
+    node property columns).
     """
 
-    def __init__(self, edges, n: int, vertices: pa.Table | None = None):
+    def __init__(self, edges, n: int, vertices: pa.Table | None = None,
+                 node_events=None):
         self.edges = edges
         self.n = int(n)
         self.vertices = vertices
+        self.node_events = node_events
         self.start = None      # window bounds when this is a windowed view
         self.end = None
 
+    def _derive(self, edges) -> "GraphFrame":
+        g = GraphFrame(edges, self.n, self.vertices, self.node_events)
+        g.start, g.end = self.start, self.end
+        return g
+
     # ------------------------------------------------------------------ views
     def window(self, start: int | None, end: int | None) -> "GraphFrame":
-        """Events with start <= t < end (half-open, time.rs:113-117)."""
-        lo, hi = start, end
+        """Events with start <= t < end (half-open, time.rs:113-117).
+        Nested windows INTERSECT with the parent's bounds (reference nested
+        views never widen)."""
+        lo = start if self.start is None else \
+            (self.start if start is None else max(start, self.start))
+        hi = end if self.end is None else \
+            (self.end if end is None else min(end, self.end))
 
         def filt(b: pa.Table) -> pa.Table:
             m = None
@@ -48,7 +80,7 @@ class GraphFrame:
 
         g = GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
                                               zero_copy_batch=True),
-                       self.n, self.vertices)
+                       self.n, self.vertices, self.node_events)
         # reference views expose their bounds (GraphView.start/end, time.rs)
         g.start, g.end = lo, hi
         return g
@@ -71,9 +103,8 @@ class GraphFrame:
         def filt(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b["layer"], value_set=lset))
 
-        return GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
-                                                 zero_copy_batch=True),
-                          self.n, self.vertices)
+        return self._derive(self.edges.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True))
 
     def subgraph(self, vids) -> "GraphFrame":
         """Induced subgraph on a vertex set: keep events with both endpoints
@@ -87,17 +118,64 @@ class GraphFrame:
             d = b["dst"].to_numpy(zero_copy_only=False)
             return b.filter(pa.array(mask[s] & mask[d]))
 
-        return GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
-                                                 zero_copy_batch=True),
-                          self.n, self.vertices)
+        return self._derive(self.edges.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True))
 
-    def filter_edges(self, expr) -> "GraphFrame":
-        """Property filter view: ``expr`` is a pyarrow.compute expression
-        evaluated per batch (filter/mod.rs algebra → Arrow compute)."""
-        return GraphFrame(
-            self.edges.map_batches(lambda b: b.filter(expr), batch_format="pyarrow",
-                                   zero_copy_batch=True),
-            self.n, self.vertices)
+    # ------------------------------------------------------ property filters
+    def filter_exploded_edges(self, f) -> "GraphFrame":
+        """Per-EVENT property filter (exploded_edge_property_filter.rs):
+        each edge event keeps/drops independently. ``f`` is a FilterExpr or
+        a raw pyarrow.compute expression."""
+        if isinstance(f, FilterExpr):
+            def filt(b: pa.Table) -> pa.Table:
+                return b.filter(f.mask(b))
+        else:
+            def filt(b: pa.Table) -> pa.Table:
+                return b.filter(f)
+        return self._derive(self.edges.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True))
+
+    def filter_edges(self, f, mode: str = "latest") -> "GraphFrame":
+        """Per-EDGE property filter (edge_property_filtered_graph.rs): an
+        edge passes if its property value matches, where the edge's value
+        is taken from its LATEST event ("latest", reference default
+        semantics — properties() on an edge resolves temporal props to the
+        last value), or if ANY / ALL of its events match.
+
+        Distributed: one explicit hash shuffle of the event table on
+        (src, dst) — each partition reduces its edges' events, applies the
+        mask, and emits only the passing edges' events. No driver-side key
+        set. Raw pa.compute expressions keep the round-1 per-event behavior
+        (legacy hook) — use FilterExpr for edge-level semantics."""
+        if not isinstance(f, FilterExpr):
+            return self.filter_exploded_edges(f)
+        assert mode in ("latest", "any", "all")
+        mat = self.edges.materialize()
+        sch = mat.schema()
+        schema = pa.schema(list(zip(sch.names, sch.types)))
+        refs = mat.to_arrow_refs()
+        P = max(4, min(32, len(refs) * 2))
+        splits = [_edgefilter_split.options(num_returns=P if P > 1 else 1)
+                  .remote(r, P, schema) for r in refs]
+
+        def piece(row, q):
+            return row[q] if P > 1 else row
+
+        out = [_edgefilter_part.remote(f, mode, schema,
+                                       *[piece(r, q) for r in splits])
+               for q in range(P)]
+        import ray.data as rd
+        return self._derive(rd.from_arrow_refs(out))
+
+    def filter_nodes(self, f) -> "GraphFrame":
+        """Node filter (node_filtered_graph.rs): evaluate the FilterExpr on
+        the vertex dimension table (gid, node_type, metadata columns) and
+        take the induced subgraph of passing vids."""
+        assert self.vertices is not None, "no vertex dimension table"
+        mask = f.mask(self.vertices) if isinstance(f, FilterExpr) else f
+        vids = self.vertices["vid"].filter(mask).to_numpy(
+            zero_copy_only=False)
+        return self.subgraph(vids)
 
     # ------------------------------------------------------------ accessors
     def gids_for(self, vids: np.ndarray) -> pa.Array:
@@ -112,3 +190,205 @@ class GraphFrame:
 
     def count_temporal_edges(self) -> int:
         return self.edges.count()
+
+    def earliest_time(self) -> int | None:
+        """Smallest event time in the view (GraphView.earliest_time,
+        time.rs) — a streaming Dataset min."""
+        return self.edges.min("t")
+
+    def latest_time(self) -> int | None:
+        return self.edges.max("t")
+
+    def node_earliest_latest(self) -> tuple[np.ndarray, np.ndarray]:
+        """(earliest, latest) event time per vid, over events touching the
+        node as either endpoint (node.rs:66-238 history bounds). Per-block
+        partials inside map_batches; O(V) driver combine."""
+        INT64_MAX = np.iinfo(np.int64).max
+        n = self.n
+
+        def partial(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            t = b["t"].to_numpy(zero_copy_only=False)
+            lo = np.full(n, INT64_MAX, dtype=np.int64)
+            hi = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(lo, s, t)
+            np.minimum.at(lo, d, t)
+            np.maximum.at(hi, s, t)
+            np.maximum.at(hi, d, t)
+            return pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+
+        lo = np.full(n, INT64_MAX, dtype=np.int64)
+        hi = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        for b in (self.edges.select_columns(["src", "dst", "t"])
+                  .map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .iter_batches(batch_format="pyarrow")):
+            np.minimum(lo, b["lo"].to_numpy(zero_copy_only=False), out=lo)
+            np.maximum(hi, b["hi"].to_numpy(zero_copy_only=False), out=hi)
+        return lo, hi
+
+    def node_history(self, vid: int) -> np.ndarray:
+        """Sorted event times touching the node (node.rs history())."""
+        def filt(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return b.select(["t"]).filter(pa.array((s == vid) | (d == vid)))
+
+        ts = [t["t"].to_numpy(zero_copy_only=False)
+              for t in self.edges.map_batches(filt, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow") if t.num_rows]
+        return np.sort(np.concatenate(ts)) if ts else np.empty(0, np.int64)
+
+    def edge_history(self, src: int, dst: int) -> np.ndarray:
+        """Sorted event times of one edge (edge.rs history())."""
+        def filt(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return b.select(["t"]).filter(pa.array((s == src) & (d == dst)))
+
+        ts = [t["t"].to_numpy(zero_copy_only=False)
+              for t in self.edges.map_batches(filt, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow") if t.num_rows]
+        return np.sort(np.concatenate(ts)) if ts else np.empty(0, np.int64)
+
+    def is_active(self, vid: int) -> bool:
+        """Does the node have any event in this view (node.rs is_active)."""
+        return len(self.node_history(vid)) > 0
+
+    def explode(self):
+        """The exploded edge view IS the event Dataset (edge.rs explode():
+        one row per (edge, t, layer) event — exactly the storage model)."""
+        return self.edges
+
+    def explode_layers(self) -> dict:
+        """One GraphFrame per layer (edge.rs explode_layers())."""
+        layers = set()
+        for b in (self.edges.select_columns(["layer"])
+                  .iter_batches(batch_format="pyarrow")):
+            layers.update(pc.unique(b["layer"].combine_chunks()).to_pylist())
+        return {lay: self.layer(lay) for lay in sorted(layers)}
+
+    # ----------------------------------------------------- node properties
+    def node_metadata(self, name: str) -> pa.Array:
+        """Constant node property column (metadata() accessor)."""
+        assert self.vertices is not None and name in self.vertices.column_names
+        return self.vertices[name]
+
+    def node_property_history(self, name: str, vid: int) -> pa.Table:
+        """(t, value) history of a temporal node property
+        (properties().temporal() accessor)."""
+        assert self.node_events is not None, "no temporal node properties"
+
+        def filt(b: pa.Table) -> pa.Table:
+            v = b["vid"].to_numpy(zero_copy_only=False)
+            return b.select(["t", name]).filter(pa.array(v == vid))
+
+        parts = [t for t in self.node_events.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow") if t.num_rows]
+        if not parts:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             name: pa.array([], pa.string())})
+        out = pa.concat_tables(parts)
+        return out.sort_by("t")
+
+    def latest_node_properties(self) -> pa.Table:
+        """Per-vid latest value of every temporal node property column —
+        one groupby-free pass (sort within partitions after an explicit
+        hash shuffle is unnecessary here: per-block keep-latest partials
+        then a driver keep-latest merge, O(V) driver)."""
+        assert self.node_events is not None
+
+        def partial(b: pa.Table) -> pa.Table:
+            v = b["vid"].to_numpy(zero_copy_only=False)
+            t = b["t"].to_numpy(zero_copy_only=False)
+            e = b["event_id"].to_numpy(zero_copy_only=False) \
+                if "event_id" in b.column_names else np.zeros(len(v), np.int64)
+            order = np.lexsort((e, t, v))
+            v_s = v[order]
+            last = np.r_[v_s[1:] != v_s[:-1], True]
+            return b.take(pa.array(order[last]))
+
+        parts = [t for t in self.node_events.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow") if t.num_rows]
+        if not parts:
+            return pa.table({"vid": pa.array([], pa.int64())})
+        allp = pa.concat_tables(parts)
+        v = allp["vid"].to_numpy(zero_copy_only=False)
+        t = allp["t"].to_numpy(zero_copy_only=False)
+        e = allp["event_id"].to_numpy(zero_copy_only=False) \
+            if "event_id" in allp.column_names else np.zeros(len(v), np.int64)
+        order = np.lexsort((e, t, v))
+        v_s = v[order]
+        last = np.r_[v_s[1:] != v_s[:-1], True]
+        return allp.take(pa.array(order[last]))
+
+
+# ------------------------------------------------- edge-level filter tasks
+
+@ray.remote
+def _edgefilter_split(block: pa.Table, P: int, schema: pa.Schema):
+    """Route edge events by hash(src, dst) so each edge's full event
+    history meets in one partition. Degenerate (zero-row / schema-less)
+    blocks — e.g. from empty groupby partitions — yield empty slices of
+    the unified schema."""
+    if block.num_rows == 0 or "src" not in block.column_names:
+        empty = schema.empty_table()
+        return tuple([empty] * P) if P > 1 else empty
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    key = (s.astype(np.uint64) * _GOLD) ^ d.astype(np.uint64)
+    bk = (((key * _GOLD) >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(bk, kind="stable")
+    b_s = bk[order]
+    bounds = np.searchsorted(b_s, np.arange(P + 1))
+    t = block.take(pa.array(order))
+    out = [t.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+           for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _edgefilter_part(f: FilterExpr, mode: str, schema: pa.Schema,
+                     *pieces: pa.Table) -> pa.Table:
+    """One (src,dst) partition: group events per edge (+layer if present),
+    resolve the filter at edge level (latest / any / all), emit only the
+    passing edges' events."""
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return schema.empty_table()
+    tbl = pa.concat_tables(good)
+    s = tbl["src"].to_numpy(zero_copy_only=False)
+    d = tbl["dst"].to_numpy(zero_copy_only=False)
+    t = tbl["t"].to_numpy(zero_copy_only=False) \
+        if "t" in tbl.column_names else np.zeros(len(s), np.int64)
+    e = tbl["event_id"].to_numpy(zero_copy_only=False) \
+        if "event_id" in tbl.column_names else np.zeros(len(s), np.int64)
+    if "layer" in tbl.column_names:
+        lay = pc.dictionary_encode(tbl["layer"].combine_chunks())\
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        lay = np.zeros(len(s), np.int64)
+    order = np.lexsort((e, t, lay, d, s))
+    key_chg = np.r_[True, (s[order][1:] != s[order][:-1])
+                    | (d[order][1:] != d[order][:-1])
+                    | (lay[order][1:] != lay[order][:-1])]
+    gidx = np.cumsum(key_chg) - 1
+    row_mask = f.mask(tbl).to_numpy(zero_copy_only=False)[order]
+    ngroups = int(gidx[-1]) + 1 if len(gidx) else 0
+    if mode == "latest":
+        last = np.r_[key_chg[1:], True]
+        edge_pass = np.zeros(ngroups, dtype=bool)
+        edge_pass[gidx[last]] = row_mask[last]
+    elif mode == "any":
+        edge_pass = np.zeros(ngroups, dtype=bool)
+        np.logical_or.at(edge_pass, gidx, row_mask)
+    else:                                   # all
+        edge_pass = np.ones(ngroups, dtype=bool)
+        np.logical_and.at(edge_pass, gidx, row_mask)
+    keep = edge_pass[gidx]
+    return tbl.take(pa.array(order[keep]))

