@@ -717,6 +717,63 @@ comp AS (SELECT node AS vid, MIN(label) AS component FROM lab GROUP BY node)"""
 _SRC0 = "(SELECT MIN(LEAST(src, dst)) FROM dedup)"
 
 
+# Corpus oracle blocks: DuckDB re-derives the corpus pipeline (sha256, gid,
+# import extraction, repo rollup) straight from the corpus parquet, so the
+# ingest path is value-checked end-to-end, not just row-counted. The corpus
+# location depends on scale factor; the driver gates at sf0.01
+# (GRAFT_ORACLE_SF_DIR overrides for local checks at other sfs).
+
+def _oracle_corpus_glob() -> str:
+    import os
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf = _corpus_sf(sf_dir)
+    from raphtory_ray.sources.corpus import corpus_path, n_files_for_sf
+    path = corpus_path(f"n{n_files_for_sf(sf)}")
+    try:
+        from raphtory_ray.sources.corpus import ensure_corpus
+        ensure_corpus(sf=sf)          # cached; generates on first use
+    except Exception:
+        pass                          # queries() will have generated it
+    return os.path.join(path, "*.parquet")
+
+
+# one regex per language (mirrors stages/extract.py _PATTERNS); DuckDB
+# single-quoted strings keep backslashes literal
+_CORPUS_PATS = [
+    r"^from org(\d+)_repo(\d+)\.pkg(\d+)\.mod_(\d+) import",
+    r"^use org(\d+)_repo(\d+)::pkg(\d+)::mod_(\d+)::",
+    r'from "@org(\d+)/repo(\d+)/pkg(\d+)/mod_(\d+)";',
+    r'^import m\d+ "example\.com/org(\d+)/repo(\d+)/pkg(\d+)/mod_(\d+)"',
+]
+
+
+def _corpus_edges_sql(glob: str) -> str:
+    """CTE chain corpus → lines → imp → cedges (src_repo, src_gid,
+    dst_repo, dst_gid), one row per import event."""
+    pat_sql = "\n    UNION ALL\n".join(
+        f"""    SELECT repo, gid,
+      regexp_extract(line, '{p}', ['o', 'r', 'p', 'm']) AS l
+    FROM lines WHERE regexp_matches(line, '{p}')"""
+        for p in _CORPUS_PATS)
+    return f"""corpus AS (SELECT * FROM read_parquet('{glob}')),
+lines AS (
+  SELECT repo,
+         repo || '/' || regexp_replace(path, '\\.[a-z]+$', '') AS gid,
+         unnest(str_split(content, chr(10))) AS line
+  FROM corpus
+),
+imp AS (
+{pat_sql}
+),
+cedges AS (
+  SELECT repo AS src_repo, gid AS src_gid,
+         'org' || l.o || '/repo' || l.r AS dst_repo,
+         'org' || l.o || '/repo' || l.r || '/src/pkg' || l.p || '/mod_' || l.m
+           AS dst_gid
+  FROM imp
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -994,4 +1051,101 @@ ranked AS (SELECT qid, nid,
 SELECT qid AS query_id, nid AS neighbor_id, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {KNN_K}
 """,
+        **_corpus_oracle_sql(),
     }
+
+
+def _corpus_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the corpus pipeline, reading the SAME deterministic
+    corpus parquet the Ray queries generate (sha256, hex-time parse, import
+    regex extraction, repo rollup, WCC label closure — all re-derived in
+    SQL). Isolated from oracle_sql's literal so a corpus-path failure can't
+    break the non-corpus oracles."""
+    try:
+        glob = _oracle_corpus_glob()
+    except Exception:
+        return {}
+    ce = _corpus_edges_sql(glob)
+    return {
+        "corpus_files": f"""
+WITH corpus AS (SELECT * FROM read_parquet('{glob}'))
+SELECT repo || '/' || regexp_replace(path, '\\.[a-z]+$', '') AS gid,
+       sha256(content) AS sha256,
+       CAST(concat('0x', substr(commit, 1, 12)) AS BIGINT) AS t,
+       octet_length(encode(content)) AS n_bytes
+FROM corpus
+""",
+        "corpus_repo_edges": f"""
+WITH {ce}
+SELECT src_repo, dst_repo, COUNT(*)::BIGINT AS n_imports
+FROM cedges WHERE src_repo <> dst_repo
+GROUP BY src_repo, dst_repo
+""",
+        "corpus_triangle_count": f"""
+WITH {ce},
+dedup AS (SELECT DISTINCT src_gid AS src, dst_gid AS dst FROM cedges),
+oriented AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dedup WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.b = e2.a
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT COUNT(*)::BIGINT AS n_triangles FROM tri
+""",
+        "corpus_wcc": _corpus_wcc_sql(ce),
+    }
+
+
+def _corpus_wcc_sql(ce: str, rounds: int = 12) -> str:
+    """WCC labels via UNROLLED min-label propagation + pointer jumping
+    (label'(u) = min(label(u), min_nbr label(v), label(label(u)))) —
+    converges in O(log diameter) rounds (measured: 7 at sf0.01; 12 gives
+    margin and post-fixpoint rounds are no-ops). The naive recursive-CTE
+    label closure takes >200 s at 20k nodes on DuckDB 1.0.
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0 otherwise
+    INLINES each reference, and with 3 self-references per round the
+    expansion is 3^rounds — the binder re-globs the corpus parquet half a
+    million times and dies with a spurious "No files found"."""
+    steps = []
+    prev = "lab0"
+    for r in range(1, rounds + 1):
+        cur = f"lab{r}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT und.u AS node, p.label FROM {prev} p JOIN und ON p.node = und.v
+    UNION ALL
+    SELECT a.node, b.label FROM {prev} a JOIN {prev} b ON a.label = b.node
+  ) GROUP BY node
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {ce},
+verts AS MATERIALIZED (
+  SELECT gid, ROW_NUMBER() OVER (ORDER BY gid) - 1 AS vid
+  FROM (SELECT DISTINCT gid FROM lines)
+),
+ed AS (
+  SELECT sv.vid AS src, dv.vid AS dst
+  FROM (SELECT DISTINCT src_gid, dst_gid FROM cedges) e
+  JOIN verts sv ON e.src_gid = sv.gid
+  JOIN verts dv ON e.dst_gid = dv.gid
+),
+dedup AS (SELECT DISTINCT src, dst FROM ed),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM dedup
+  UNION
+  SELECT dst AS u, src AS v FROM dedup
+),
+lab0 AS MATERIALIZED (SELECT vid AS node, vid AS label FROM verts),
+{chain}
+SELECT v.vid, v.gid, COALESCE(l.label, v.vid) AS component
+FROM verts v LEFT JOIN {prev} l ON v.vid = l.node
+"""
