@@ -394,6 +394,39 @@ def _q_user_node_filter(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# ------------------------------------------------------------ motif queries
+
+def _q_user_motifs(sf_dir: str) -> pa.Table:
+    """Global temporal three-node motif counts (Paranjape et al.;
+    global_temporal_three_node_motifs.rs:272-330) over the user graph at
+    delta = span//4. No SQL oracle (sliding-window counters); golden
+    conformance vs the reference's 40-vector lives in tests/test_motifs.py."""
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.algorithms.motifs import global_temporal_three_node_motif
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    counts = global_temporal_three_node_motif(gf, max(1, (hi - lo) // 4))
+    return pa.table({"motif_id": pa.array(np.arange(40, dtype=np.int64)),
+                     "count": pa.array(counts, pa.int64())})
+
+
+def _q_user_rich_club(sf_dir: str) -> pa.Table:
+    """Temporal rich-club coefficient (temporal_rich_club_coefficient.rs:
+    59-117): k=3, rolling windows of span//4, persistence window_size=2."""
+    from raphtory_ray.algorithms.extra import rolling, _time_bounds
+    from raphtory_ray.algorithms.motifs import temporal_rich_club_coefficient
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    win = max(1, (hi - lo) // 4)
+    views = rolling(gf, window=win, step=win)
+    coef = temporal_rich_club_coefficient(gf, views, k=3, window_size=2)
+    return pa.table({"rich_club": pa.array([coef], pa.float64())})
+
+
 # ----------------------------------------------------- community detection
 
 def _q_user_louvain(sf_dir: str) -> pa.Table:
@@ -647,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_node_filter": _q_user_node_filter,
         "user_louvain": _q_user_louvain,
         "user_modularity_singletons": _q_user_modularity_singletons,
+        "user_motifs": _q_user_motifs,
+        "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
         "doc_quality_stats": _q_doc_quality,
@@ -942,6 +977,48 @@ GROUP BY e.src, e.dst
 WITH {_USER_EDGES}
 SELECT DISTINCT src, dst FROM user_edges
 WHERE src % 2 = 0 AND dst % 2 = 0
+""",
+        "user_rich_club": f"""
+WITH {_USER_EDGES},
+bounds AS (SELECT MIN(t) AS lo, MAX(t) + 1 AS hi FROM user_edges),
+params AS (SELECT lo, hi, GREATEST((hi - lo) // 4, 1) AS win FROM bounds),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM user_edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+club AS (SELECT node FROM deg WHERE d >= 3),
+nclub AS (SELECT COUNT(*) AS m FROM club),
+wins AS (
+  -- engine rolling(): window end e = min(lo+win*i, hi), start = e - win
+  -- (the last window SHIFTS back rather than truncating)
+  SELECT i, LEAST(lo + win * i, hi) - win AS t0,
+         LEAST(lo + win * i, hi) AS t1
+  FROM params, generate_series(1, 100000) AS gs(i)
+  WHERE lo + win * (i - 1) < hi
+),
+wedges AS (
+  SELECT w.i, LEAST(e.src, e.dst) AS a, GREATEST(e.src, e.dst) AS b
+  FROM user_edges e
+  JOIN wins w ON e.t >= w.t0 AND e.t < w.t1
+  JOIN club c1 ON LEAST(e.src, e.dst) = c1.node
+  JOIN club c2 ON GREATEST(e.src, e.dst) = c2.node
+  WHERE e.src <> e.dst
+  GROUP BY w.i, a, b
+),
+stable AS (
+  SELECT w1.i, COUNT(*) AS se
+  FROM wedges w1
+  JOIN wedges w2 ON w1.i + 1 = w2.i AND w1.a = w2.a AND w1.b = w2.b
+  GROUP BY w1.i
+)
+SELECT COALESCE(MAX(se * 2.0 / (m * (m - 1))), 0.0) AS rich_club
+FROM nclub LEFT JOIN stable ON TRUE
+GROUP BY m
 """,
         "user_modularity_singletons": f"""
 WITH {_USER_EDGES},

@@ -1,0 +1,551 @@
+"""Temporal three-node motifs (Paranjape et al., WSDM 2017) — global counts.
+
+Reference semantics: algorithms/motifs/global_temporal_three_node_motifs.rs
+(star_motif_count :27-78, twonode_motif_count :80-119, triangle_motifs
+:124-254, temporal_three_node_motif_multi :272-330) with the sliding-window
+counters of three_node_motifs.rs (TwoNodeCounter :28-61, StarCounter
+:85-177, TriangleCounter :223-341). Output: one 40-vector per delta —
+[0..24) star (pre/mid/post × 8 dir-triples, two-node-excluded),
+[24..32) two-node (counted from both endpoints, hence doubled — reference
+keeps the doubling), [32..40) triangle.
+
+Ray decomposition:
+- STAR phase: every non-self edge event is routed to BOTH endpoints'
+  owner partition (hash shuffle); each partition runs the per-node
+  counters over its nodes' time-sorted incident events. Driver combines
+  P fixed-size (len(deltas)×32) partials.
+- TRIANGLE phase: k-core(2) subgraph → triangle triples via the engine's
+  partitioned wedge semi-join (no global edge pull); pair event lists are
+  hash-partitioned by unordered pair; each triple partition receives ONLY
+  the pair lists its triangles touch (per-partition semi-join subsets) and
+  runs the reference TriangleCounter per triangle. Driver combines Q
+  (len(deltas)×8) partials.
+
+The per-entity counters are sequential sliding windows (as in the
+reference, which parallelises across nodes/edges exactly the same way);
+hot nodes/pairs bound a partition's work, matching the reference's
+per-node task granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+_DIRS2D = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def _map2d(d1, d2):
+    return 2 * d1 + d2
+
+
+def _map3d(d1, d2, d3):
+    return 4 * d1 + 2 * d2 + d3
+
+
+# ------------------------------------------------------------ counters
+
+def _two_node_count(dirs: np.ndarray, times: np.ndarray,
+                    delta: int) -> np.ndarray:
+    """TwoNodeCounter.execute (three_node_motifs.rs:28-61): 8 counts."""
+    c1 = np.zeros(2, np.int64)
+    c2 = np.zeros(4, np.int64)
+    c3 = np.zeros(8, np.int64)
+    start = 0
+    for j in range(len(dirs)):
+        tj = times[j]
+        while times[start] + delta < tj:
+            d = dirs[start]
+            c1[d] -= 1
+            c2[_map2d(d, 0)] -= c1[0]
+            c2[_map2d(d, 1)] -= c1[1]
+            start += 1
+        d = dirs[j]
+        for d1, d2 in _DIRS2D:
+            c3[_map3d(d1, d2, d)] += c2[_map2d(d1, d2)]
+        c2[_map2d(0, d)] += c1[0]
+        c2[_map2d(1, d)] += c1[1]
+        c1[d] += 1
+    return c3
+
+
+def _star_count(nbs: np.ndarray, dirs: np.ndarray, times: np.ndarray,
+                n: int, delta: int) -> np.ndarray:
+    """StarCounter.execute (three_node_motifs.rs:85-177): 24 counts
+    (pre | mid | post)."""
+    out = np.zeros(24, np.int64)
+    l = len(nbs)
+    if l < 3:
+        return out
+    pre_nodes = np.zeros(2 * n, np.int64)
+    post_nodes = np.zeros(2 * n, np.int64)
+    pre_sum = np.zeros(8, np.int64)
+    mid_sum = np.zeros(8, np.int64)
+    post_sum = np.zeros(8, np.int64)
+    count_pre = out[0:8]
+    count_mid = out[8:16]
+    count_post = out[16:24]
+    start = 0
+    end = 0
+    for j in range(l):
+        tj = times[j]
+        while start < l and times[start] + delta < tj:
+            # pop_pre
+            nb, d = nbs[start], dirs[start]
+            pre_nodes[d * n + nb] -= 1
+            pre_sum[_map2d(d, 0)] -= pre_nodes[0 * n + nb]
+            pre_sum[_map2d(d, 1)] -= pre_nodes[1 * n + nb]
+            start += 1
+        while end < l and times[end] <= tj + delta:
+            # push_post
+            nb, d = nbs[end], dirs[end]
+            post_sum[_map2d(0, d)] += post_nodes[0 * n + nb]
+            post_sum[_map2d(1, d)] += post_nodes[1 * n + nb]
+            post_nodes[d * n + nb] += 1
+            end += 1
+        nb, d = nbs[j], dirs[j]
+        # pop_post
+        post_nodes[d * n + nb] -= 1
+        post_sum[_map2d(d, 0)] -= post_nodes[0 * n + nb]
+        post_sum[_map2d(d, 1)] -= post_nodes[1 * n + nb]
+        # process_current
+        mid_sum[_map2d(0, d)] -= pre_nodes[0 * n + nb]
+        mid_sum[_map2d(1, d)] -= pre_nodes[1 * n + nb]
+        for d1, d2 in _DIRS2D:
+            count_pre[_map3d(d1, d2, d)] += pre_sum[_map2d(d1, d2)]
+            count_post[_map3d(d, d1, d2)] += post_sum[_map2d(d1, d2)]
+            count_mid[_map3d(d1, d, d2)] += mid_sum[_map2d(d1, d2)]
+        mid_sum[_map2d(d, 0)] += post_nodes[0 * n + nb]
+        mid_sum[_map2d(d, 1)] += post_nodes[1 * n + nb]
+        # push_pre
+        pre_sum[_map2d(0, d)] += pre_nodes[0 * n + nb]
+        pre_sum[_map2d(1, d)] += pre_nodes[1 * n + nb]
+        pre_nodes[d * n + nb] += 1
+    return out
+
+
+def _triangle_count8(uv: np.ndarray, uorv: np.ndarray, dirs: np.ndarray,
+                     times: np.ndarray, delta: int) -> np.ndarray:
+    """TriangleCounter.execute with n=2, nb=0 (three_node_motifs.rs:223-341,
+    as used by triangle_motifs with init_tri_count(2)): 8 counts."""
+    out = np.zeros(8, np.int64)
+    l = len(uv)
+    if l < 3:
+        return out
+    pre_nodes = np.zeros(8, np.int64)    # index 2*map2d(dir,uorv), nb=0
+    post_nodes = np.zeros(8, np.int64)
+    pre_sum = np.zeros(8, np.int64)
+    mid_sum = np.zeros(8, np.int64)
+    post_sum = np.zeros(8, np.int64)
+    start = 0
+    end = 0
+    for j in range(l):
+        tj = times[j]
+        while start < l and times[start] + delta < tj:
+            if not uv[start]:               # pop_pre (w-event)
+                s, d = uorv[start], dirs[start]
+                pre_nodes[2 * _map2d(d, s)] -= 1
+                pre_sum[_map3d(s, d, 0)] -= pre_nodes[2 * _map2d(0, 1 - s)]
+                pre_sum[_map3d(s, d, 1)] -= pre_nodes[2 * _map2d(1, 1 - s)]
+            start += 1
+        while end < l and times[end] <= tj + delta:
+            if not uv[end]:                 # push_post
+                s, d = uorv[end], dirs[end]
+                post_sum[_map3d(1 - s, 0, d)] += post_nodes[2 * _map2d(0, 1 - s)]
+                post_sum[_map3d(1 - s, 1, d)] += post_nodes[2 * _map2d(1, 1 - s)]
+                post_nodes[2 * _map2d(d, s)] += 1
+            end += 1
+        s, d = uorv[j], dirs[j]
+        if not uv[j]:                       # pop_post
+            post_nodes[2 * _map2d(d, s)] -= 1
+            post_sum[_map3d(s, d, 0)] -= post_nodes[2 * _map2d(0, 1 - s)]
+            post_sum[_map3d(s, d, 1)] -= post_nodes[2 * _map2d(1, 1 - s)]
+            # process_current (w-event)
+            mid_sum[_map3d(1 - s, 0, d)] -= pre_nodes[2 * _map2d(0, 1 - s)]
+            mid_sum[_map3d(1 - s, 1, d)] -= pre_nodes[2 * _map2d(1, 1 - s)]
+            mid_sum[_map3d(s, d, 0)] += post_nodes[2 * _map2d(0, 1 - s)]
+            mid_sum[_map3d(s, d, 1)] += post_nodes[2 * _map2d(1, 1 - s)]
+            # push_pre
+            pre_sum[_map3d(1 - s, 0, d)] += pre_nodes[2 * _map2d(0, 1 - s)]
+            pre_sum[_map3d(1 - s, 1, d)] += pre_nodes[2 * _map2d(1, 1 - s)]
+            pre_nodes[2 * _map2d(d, s)] += 1
+        else:                               # uv-edge event: count motifs
+            out[0] += mid_sum[_map3d(d, 0, 0)] + post_sum[_map3d(d, 0, 1)] \
+                + pre_sum[_map3d(1 - d, 1, 1)]
+            out[4] += mid_sum[_map3d(d, 1, 0)] + post_sum[_map3d(1 - d, 0, 1)] \
+                + pre_sum[_map3d(1 - d, 0, 1)]
+            out[2] += mid_sum[_map3d(1 - d, 0, 0)] + post_sum[_map3d(d, 1, 1)] \
+                + pre_sum[_map3d(1 - d, 1, 0)]
+            out[6] += mid_sum[_map3d(1 - d, 1, 0)] + post_sum[_map3d(1 - d, 1, 1)] \
+                + pre_sum[_map3d(1 - d, 0, 0)]
+            out[1] += mid_sum[_map3d(d, 0, 1)] + post_sum[_map3d(d, 0, 0)] \
+                + pre_sum[_map3d(d, 1, 1)]
+            out[5] += mid_sum[_map3d(d, 1, 1)] + post_sum[_map3d(1 - d, 0, 0)] \
+                + pre_sum[_map3d(d, 0, 1)]
+            out[3] += mid_sum[_map3d(1 - d, 0, 1)] + post_sum[_map3d(d, 1, 0)] \
+                + pre_sum[_map3d(d, 1, 0)]
+            out[7] += mid_sum[_map3d(1 - d, 1, 1)] + post_sum[_map3d(1 - d, 1, 0)] \
+                + pre_sum[_map3d(d, 0, 0)]
+    return out
+
+
+# --------------------------------------------------------------- star phase
+
+@ray.remote
+def _star_split(block: pa.Table, P: int):
+    """Route every non-self event to BOTH endpoints' owner partitions as
+    (node, nbr, dir, t, eid); dir=1 when node is the source."""
+    if block.num_rows == 0 or "src" not in block.column_names:
+        z = np.empty(0, np.int64)
+        e = (z, z, np.empty(0, np.int8), z, z)
+        return tuple([e] * P) if P > 1 else e
+    s = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = block["t"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        if "t" in block.column_names else np.zeros(len(s), np.int64)
+    e = block["event_id"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        if "event_id" in block.column_names else np.arange(len(s))
+    m = s != d
+    s, d, t, e = s[m], d[m], t[m], e[m]
+    node = np.concatenate([s, d])
+    nbr = np.concatenate([d, s])
+    dr = np.concatenate([np.ones(len(s), np.int8), np.zeros(len(s), np.int8)])
+    tt = np.concatenate([t, t])
+    ee = np.concatenate([e, e])
+    bk = ((node.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(P)
+    order = np.argsort(bk, kind="stable")
+    bounds = np.searchsorted(bk[order], np.arange(P + 1))
+    out = []
+    for p in range(P):
+        sl = order[bounds[p]:bounds[p + 1]]
+        out.append((node[sl], nbr[sl], dr[sl], tt[sl], ee[sl]))
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _star_partial(deltas: tuple, *pieces) -> np.ndarray:
+    """One node partition: per node, star + two-node counts over its
+    time-sorted incident events → (len(deltas), 32) partial."""
+    node = np.concatenate([p[0] for p in pieces])
+    res = np.zeros((len(deltas), 32), np.int64)
+    if len(node) == 0:
+        return res
+    nbr = np.concatenate([p[1] for p in pieces])
+    dr = np.concatenate([p[2] for p in pieces]).astype(np.int64)
+    t = np.concatenate([p[3] for p in pieces])
+    e = np.concatenate([p[4] for p in pieces])
+    order = np.lexsort((e, t, node))
+    node, nbr, dr, t, e = (node[order], nbr[order], dr[order],
+                           t[order], e[order])
+    starts = np.r_[0, np.flatnonzero(node[1:] != node[:-1]) + 1, len(node)]
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        nb_u, nb_idx = np.unique(nbr[lo:hi], return_inverse=True)
+        deg = len(nb_u)
+        dirs_u = dr[lo:hi]
+        times_u = t[lo:hi]
+        # two-node per neighbour (already (t,e)-sorted within the node)
+        two = np.zeros((len(deltas), 8), np.int64)
+        for k in range(deg):
+            sel = nb_idx == k
+            dd, tt2 = dirs_u[sel], times_u[sel]
+            for j, delta in enumerate(deltas):
+                two[j] += _two_node_count(dd, tt2, delta)
+        for j, delta in enumerate(deltas):
+            star24 = _star_count(nb_idx, dirs_u, times_u, deg, delta)
+            res[j, :24] += star24 - np.tile(two[j], 3)
+            res[j, 24:] += two[j]
+    return res
+
+
+# ----------------------------------------------------------- triangle phase
+
+@ray.remote
+def _pair_split(block: pa.Table, n: int, P: int, member_ref):
+    """Non-self events between k-core members, keyed by unordered pair
+    pk = min*n + max, routed by hash(pk)."""
+    if block.num_rows == 0 or "src" not in block.column_names:
+        z = np.empty(0, np.int64)
+        e = (z, np.empty(0, np.int8), z, z)
+        return tuple([e] * P) if P > 1 else e
+    member = ray.get(member_ref) if isinstance(member_ref, ray.ObjectRef) \
+        else member_ref
+    s = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = block["t"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        if "t" in block.column_names else np.zeros(len(s), np.int64)
+    e = block["event_id"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        if "event_id" in block.column_names else np.arange(len(s))
+    m = (s != d) & member[s] & member[d]
+    s, d, t, e = s[m], d[m], t[m], e[m]
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    pk = lo * n + hi
+    src_is_lo = (s == lo).astype(np.int8)
+    bk = ((pk.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(P)
+    order = np.argsort(bk, kind="stable")
+    bounds = np.searchsorted(bk[order], np.arange(P + 1))
+    out = []
+    for p in range(P):
+        sl = order[bounds[p]:bounds[p + 1]]
+        out.append((pk[sl], src_is_lo[sl], t[sl], e[sl]))
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _pair_merge(*pieces):
+    """Pair partition: pk-sorted event arrays (pk, src_is_lo, t, eid)."""
+    pk = np.concatenate([p[0] for p in pieces])
+    sl = np.concatenate([p[1] for p in pieces])
+    t = np.concatenate([p[2] for p in pieces])
+    e = np.concatenate([p[3] for p in pieces])
+    order = np.lexsort((e, t, pk))
+    return (pk[order], sl[order], t[order], e[order])
+
+
+@ray.remote
+def _pair_subset_n(pair_part, n: int, *triple_pieces):
+    """Ship ONLY the pair rows this triple partition's triangles touch
+    (sorted-key range selection — the distributed semi-join)."""
+    pk, sl, t, e = pair_part
+    if len(pk) == 0:
+        z = np.empty(0, np.int64)
+        return (z, z.astype(np.int8), z, z)
+    keys = []
+    for p in triple_pieces:
+        x, y, zz = p
+        if len(x):
+            keys += [x * n + y, x * n + zz, y * n + zz]
+    if not keys:
+        z = np.empty(0, np.int64)
+        return (z, z.astype(np.int8), z, z)
+    need = np.unique(np.concatenate(keys))
+    lo = np.searchsorted(pk, need, side="left")
+    hi = np.searchsorted(pk, need, side="right")
+    take = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+        if len(need) else np.empty(0, np.int64)
+    take = take.astype(np.int64)
+    return (pk[take], sl[take], t[take], e[take])
+
+
+@ray.remote
+def _triple_motifs(deltas: tuple, n: int, triples, *subsets) -> np.ndarray:
+    """One triple partition: merge its pair subsets, run the reference
+    TriangleCounter per triangle → (len(deltas), 8) partial."""
+    res = np.zeros((len(deltas), 8), np.int64)
+    x, y, z = triples
+    if len(x) == 0:
+        return res
+    pk = np.concatenate([s[0] for s in subsets])
+    sl = np.concatenate([s[1] for s in subsets]).astype(np.int64)
+    t = np.concatenate([s[2] for s in subsets])
+    e = np.concatenate([s[3] for s in subsets])
+    order = np.lexsort((e, t, pk))
+    pk, sl, t, e = pk[order], sl[order], t[order], e[order]
+    for i in range(len(x)):
+        xi, yi, zi = int(x[i]), int(y[i]), int(z[i])
+        # reference mapping: w = largest (z), u = middle (y), v = smallest
+        # (x) — triangle_motifs enumerates edge (u,v) with u>v and
+        # w ∈ common-larger-neighbours
+        kxy, kxz, kyz = xi * n + yi, xi * n + zi, yi * n + zi
+        segs = []
+        for key in (kxy, kxz, kyz):
+            a = np.searchsorted(pk, key, side="left")
+            b = np.searchsorted(pk, key, side="right")
+            if b > a:
+                segs.append(np.arange(a, b))
+        if not segs:
+            continue
+        idx = np.concatenate(segs)
+        idx = idx[np.lexsort((e[idx], t[idx]))]
+        kk, ss, tt = pk[idx], sl[idx], t[idx]
+        # derive (src, dst) of each event: src_is_lo → src = key//n
+        lo_n = kk // n
+        hi_n = kk % n
+        src = np.where(ss == 1, lo_n, hi_n)
+        dst = np.where(ss == 1, hi_n, lo_n)
+        uv = kk == kxy                       # events on the (u,v)=(y,x) edge
+        dirs = np.zeros(len(kk), np.int64)
+        uorv = np.zeros(len(kk), np.int64)
+        # w-events (src or dst == z); reference tagging
+        is_w_src = src == zi
+        is_w_dst = dst == zi
+        uorv[is_w_src] = np.where(dst[is_w_src] == yi, 0, 1)
+        dirs[is_w_src] = 0
+        uorv[is_w_dst] = np.where(src[is_w_dst] == yi, 0, 1)
+        dirs[is_w_dst] = 1
+        # uv events: src == u(y) → (uorv=1, dir=1); src == v(x) → (0, 0)
+        dirs[uv] = np.where(src[uv] == yi, 1, 0)
+        uorv[uv] = np.where(src[uv] == yi, 1, 0)
+        for j, delta in enumerate(deltas):
+            res[j] += _triangle_count8(uv, uorv, dirs, tt, delta)
+    return res
+
+
+# ------------------------------------------------------------- entry points
+
+def temporal_three_node_motif_multi(gf, deltas) -> np.ndarray:
+    """Global 40-vector per delta (temporal_three_node_motif_multi,
+    global_temporal_three_node_motifs.rs:272-330)."""
+    from raphtory_ray.state.shards import BspGraph
+    deltas = tuple(int(d) for d in deltas)
+    refs = gf.edges.materialize().to_arrow_refs()
+    P = max(4, min(32, len(refs) * 2))
+
+    # ---- star phase
+    splits = [_star_split.options(num_returns=P if P > 1 else 1)
+              .remote(r, P) for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    star_futs = [_star_partial.remote(deltas, *[piece(s, q) for s in splits])
+                 for q in range(P)]
+
+    # ---- triangle phase
+    g = BspGraph.from_graph(gf)
+    core = g.kcore_set(2)
+    member = np.zeros(gf.n, dtype=bool)
+    member[core] = True
+    triples = _triangles_of(g, member)        # list of per-partition refs
+    member_ref = ray.put(member)
+    psplits = [_pair_split.options(num_returns=P if P > 1 else 1)
+               .remote(r, gf.n, P, member_ref) for r in refs]
+    pair_parts = [_pair_merge.remote(*[piece(s, q) for s in psplits])
+                  for q in range(P)]
+    Q = len(triples)
+    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, triples[q])
+             for p in range(P)] for q in range(Q)]
+    tri_futs = [_triple_motifs.remote(deltas, gf.n, triples[q], *subs[q])
+                for q in range(Q)]
+
+    star = np.sum(ray.get(star_futs), axis=0)
+    tri = np.sum(ray.get(tri_futs), axis=0) if tri_futs else \
+        np.zeros((len(deltas), 8), np.int64)
+    return np.concatenate([star, tri], axis=1)
+
+
+def global_temporal_three_node_motif(gf, delta: int) -> np.ndarray:
+    """40 global motif counts for one delta
+    (global_temporal_three_node_motifs.rs:355-362)."""
+    return temporal_three_node_motif_multi(gf, [delta])[0]
+
+
+def temporal_rich_club_coefficient(gf, views, k: int,
+                                   window_size: int) -> float:
+    """Temporal rich-club coefficient (Pedreschi/Battaglia/Barrat 2022;
+    temporal_rich_club_coefficient.rs:59-117): over every run of
+    ``window_size`` consecutive views, the density of the aggregate-graph
+    rich club (distinct-neighbour degree ≥ k) edges that persist through
+    the whole run; returns the max over runs.
+
+    Per-view edge sets are distributed partial-dedups restricted to the
+    rich club (a broadcast boolean mask); only the club-internal edge keys
+    reach the driver — the club is small by construction (degree ≥ k)."""
+    from raphtory_ray.state.shards import BspGraph
+    g = BspGraph.from_graph(gf)
+    s_k = np.flatnonzero(g.both_degree >= k)
+    if len(s_k) <= 1:
+        return 0.0
+    member = np.zeros(gf.n, dtype=bool)
+    member[s_k] = True
+    member_ref = ray.put(member)
+    n = gf.n
+
+    def club_keys(view) -> np.ndarray:
+        def part(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            mem = member if not isinstance(member_ref, ray.ObjectRef) \
+                else ray.get(member_ref)
+            m = (s != d) & mem[s] & mem[d]
+            lo = np.minimum(s[m], d[m])
+            hi = np.maximum(s[m], d[m])
+            return pa.table({"key": pa.array(np.unique(lo * n + hi))})
+
+        parts = [t["key"].to_numpy(zero_copy_only=False)
+                 for t in view.edges.map_batches(
+                     part, batch_format="pyarrow", zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow") if t.num_rows]
+        return np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+
+    sets = [club_keys(v) for v in views]
+    best = 0.0
+    poss = len(s_k) * (len(s_k) - 1) / 2
+    for i in range(0, len(sets) - window_size + 1):
+        stable = sets[i]
+        for j in range(i + 1, i + window_size):
+            stable = np.intersect1d(stable, sets[j], assume_unique=True)
+        best = max(best, len(stable) / poss)
+    return best
+
+
+@ray.remote
+def _probe_triples(Sq: pa.Table, n: int, *wedge_pieces: pa.Table):
+    """Probe variant returning the closing triples (a, m, c), a<m<c."""
+    s = Sq["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = Sq["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = np.sort(s * n + d)
+    outs = []
+    for w in wedge_pieces:
+        if w.num_rows == 0 or "a" not in w.column_names:
+            continue
+        wa = w["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wm = w["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = w["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wkeys = wa * n + wc
+        pos = np.searchsorted(keys, wkeys)
+        pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+        hit = keys[pos] == wkeys if len(keys) else np.zeros(len(wkeys), bool)
+        if hit.any():
+            outs.append((wa[hit], wm[hit], wc[hit]))
+    if not outs:
+        z = np.empty(0, np.int64)
+        return (z, z.copy(), z.copy())
+    return (np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            np.concatenate([o[2] for o in outs]))
+
+
+def _triangles_of(g, member: np.ndarray) -> list:
+    """Triangle triples (x<y<z) of the node-induced subgraph, one ref per
+    probe partition — reuses the BspGraph wedge semi-join (shards.py
+    triangle_counts) with a triple-returning probe."""
+    from raphtory_ray.state import shards as S
+    member_ref = ray.put(member)
+    sub_refs = [_subgraph_und.remote(r, member_ref) for r in g.und_refs]
+    P = len(sub_refs)
+    if P == 1:
+        Ssplit = [S._merge_concat.remote(
+            S._orient_split.remote(sub_refs[0], 1, "src"))]
+        Dsplit = [S._merge_concat.remote(
+            S._orient_split.remote(sub_refs[0], 1, "dst"))]
+        wparts = [[S._wedge_split.remote(Dsplit[0], Ssplit[0], 1,
+                                         4_000_000)]]
+    else:
+        so = [S._orient_split.options(num_returns=P).remote(r, P, "src")
+              for r in sub_refs]
+        do = [S._orient_split.options(num_returns=P).remote(r, P, "dst")
+              for r in sub_refs]
+        Ssplit = [S._merge_concat.remote(*[sp[p] for sp in so])
+                  for p in range(P)]
+        Dsplit = [S._merge_concat.remote(*[sp[p] for sp in do])
+                  for p in range(P)]
+        w = [S._wedge_split.options(num_returns=P).remote(
+            Dsplit[p], Ssplit[p], P, 4_000_000) for p in range(P)]
+        wparts = [[w[p][q] for p in range(P)] for q in range(P)]
+    return [_probe_triples.remote(Ssplit[q], len(member), *wparts[q])
+            for q in range(P)]
+
+
+@ray.remote
+def _subgraph_und(block: pa.Table, member) -> pa.Table:
+    member = ray.get(member) if isinstance(member, ray.ObjectRef) else member
+    s = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = member[s] & member[d]
+    return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
