@@ -394,6 +394,82 @@ def _q_user_node_filter(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# ------------------------------------------------------- persistent graph
+
+def _q_user_persistent_snapshot(sf_dir: str) -> pa.Table:
+    """PersistentGraph snapshot (deletion_graph.rs:34-41, snapshot_at =
+    at(t), time.rs:265-270): user LEAD edges where a low-value event
+    (w < 100) DELETES the edge and any other event re-adds it; active
+    (src, dst) pairs at the window midpoint."""
+    import pyarrow.compute as pc
+    from raphtory_ray.graph.persistent import PersistentGraphFrame
+    from raphtory_ray.pipelines.tpch_graph import user_edges
+    t0, t1 = _user_window(sf_dir)
+    tmid = (t0 + t1) // 2
+
+    def with_op(b: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.less(b["w"], pa.scalar(100.0)),
+                        pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64()))
+        return b.append_column("op", op)
+
+    ev = user_edges(sf_dir).map_batches(with_op, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    import pyarrow.parquet as pq
+    n = int(pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["user_id"])["user_id"].to_numpy().max()) + 1
+    pg = PersistentGraphFrame(ev, n)
+    return pg.snapshot_at(tmid).edges_table()
+
+
+# ---------------------------------------------------------------- dynamics
+
+def _q_user_bipartite_projection(sf_dir: str) -> pa.Table:
+    """Temporal bipartite projection (temporal_bipartite_projection.rs:
+    31-77) pivoting over odd-id users, delta = span//20. Canonicalized to
+    distinct undirected (u, v, mean-t) rows so tie-order (which direction a
+    same-time pair is emitted in) cannot flip the comparison."""
+    from raphtory_ray.algorithms.dynamics import temporal_bipartite_projection
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    delta = max(1, (hi - 1 - lo) // 20)
+    pivots = np.arange(1, gf.n, 2, dtype=np.int64)
+    proj = temporal_bipartite_projection(gf, delta, pivots)
+    t = pa.concat_tables(proj.edges.iter_batches(batch_format="pyarrow"))
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    tt = t["t"].to_numpy(zero_copy_only=False)
+    u = np.minimum(s, d)
+    v = np.maximum(s, d)
+    key = np.unique(np.stack([u, v, tt], axis=1), axis=0)
+    return pa.table({"u": pa.array(key[:, 0], pa.int64()),
+                     "v": pa.array(key[:, 1], pa.int64()),
+                     "t": pa.array(key[:, 2], pa.int64())})
+
+
+def _q_user_seir(sf_dir: str) -> pa.Table:
+    """temporal_SEIR (epidemics.rs:182-252), SI mode, p=1, seed = smallest
+    active user at the earliest event time. Deterministic given the seeded
+    rng; no SQL oracle (event-queue simulation) — invariants in
+    tests/test_dynamics.py."""
+    from raphtory_ray.algorithms.dynamics import temporal_SEIR
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, _hi = _time_bounds(gf, None, None)
+    seed = _min_src_user(gf)
+    st = temporal_SEIR(gf, None, None, 1.0, lo, [seed],
+                       rng=np.random.default_rng(42))
+    vids = sorted(st)
+    return pa.table({
+        "vid": pa.array(vids, pa.int64()),
+        "infected": pa.array([st[v][0] for v in vids], pa.int64()),
+        "active": pa.array([st[v][1] for v in vids], pa.int64())})
+
+
 # ------------------------------------------------------------ motif queries
 
 def _q_user_motifs(sf_dir: str) -> pa.Table:
@@ -680,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_node_filter": _q_user_node_filter,
         "user_louvain": _q_user_louvain,
         "user_modularity_singletons": _q_user_modularity_singletons,
+        "user_persistent_snapshot": _q_user_persistent_snapshot,
+        "user_bipartite_projection": _q_user_bipartite_projection,
+        "user_seir": _q_user_seir,
         "user_motifs": _q_user_motifs,
         "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
@@ -978,6 +1057,49 @@ WITH {_USER_EDGES}
 SELECT DISTINCT src, dst FROM user_edges
 WHERE src % 2 = 0 AND dst % 2 = 0
 """,
+        "user_bipartite_projection": f"""
+WITH {_USER_EDGES},
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS mx FROM user_edges),
+params AS (SELECT GREATEST((mx - lo) // 20, 1) AS delta FROM bounds),
+vis AS (
+  SELECT dst AS pivot, src AS other, t,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS rid
+  FROM user_edges WHERE dst % 2 = 1
+  UNION ALL
+  SELECT src AS pivot, dst AS other, t,
+         100000000 + ROW_NUMBER() OVER (ORDER BY event_id) AS rid
+  FROM user_edges WHERE src % 2 = 1
+)
+SELECT DISTINCT LEAST(a.other, b.other) AS u,
+       GREATEST(a.other, b.other) AS v,
+       (a.t + b.t) // 2 AS t
+FROM vis a JOIN vis b
+  ON a.pivot = b.pivot AND a.rid <> b.rid
+ AND a.t <= b.t AND a.t + (SELECT delta FROM params) >= b.t
+""",
+        "user_persistent_snapshot": f"""
+WITH {_USER_EDGES},
+bounds AS (
+  SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
+),
+mid AS (
+  SELECT (tmin + (tmax - tmin) // 4
+          + tmin + (3 * (tmax - tmin)) // 4) // 2 AS tmid
+  FROM bounds
+),
+ops AS (
+  SELECT src, dst, t, event_id,
+         CASE WHEN w < 100.0 THEN 1 ELSE 0 END AS op
+  FROM user_edges
+),
+last AS (
+  SELECT src, dst, op,
+         ROW_NUMBER() OVER (PARTITION BY src, dst
+                            ORDER BY t DESC, event_id DESC) AS rn
+  FROM ops, mid WHERE t <= tmid
+)
+SELECT src, dst FROM last WHERE rn = 1 AND op = 0
+""",
         "user_rich_club": f"""
 WITH {_USER_EDGES},
 bounds AS (SELECT MIN(t) AS lo, MAX(t) + 1 AS hi FROM user_edges),
@@ -994,10 +1116,8 @@ deg AS (
 club AS (SELECT node FROM deg WHERE d >= 3),
 nclub AS (SELECT COUNT(*) AS m FROM club),
 wins AS (
-  -- engine rolling(): window end e = min(lo+win*i, hi), start = e - win
-  -- (the last window SHIFTS back rather than truncating)
-  SELECT i, LEAST(lo + win * i, hi) - win AS t0,
-         LEAST(lo + win * i, hi) AS t1
+  -- reference WindowSet: ends lo + win*i, UNCLAMPED; stop when start >= hi
+  SELECT i, lo + win * (i - 1) AS t0, lo + win * i AS t1
   FROM params, generate_series(1, 100000) AS gs(i)
   WHERE lo + win * (i - 1) < hi
 ),
@@ -1056,9 +1176,11 @@ WITH {_USER_EDGES},
 bounds AS (SELECT MIN(t) AS lo, MAX(t) + 1 AS hi FROM user_edges),
 params AS (SELECT lo, hi, GREATEST((hi - lo) // 4, 1) AS win FROM bounds),
 marks AS (
-  SELECT LEAST(lo + win * i, hi) AS e, win
+  -- reference WindowSet: ends lo + win*i, UNCLAMPED (the last window may
+  -- overhang the data, time_tests.rs:57-80); stop when start >= hi
+  SELECT lo + win * i AS e, win
   FROM params, generate_series(1, 100000) AS gs(i)
-  WHERE lo + win * (i - 1) < hi
+  WHERE lo + win * i < hi + win AND lo + win * (i - 1) < hi
 )
 SELECT e - win AS t0, e AS t1,
        (SELECT COUNT(*) FROM user_edges ue

@@ -190,34 +190,46 @@ def betweenness_centrality(gf, k: int | None = None,
 
 def expanding(gf: GraphFrame, step: int, start: int | None = None,
               end: int | None = None):
-    """Expanding WindowSet (time.rs:147-196): views [start, b) for b =
-    start+step, start+2·step, … ≤ end. Bounds default to the data's
-    earliest/latest event time (+1 for inclusivity, as in the reference)."""
+    """Expanding WindowSet (WindowSet iterator, time.rs:470-495): views
+    [view_start, b) for b = start+step, start+2·step, … while b < end+step.
+    Ends are NOT clamped — a windowed parent's bound intersection clamps
+    the exposed end (time_tests.rs:151-175)."""
     lo, hi = _time_bounds(gf, start, end)
     b = lo + step
     views = []
     while b < hi + step:
-        views.append(gf.window(None, min(b, hi)))
+        views.append(gf.window(None, b))
         b += step
     return views
 
 
 def rolling(gf: GraphFrame, window: int, step: int | None = None,
             start: int | None = None, end: int | None = None):
-    """Rolling WindowSet: [b-window, b) advancing by step (default window)."""
+    """Rolling WindowSet (time.rs:470-495): [b-window, b) for
+    b = start+step, start+2·step, … while b < end+step, stopping when
+    b-window >= end (the overstep guard). The last window may overhang the
+    data (time_tests.rs:57-80: timeline(1,6).rolling(3,2) ends (4,7));
+    windowed parents clamp via nested-bound intersection."""
     step = step or window
     lo, hi = _time_bounds(gf, start, end)
-    b = lo + window
+    b = lo + step
     views = []
     while b < hi + step:
-        e = min(b, hi)
-        views.append(gf.window(e - window, e))
+        if b - window >= hi:
+            break
+        views.append(gf.window(b - window, b))
         b += step
     return views
 
 
 def _time_bounds(gf: GraphFrame, start, end):
+    """View bounds when set (reference WindowSets anchor at the view's
+    start/end); otherwise the data's earliest / latest+1."""
     import pyarrow.compute as pc
+    if start is None and getattr(gf, "start", None) is not None:
+        start = gf.start
+    if end is None and getattr(gf, "end", None) is not None:
+        end = gf.end
     if start is None or end is None:
         mn, mx = None, None
         for blk in gf.edges.select_columns(["t"]).iter_batches(

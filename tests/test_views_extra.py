@@ -64,13 +64,40 @@ def test_window_bounds_and_rolling(ray_session):
         assert v.end - v.start == 4
         want = sum(1 for t in range(10) if v.start <= t < v.end)
         assert v.count_temporal_edges() == want
-    # every event is covered by at least one rolling window
-    assert views[0].start == 0 and views[-1].end == 10
+    # every event covered; last window may overhang (reference WindowSet)
+    assert views[0].start == 0 and views[-1].end == 12
 
     exp = expanding(gf, step=4)
     assert exp[-1].count_temporal_edges() == 10
     counts = [v.count_temporal_edges() for v in exp]
     assert counts == sorted(counts)
+
+
+def test_windowset_reference_bounds(ray_session):
+    """Exact WindowSet bounds transcribed from time_tests.rs:57-175."""
+    from raphtory_ray.algorithms.extra import expanding, rolling
+
+    def bounds(views):
+        return [(v.start, v.end) for v in views]
+
+    def timeline(a, b):        # events at every t in [a, b)
+        return _gf([(0, 1, t) for t in range(a, b)], n=2)
+
+    g = timeline(1, 7)
+    assert bounds(rolling(g, 2)) == [(1, 3), (3, 5), (5, 7)]
+    assert [(v.start, v.end) for v in expanding(g, 2)] == \
+        [(None, 3), (None, 5), (None, 7)]
+
+    g = timeline(1, 6)
+    assert bounds(rolling(g, 3, 2)) == [(0, 3), (2, 5), (4, 7)]
+    assert [(v.start, v.end) for v in expanding(g, 2)] == \
+        [(None, 3), (None, 5), (None, 7)]
+
+    g = timeline(0, 9)
+    w = g.window(1, 6)
+    w.edges = w.edges.materialize()
+    assert bounds(rolling(w, 3, 2)) == [(1, 3), (2, 5), (4, 6)]
+    assert bounds(expanding(w, 2)) == [(1, 3), (1, 5), (1, 6)]
 
 
 def test_balance_reference_golden(ray_session):
