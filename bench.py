@@ -84,6 +84,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     g.triangle_counts()
     queries["triangle_count"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    from raphtory_ray.algorithms.louvain import louvain
+    louvain(gf, 1.0, seed=1)
+    queries["louvain"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from raphtory_ray.algorithms.motifs import global_temporal_three_node_motif
+    from raphtory_ray.sources.corpus import T_STEP
+    global_temporal_three_node_motif(gf, 24 * T_STEP)
+    queries["temporal_motifs"] = time.perf_counter() - t0
+
     # data-pipeline slice over the testdata tables
     import ray.data as rd
     t0 = time.perf_counter()

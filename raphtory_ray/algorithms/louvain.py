@@ -143,6 +143,9 @@ def _one_level(u, v, w, self_w, k, n, resolution, tol, rng, max_passes=64):
     if m2 <= 0 or len(u) == 0:
         return com, False
     moved_any = False
+    prev_com = com.copy()
+    prev_gain = np.inf
+    stall = 0
     # random per-pass tie-perturbation stands in for the reference's node
     # shuffle (louvain.rs:52): symmetric ties break arbitrarily, not by id
     for _ in range(max_passes):
@@ -183,11 +186,32 @@ def _one_level(u, v, w, self_w, k, n, resolution, tol, rng, max_passes=64):
         # A<->B oscillation under Jacobi-parallel application)
         sizes = np.bincount(com, minlength=n)
         swap = (sizes[com[bu]] == 1) & (sizes[bc] == 1) & (bc > com[bu])
-        bu, bc = bu[~swap], bc[~swap]
+        # no-return rule: a node may not move back to the community it was
+        # in one pass ago — kills 2-cycles under Jacobi application
+        ret = prev_com[bu] == bc
+        drop = swap | ret
+        gain = float(delta[order2][last][~drop].sum()) if len(bu) else 0.0
+        bu, bc = bu[~drop], bc[~drop]
         if len(bu) == 0:
             break
+        prev_com = com.copy()
         com[bu] = bc
         moved_any = True
+        # stagnation cutoff: longer limit cycles repeat the same gain; a
+        # genuine refinement strictly shrinks it pass over pass
+        if gain >= prev_gain * 0.999:
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+        prev_gain = gain
+        # trickle cutoff: when fewer than 0.2% of nodes still move, the
+        # modularity gain left in this level is negligible — aggregate
+        # (standard Louvain practice; keeps level-0 from spending 60+
+        # passes on stragglers)
+        if len(bu) < max(8, n // 500):
+            break
     return com, moved_any
 
 
