@@ -421,6 +421,39 @@ def _q_user_persistent_snapshot(sf_dir: str) -> pa.Table:
     return pg.snapshot_at(tmid).edges_table()
 
 
+# --------------------------------------------------------- matching/layout
+
+def _q_user_matching(sf_dir: str) -> pa.Table:
+    """Max-weight matching (max_weight_matching.rs:880+, Galil blossom) on
+    the user graph, weight = latest event value. No SQL oracle
+    (combinatorial optimization); golden fixture in tests."""
+    from raphtory_ray.algorithms.matching import max_weight_matching
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    m = max_weight_matching(gf, "w", max_cardinality=True)
+    pairs = m.edges()
+    return pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                     "dst": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def _q_user_fr_layout(sf_dir: str) -> pa.Table:
+    """Fruchterman-Reingold coordinates (fruchterman_reingold.rs:18-128) on
+    the induced subgraph of the first 256 users (layouts are a
+    driver-scale visualization aid in the reference too). Deterministic
+    per seed; rows-only."""
+    from raphtory_ray.algorithms.layout import fruchterman_reingold_unbounded
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    sub = gf.subgraph(np.arange(min(256, gf.n)))
+    sub.edges = sub.edges.materialize()
+    sub.n = min(256, gf.n)
+    pos = fruchterman_reingold_unbounded(sub, iter_count=50, seed=11)
+    return pa.table({"vid": pa.array(np.arange(sub.n), pa.int64()),
+                     "x": pa.array(pos[:, 0], pa.float64()),
+                     "y": pa.array(pos[:, 1], pa.float64())})
+
+
 # ---------------------------------------------------------------- dynamics
 
 def _q_user_bipartite_projection(sf_dir: str) -> pa.Table:
@@ -759,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_persistent_snapshot": _q_user_persistent_snapshot,
         "user_bipartite_projection": _q_user_bipartite_projection,
         "user_seir": _q_user_seir,
+        "user_max_weight_matching": _q_user_matching,
+        "user_fr_layout": _q_user_fr_layout,
         "user_motifs": _q_user_motifs,
         "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
