@@ -521,6 +521,23 @@ def _q_user_motifs(sf_dir: str) -> pa.Table:
                      "count": pa.array(counts, pa.int64())})
 
 
+def _q_user_local_motifs(sf_dir: str) -> pa.Table:
+    """Per-node temporal motif counts (local_temporal_three_node_motifs.rs)
+    at delta = span//4; nonzero (vid, motif_id, count) rows. No SQL oracle;
+    golden per-ordering fixtures + local≡global identity in tests."""
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.algorithms.motifs import local_temporal_three_node_motif
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    mc = local_temporal_three_node_motif(gf, max(1, (hi - lo) // 4))
+    vid, mid = np.nonzero(mc)
+    return pa.table({"vid": pa.array(vid, pa.int64()),
+                     "motif_id": pa.array(mid, pa.int64()),
+                     "count": pa.array(mc[vid, mid], pa.int64())})
+
+
 def _q_user_rich_club(sf_dir: str) -> pa.Table:
     """Temporal rich-club coefficient (temporal_rich_club_coefficient.rs:
     59-117): k=3, rolling windows of span//4, persistence window_size=2."""
@@ -795,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_max_weight_matching": _q_user_matching,
         "user_fr_layout": _q_user_fr_layout,
         "user_motifs": _q_user_motifs,
+        "user_local_motifs": _q_user_local_motifs,
         "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,

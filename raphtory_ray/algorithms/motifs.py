@@ -434,6 +434,148 @@ def global_temporal_three_node_motif(gf, delta: int) -> np.ndarray:
     return temporal_three_node_motif_multi(gf, [delta])[0]
 
 
+@ray.remote
+def _star_partial_local(deltas: tuple, *pieces):
+    """Per-node star/two-node counts: (vids, counts[nv, len(deltas), 32])
+    (local_temporal_three_node_motifs.rs:348-390 star_motif_step)."""
+    node = np.concatenate([p[0] for p in pieces])
+    if len(node) == 0:
+        return (np.empty(0, np.int64),
+                np.zeros((0, len(deltas), 32), np.int64))
+    nbr = np.concatenate([p[1] for p in pieces])
+    dr = np.concatenate([p[2] for p in pieces]).astype(np.int64)
+    t = np.concatenate([p[3] for p in pieces])
+    e = np.concatenate([p[4] for p in pieces])
+    order = np.lexsort((e, t, node))
+    node, nbr, dr, t, e = (node[order], nbr[order], dr[order],
+                           t[order], e[order])
+    starts = np.r_[0, np.flatnonzero(node[1:] != node[:-1]) + 1, len(node)]
+    vids = node[starts[:-1]]
+    out = np.zeros((len(vids), len(deltas), 32), np.int64)
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        nb_u, nb_idx = np.unique(nbr[lo:hi], return_inverse=True)
+        deg = len(nb_u)
+        dirs_u = dr[lo:hi]
+        times_u = t[lo:hi]
+        two = np.zeros((len(deltas), 8), np.int64)
+        for k in range(deg):
+            sel = nb_idx == k
+            dd, tt2 = dirs_u[sel], times_u[sel]
+            for j, delta in enumerate(deltas):
+                two[j] += _two_node_count(dd, tt2, delta)
+        for j, delta in enumerate(deltas):
+            star24 = _star_count(nb_idx, dirs_u, times_u, deg, delta)
+            out[i, j, :24] = star24 - np.tile(two[j], 3)
+            out[i, j, 24:] = two[j]
+    return vids, out
+
+
+@ray.remote
+def _triple_motifs_local(deltas: tuple, n: int, triples, *subsets):
+    """Per-MEMBER triangle counts: each triangle contributes an 8-vector to
+    each of its three nodes, tagged from that node's perspective
+    (local_temporal_three_node_motifs.rs:182-330: uid = the counting node,
+    v = the smaller / w = the larger of the other two)."""
+    x, y, z = triples
+    acc: dict[int, np.ndarray] = {}
+    if len(x) == 0:
+        return (np.empty(0, np.int64),
+                np.zeros((0, len(deltas), 8), np.int64))
+    pk = np.concatenate([s[0] for s in subsets])
+    sl = np.concatenate([s[1] for s in subsets]).astype(np.int64)
+    t = np.concatenate([s[2] for s in subsets])
+    e = np.concatenate([s[3] for s in subsets])
+    order = np.lexsort((e, t, pk))
+    pk, sl, t, e = pk[order], sl[order], t[order], e[order]
+    for i in range(len(x)):
+        tri = sorted((int(x[i]), int(y[i]), int(z[i])))
+        keys = (tri[0] * n + tri[1], tri[0] * n + tri[2],
+                tri[1] * n + tri[2])
+        segs = []
+        for key in keys:
+            a = np.searchsorted(pk, key, side="left")
+            b = np.searchsorted(pk, key, side="right")
+            if b > a:
+                segs.append(np.arange(a, b))
+        if not segs:
+            continue
+        idx = np.concatenate(segs)
+        idx = idx[np.lexsort((e[idx], t[idx]))]
+        kk, ss, tt = pk[idx], sl[idx], t[idx]
+        lo_n = kk // n
+        hi_n = kk % n
+        src = np.where(ss == 1, lo_n, hi_n)
+        dst = np.where(ss == 1, hi_n, lo_n)
+        for u in tri:
+            others = [m for m in tri if m != u]
+            v, w = min(others), max(others)
+            uv = (((src == u) & (dst == v)) | ((src == v) & (dst == u)))
+            dirs = np.zeros(len(kk), np.int64)
+            uorv = np.zeros(len(kk), np.int64)
+            is_w_src = src == w
+            is_w_dst = dst == w
+            uorv[is_w_src] = np.where(dst[is_w_src] == u, 0, 1)
+            dirs[is_w_src] = 0
+            uorv[is_w_dst] = np.where(src[is_w_dst] == u, 0, 1)
+            dirs[is_w_dst] = 1
+            dirs[uv] = np.where(src[uv] == u, 1, 0)
+            uorv[uv] = np.where(src[uv] == u, 1, 0)
+            slot = acc.setdefault(u, np.zeros((len(deltas), 8), np.int64))
+            for j, delta in enumerate(deltas):
+                slot[j] += _triangle_count8(uv, uorv, dirs, tt, delta)
+    vids = np.array(sorted(acc), dtype=np.int64)
+    out = np.stack([acc[v] for v in vids]) if len(vids) else \
+        np.zeros((0, len(deltas), 8), np.int64)
+    return vids, out
+
+
+def local_temporal_three_node_motifs(gf, deltas) -> np.ndarray:
+    """(n, len(deltas), 40) per-node motif counts
+    (local_temporal_three_node_motifs.rs temporal_three_node_motif). Same
+    distribution as the global variant; partials land per node."""
+    from raphtory_ray.state.shards import BspGraph
+    deltas = tuple(int(d) for d in deltas)
+    refs = gf.edges.materialize().to_arrow_refs()
+    P = max(4, min(32, len(refs) * 2))
+    splits = [_star_split.options(num_returns=P if P > 1 else 1)
+              .remote(r, P) for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    star_futs = [_star_partial_local.remote(
+        deltas, *[piece(s, q) for s in splits]) for q in range(P)]
+
+    g = BspGraph.from_graph(gf)
+    core = g.kcore_set(2)
+    member = np.zeros(gf.n, dtype=bool)
+    member[core] = True
+    triples = _triangles_of(g, member)
+    member_ref = ray.put(member)
+    psplits = [_pair_split.options(num_returns=P if P > 1 else 1)
+               .remote(r, gf.n, P, member_ref) for r in refs]
+    pair_parts = [_pair_merge.remote(*[piece(s, q) for s in psplits])
+                  for q in range(P)]
+    Q = len(triples)
+    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, triples[q])
+             for p in range(P)] for q in range(Q)]
+    tri_futs = [_triple_motifs_local.remote(deltas, gf.n, triples[q],
+                                            *subs[q]) for q in range(Q)]
+
+    out = np.zeros((gf.n, len(deltas), 40), np.int64)
+    for vids, counts in ray.get(star_futs):
+        out[vids, :, :32] += counts
+    for vids, counts in ray.get(tri_futs):
+        out[vids, :, 32:] += counts
+    return out
+
+
+def local_temporal_three_node_motif(gf, delta: int) -> np.ndarray:
+    """(n, 40) per-node counts for one delta."""
+    return local_temporal_three_node_motifs(gf, [delta])[:, 0, :]
+
+
 def temporal_rich_club_coefficient(gf, views, k: int,
                                    window_size: int) -> float:
     """Temporal rich-club coefficient (Pedreschi/Battaglia/Barrat 2022;

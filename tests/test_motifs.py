@@ -56,6 +56,45 @@ def test_multi_delta_consistency(ray_session):
     assert np.all(multi[2] >= multi[0])
 
 
+def test_local_motifs_triangle_cases(ray_session):
+    """motifs.rs:125-215 (local_motifs_test::test_triangle_motif): the 8
+    orderings of a 3-event triangle each light exactly one slot of node 3's
+    triangle block (delta=3)."""
+    from raphtory_ray.algorithms.motifs import local_temporal_three_node_motif
+    cases = [
+        # (edges, expected index of the single 1 in node 3's 40-vector)
+        ([(1, 1, 2), (2, 3, 2), (3, 1, 3)], 32),   # ij_kj_ik
+        ([(1, 1, 2), (2, 3, 1), (3, 2, 3)], 36),   # ij_ki_jk
+        ([(1, 1, 2), (2, 2, 3), (3, 1, 3)], 34),   # ij_jk_ik
+        ([(1, 1, 2), (2, 1, 3), (3, 2, 3)], 38),   # ij_ik_jk
+        ([(1, 1, 2), (2, 3, 2), (3, 3, 1)], 33),   # ij_kj_ki
+        ([(1, 1, 2), (2, 3, 1), (3, 3, 2)], 37),   # ij_ki_kj
+        ([(1, 1, 2), (2, 2, 3), (3, 3, 1)], 35),   # ij_jk_ki
+        ([(1, 1, 2), (2, 1, 3), (3, 3, 2)], 39),   # ij_ik_kj
+    ]
+    for edges, slot in cases:
+        gf = _frame(ray_session, edges)
+        mc = local_temporal_three_node_motif(gf, 3)
+        want = np.zeros(40, np.int64)
+        want[slot] = 1
+        assert mc[3].tolist() == want.tolist(), (edges, slot)
+
+
+def test_local_sums_to_global(ray_session):
+    """Σ over nodes of local counts = global counts with triangles ×3 and
+    two-node doubling already included (global_temporal_three_node_motifs
+    docs: global divides... the reference's GLOBAL keeps star/two-node sums
+    and triangle counted once per triangle; local counts each triangle at
+    all 3 members)."""
+    from raphtory_ray.algorithms.motifs import (
+        global_temporal_three_node_motif, local_temporal_three_node_motif)
+    gf = _frame(ray_session, GOLDEN_EDGES)
+    loc = local_temporal_three_node_motif(gf, 10).sum(axis=0)
+    glob = global_temporal_three_node_motif(gf, 10)
+    assert loc[:32].tolist() == glob[:32].tolist()
+    assert loc[32:].tolist() == (glob[32:] * 3).tolist()
+
+
 RICH_CLUB_EDGES = [
     (1, 1, 2), (1, 1, 3), (1, 1, 4), (1, 2, 3), (1, 2, 4), (1, 3, 4),
     (1, 4, 5), (2, 1, 2), (2, 1, 3), (2, 1, 4), (2, 3, 4), (2, 2, 6),
