@@ -421,6 +421,16 @@ def _q_user_persistent_snapshot(sf_dir: str) -> pa.Table:
     return pg.snapshot_at(tmid).edges_table()
 
 
+# ------------------------------------------------------------- text search
+
+def _q_doc_text_search(sf_dir: str) -> pa.Table:
+    """Inverted-index text search (the reference's tantivy-shaped
+    capability, raphtory/src/search/): docs containing ALL of
+    ('data', 'query') ranked by summed term frequency."""
+    from raphtory_ray.data.search import search_documents
+    return search_documents(_docs(sf_dir), ["data", "query"], "and")
+
+
 # --------------------------------------------------------- matching/layout
 
 def _q_user_matching(sf_dir: str) -> pa.Table:
@@ -821,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_text_search": _q_doc_text_search,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_knn_bruteforce": _q_knn_bruteforce,
@@ -1289,6 +1300,18 @@ FROM documents GROUP BY 1
 """,
         "doc_lang_counts": """
 SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+""",
+        "doc_text_search": """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks
+  WHERE tok IN ('data', 'query') GROUP BY doc_id, tok
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS score
+FROM tf GROUP BY doc_id HAVING COUNT(*) = 2
 """,
         "emb_knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -660,12 +660,14 @@ def _triangles_of(g, member: np.ndarray) -> list:
     from raphtory_ray.state import shards as S
     member_ref = ray.put(member)
     sub_refs = [_subgraph_und.remote(r, member_ref) for r in g.und_refs]
-    P = len(sub_refs)
+    # adaptive task grid, as in BspGraph.triangle_counts: worker spin-up
+    # dominates a P×P fan on small graphs
+    P = min(len(sub_refs), max(4, g.num_edges // 150_000))
     if P == 1:
         Ssplit = [S._merge_concat.remote(
-            S._orient_split.remote(sub_refs[0], 1, "src"))]
+            *[S._orient_split.remote(r, 1, "src") for r in sub_refs])]
         Dsplit = [S._merge_concat.remote(
-            S._orient_split.remote(sub_refs[0], 1, "dst"))]
+            *[S._orient_split.remote(r, 1, "dst") for r in sub_refs])]
         wparts = [[S._wedge_split.remote(Dsplit[0], Ssplit[0], 1,
                                          4_000_000)]]
     else:

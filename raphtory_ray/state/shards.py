@@ -623,11 +623,17 @@ class BspGraph:
            partition's sorted keys and returns (count, bincount) partials.
         Skew note: a hub FIRST endpoint concentrates probes in one bucket;
         probes are O(rows) streaming, so cost stays linear in that bucket's
-        wedge count."""
+        wedge count.
+
+        Adaptive task grid: the P×P wedge fan is sized to the edge count
+        (≥150k oriented edges per partition) — a 32×32 grid on a 600k-edge
+        graph spends 10× longer spinning up workers than computing; at
+        10^9+ edges the grid grows back to the full block count."""
         assert self.n < (1 << 31)
-        P = len(self.und_refs)
-        S = self._oriented_split("src")
-        D = self._oriented_split("dst")
+        P = min(len(self.und_refs),
+                max(4, self.num_edges // 150_000))
+        S = self._oriented_split("src", P)
+        D = self._oriented_split("dst", P)
         if P == 1:
             wparts = [[_wedge_split.remote(D[0], S[0], P, chunk_wedges)]]
         else:
@@ -642,20 +648,22 @@ class BspGraph:
             if parts else np.zeros(self.n, dtype=np.int64)
         return int(total), local
 
-    def _oriented_split(self, key: str) -> list:
+    def _oriented_split(self, key: str, P: int | None = None) -> list:
         """Oriented (a<b) edge blocks hash-partitioned by ``key`` endpoint
-        (built from und_refs so each undirected edge appears exactly once)."""
-        P = len(self.und_refs)
+        into ``P`` buckets (built from und_refs so each undirected edge
+        appears exactly once)."""
+        P = P or len(self.und_refs)
         cache = self.__dict__.setdefault("_oriented_cache", {})
-        if key not in cache:
+        ck = (key, P)
+        if ck not in cache:
             splits = [_orient_split.options(num_returns=P if P > 1 else 1)
                       .remote(r, P, key) for r in self.und_refs]
             if P == 1:
-                cache[key] = [_merge_concat.remote(*splits)]
+                cache[ck] = [_merge_concat.remote(*splits)]
             else:
-                cache[key] = [_merge_concat.remote(*[sp[p] for sp in splits])
-                              for p in range(P)]
-        return cache[key]
+                cache[ck] = [_merge_concat.remote(*[sp[p] for sp in splits])
+                             for p in range(P)]
+        return cache[ck]
 
     def reciprocal_counts(self):
         """(out_excl_self, in_excl_self, |out∩in|) per node
