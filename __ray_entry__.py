@@ -161,6 +161,17 @@ def _q_kcore(sf_dir: str) -> pa.Table:
     return pa.table({"vid": pa.array(ids[alive], pa.int64())})
 
 
+def _q_kcore_avg(sf_dir: str) -> pa.Table:
+    """k-core at k = floor(0.7·avg-degree) — a k that actually PEELS the
+    co-purchase graph (k=4 keeps every node; this removes ~3-9%), so the
+    iterated-peel SQL oracle checks real peeling rounds, not a no-op."""
+    _, g, ids = _copurchase(sf_dir)
+    bd = g.both_degree
+    k = int(np.floor(bd[bd > 0].mean() * 0.7))
+    alive = g.kcore_set(k)
+    return pa.table({"vid": pa.array(ids[alive], pa.int64())})
+
+
 def _q_hits(sf_dir: str) -> pa.Table:
     _, g, ids = _copurchase(sf_dir)
     hub, auth, _it = g.hits()
@@ -419,6 +430,19 @@ def _q_user_persistent_snapshot(sf_dir: str) -> pa.Table:
                           columns=["user_id"])["user_id"].to_numpy().max()) + 1
     pg = PersistentGraphFrame(ev, n)
     return pg.snapshot_at(tmid).edges_table()
+
+
+# ------------------------------------------------------------ vectors
+
+def _q_corpus_vector_search(sf_dir: str) -> pa.Table:
+    """VectorisedGraph semantic node search (vectors/vectorisable.rs +
+    vectors/__init__.pyi:92-109) over the corpus graph: top-10 nodes for a
+    text query under the deterministic hash-projection embedding. No SQL
+    oracle (embedding model); ranking invariants in tests/test_vectors.py."""
+    from raphtory_ray.data.vectors import vectorise
+    gf = _corpus_graph(sf_dir)
+    vg = vectorise(gf)
+    return vg.nodes_by_similarity("node org1 repo", 10)
 
 
 # ------------------------------------------------------------- text search
@@ -798,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa": _q_lpa,
         "copurchase_kcore4": _q_kcore,
+        "copurchase_kcore_avg": _q_kcore_avg,
         "copurchase_hits": _q_hits,
         "copurchase_lcc": _q_lcc,
         "copurchase_sssp_hops": _q_sssp_hops,
@@ -842,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_wcc": _q_corpus_wcc,
         "corpus_triangle_count": _q_corpus_triangles,
         "corpus_repo_edges": _q_corpus_repo_edges,
+        "corpus_vector_search": _q_corpus_vector_search,
     }
 
 
@@ -893,6 +919,43 @@ _WCC_LAB = """lab AS (
 comp AS (SELECT node AS vid, MIN(label) AS component FROM lab GROUP BY node)"""
 
 _SRC0 = "(SELECT MIN(LEAST(src, dst)) FROM dedup)"
+
+
+def _kcore_avg_sql(rounds: int = 16) -> str:
+    """Unrolled k-core peel (k = floor(0.7·avg degree)): alive_{i+1} =
+    nodes with ≥k distinct alive neighbours. Measured ≤8 rounds to
+    fixpoint at sf0.001/sf0.01; 16 gives margin (peeling is monotone, so
+    post-fixpoint rounds are no-ops). AS MATERIALIZED — DuckDB 1.0 inlines
+    multiply-referenced CTEs exponentially otherwise (see corpus_wcc)."""
+    steps = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        cur = f"a{r}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT und.u AS node FROM und
+  JOIN {prev} x ON und.u = x.node
+  JOIN {prev} y ON und.v = y.node
+  GROUP BY und.u
+  HAVING COUNT(*) >= (SELECT k FROM kk)
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+undm AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM dedup
+  UNION
+  SELECT dst AS u, src AS v FROM dedup
+),
+und AS (SELECT * FROM undm),
+kk AS MATERIALIZED (
+  SELECT CAST(FLOOR(AVG(d) * 0.7) AS BIGINT) AS k
+  FROM (SELECT COUNT(DISTINCT v) AS d FROM und GROUP BY u)
+),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+{chain}
+SELECT node AS vid FROM {prev}
+"""
 
 
 # Corpus oracle blocks: DuckDB re-derives the corpus pipeline (sha256, gid,
@@ -977,6 +1040,7 @@ WITH {_PAIRS}, {_DEDUP}, {_UND},
 deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u)
 SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
+        "copurchase_kcore_avg": _kcore_avg_sql(),
         "copurchase_density": f"""
 WITH {_PAIRS}, {_DEDUP},
 nn AS (SELECT COUNT(*) AS n FROM (SELECT src AS x FROM dedup

@@ -56,6 +56,13 @@ class NodeState:
         keys = t["gid"].to_pylist() if "gid" in t.column_names else t["vid"].to_pylist()
         return dict(zip(keys, self.values.tolist()))
 
+    def arrow_compute(self, fn, *args, **kwargs) -> "NodeState":
+        """Apply a pyarrow.compute kernel to the values
+        (node_state/__init__.pyi arrow_compute composition surface)."""
+        res = fn(pa.array(self.values), *args, **kwargs)
+        return NodeState(res.to_numpy(zero_copy_only=False), self.gf,
+                         self.name)
+
     # ------------------------------------------------------------ reductions
     def sum(self):
         return self.values.sum()

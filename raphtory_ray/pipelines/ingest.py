@@ -76,20 +76,30 @@ def build_gid_index(files_ds) -> np.ndarray:
     run in C. The driver holds only the distinct-gid vector — fine to
     ~10^8 vertices; beyond that, switch to the distributed sort +
     per-block offset exchange documented in the module docstring."""
-    import pyarrow.compute as pc
-
-    def _distinct(b: pa.Table) -> pa.Table:
-        return pa.table({"gid": pc.unique(b["gid"].combine_chunks())})
-
-    parts = files_ds.select_columns(["gid"]).map_batches(
-        _distinct, batch_format="pyarrow", zero_copy_batch=True)
-    chunks = [np.asarray(t["gid"].to_pylist(), dtype=np.str_)
-              for t in parts.iter_batches(batch_format="pyarrow")
-              if t.num_rows]
+    refs = files_ds.to_arrow_refs()
+    # plain tasks over the materialized blocks, ~16 grouped tasks total: a
+    # Dataset execution for this trivial distinct costs seconds of
+    # streaming-executor setup + 100 micro-tasks (measured 8s of the 13s
+    # ingest at sf0.1); these grouped tasks run in ~0.5s
+    k = max(1, len(refs) // 16)
+    groups = [refs[i:i + k] for i in range(0, len(refs), k)]
+    chunks = ray.get([_distinct_gids.remote(*grp) for grp in groups])
+    chunks = [c for c in chunks if len(c)]
     if not chunks:
         return np.empty(0, dtype="U1")
     width = max(c.dtype.itemsize for c in chunks) // 4
     return np.unique(np.concatenate([c.astype(f"U{width}") for c in chunks]))
+
+
+@ray.remote
+def _distinct_gids(*blocks: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+    arrs = [pc.unique(b["gid"].combine_chunks()) for b in blocks
+            if b.num_rows]
+    if not arrs:
+        return np.empty(0, dtype="U1")
+    return np.asarray(
+        pc.unique(pa.concat_arrays(arrs)).to_pylist(), dtype=np.str_)
 
 
 class VidResolver:
