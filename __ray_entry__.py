@@ -143,6 +143,42 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
     return _nodestate_table(ids, scores, "pagerank", pa.float64())
 
 
+def _q_pagerank5(sf_dir: str) -> pa.Table:
+    """PageRank FORCED to exactly 5 supersteps (tol=0) so the full float
+    recurrence — sink mass, out-degree division, damping — is value-checked
+    against an independent unrolled SQL implementation (the convergence-rule
+    variant stays rows-only because its iteration count is data-dependent)."""
+    _, g, ids = _copurchase(sf_dir)
+    scores, _it, _ = g.pagerank(iter_count=5, tol=0.0)
+    # quantize to a 1e-9 grid: the driver's value compare hashes floats
+    # BIT-exactly, and Ray-vs-DuckDB summation orders differ in the last
+    # ulp (measured |diff| ~1e-18 — nine orders below the grid)
+    q = np.floor(scores * 1e9 + 0.5).astype(np.int64)
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "pr_q": pa.array(q, pa.int64())})
+
+
+def _q_lpa3(sf_dir: str) -> pa.Table:
+    """LPA forced to exactly 3 synchronous iterations — the full
+    mode-with-tiebreak update (self + distinct und-neighbour labels, max
+    count then max label) value-checked EXACTLY against unrolled SQL
+    (labels are integers, so the hash compare is exact, not approximate)."""
+    _, g, ids = _copurchase(sf_dir)
+    labels, _it = g.lpa(iter_count=3, until_converged=False)
+    return _nodestate_table(ids, ids[labels], "label", pa.int64())
+
+
+def _q_hits3(sf_dir: str) -> pa.Table:
+    """HITS forced to exactly 3 iterations (sum-normalized each iter,
+    hits.rs:53-158) value-checked against unrolled SQL."""
+    _, g, ids = _copurchase(sf_dir)
+    hub, auth, _it = g.hits(iter_count=3, tol=0.0)
+    return pa.table({
+        "vid": pa.array(ids, pa.int64()),
+        "hub_q": pa.array(np.floor(hub * 1e9 + 0.5).astype(np.int64)),
+        "auth_q": pa.array(np.floor(auth * 1e9 + 0.5).astype(np.int64))})
+
+
 def _q_wcc(sf_dir: str) -> pa.Table:
     _, g, ids = _copurchase(sf_dir)
     labels = g.wcc()
@@ -453,6 +489,85 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
     ('data', 'query') ranked by summed term frequency."""
     from raphtory_ray.data.search import search_documents
     return search_documents(_docs(sf_dir), ["data", "query"], "and")
+
+
+def _q_user_dijkstra(sf_dir: str) -> pa.Table:
+    """Weighted shortest-path distances (dijkstra.rs:97-246) from the
+    smallest active user; edge weight = MIN event value in integer cents
+    per directed simple edge (integers ⇒ the unrolled Bellman-Ford SQL
+    oracle compares exactly)."""
+    import heapq
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    parts = []
+    for b in gf.edges.select_columns(["src", "dst", "w"]).iter_batches(
+            batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append((b["src"].to_numpy(zero_copy_only=False),
+                          b["dst"].to_numpy(zero_copy_only=False),
+                          np.floor(b["w"].to_numpy(zero_copy_only=False)
+                                   * 100.0 + 0.5)))
+    s = np.concatenate([p[0] for p in parts])
+    d = np.concatenate([p[1] for p in parts])
+    c = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    # min weight per directed simple edge
+    order = np.lexsort((c, d, s))
+    s, d, c = s[order], d[order], c[order]
+    first = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    s, d, c = s[first], d[first], c[first]
+    source = int(s.min())
+    # driver Dijkstra (sequential in the reference too)
+    adj_order = np.argsort(s, kind="stable")
+    s2, d2, c2 = s[adj_order], d[adj_order], c[adj_order]
+    starts = np.searchsorted(s2, np.arange(gf.n + 1))
+    INF = np.iinfo(np.int64).max
+    dist = np.full(gf.n, INF, np.int64)
+    dist[source] = 0
+    heap = [(0, source)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist[v]:
+            continue
+        for ei in range(starts[v], starts[v + 1]):
+            alt = dv + int(c2[ei])
+            u = int(d2[ei])
+            if alt < dist[u]:
+                dist[u] = alt
+                heapq.heappush(heap, (alt, u))
+    vids = np.flatnonzero(dist < INF)
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "dist_cents": pa.array(dist[vids], pa.int64())})
+
+
+def _dijkstra_sql(rounds: int = 16) -> str:
+    """Unrolled Bellman-Ford over min-cent edge weights (measured ≤9
+    relaxation rounds to fixpoint at sf0.001/0.01; 16 gives margin —
+    post-fixpoint rounds are no-ops)."""
+    steps = []
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        cur = f"d{r}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT ew.dst AS node, p.dist + ew.c AS dist
+    FROM {prev} p JOIN ew ON ew.src = p.node
+  ) GROUP BY node
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_USER_EDGES},
+ew AS MATERIALIZED (
+  SELECT src, dst, MIN(FLOOR(w * 100.0 + 0.5)) AS c
+  FROM user_edges GROUP BY src, dst
+),
+seed AS (SELECT MIN(src) AS v FROM user_edges),
+d0 AS MATERIALIZED (SELECT v AS node, 0 AS dist FROM seed),
+{chain}
+SELECT node AS vid, CAST(dist AS BIGINT) AS dist_cents FROM {prev}
+"""
 
 
 # --------------------------------------------------------- matching/layout
@@ -819,8 +934,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triplet_count": _q_triplets,
         "copurchase_reciprocity": _q_reciprocity,
         "copurchase_pagerank": _q_pagerank,
+        "copurchase_pagerank_5iter": _q_pagerank5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa": _q_lpa,
+        "copurchase_lpa_3iter": _q_lpa3,
+        "copurchase_hits_3iter": _q_hits3,
         "copurchase_kcore4": _q_kcore,
         "copurchase_kcore_avg": _q_kcore_avg,
         "copurchase_hits": _q_hits,
@@ -845,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_bipartite_projection": _q_user_bipartite_projection,
         "user_seir": _q_user_seir,
         "user_max_weight_matching": _q_user_matching,
+        "user_dijkstra_cents": _q_user_dijkstra,
         "user_fr_layout": _q_user_fr_layout,
         "user_motifs": _q_user_motifs,
         "user_local_motifs": _q_user_local_motifs,
@@ -919,6 +1038,136 @@ _WCC_LAB = """lab AS (
 comp AS (SELECT node AS vid, MIN(label) AS component FROM lab GROUP BY node)"""
 
 _SRC0 = "(SELECT MIN(LEAST(src, dst)) FROM dedup)"
+
+
+def _pagerank5_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled PageRank recurrence (pagerank.rs:88-156 semantics: dedup'd
+    directed edges incl. self-loops, outdeg = distinct out-edges, sink mass
+    redistributed, init 1/n). AS MATERIALIZED throughout (DuckDB 1.0 CTE
+    inlining)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        steps.append(f"""sink{k} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.score), 0) AS s
+  FROM {prev} r LEFT JOIN od ON r.node = od.node
+  WHERE od.node IS NULL
+),
+{cur} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * COALESCE(c.contrib, 0)
+         + {d} * (SELECT s FROM sink{k}) / (SELECT n FROM nn) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.score / od.od) AS contrib
+    FROM dedup e
+    JOIN {prev} r ON e.src = r.node
+    JOIN od ON e.src = od.node
+    GROUP BY e.dst
+  ) c ON nodes.node = c.node
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+od AS MATERIALIZED (
+  SELECT src AS node, COUNT(*)::DOUBLE AS od FROM dedup GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes
+),
+{chain}
+SELECT node AS vid,
+       CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS pr_q FROM {prev}
+"""
+
+
+def _lpa3_sql(iters: int = 3) -> str:
+    """Unrolled synchronous LPA (label_propagation.rs:60-84): votes = one
+    per distinct undirected neighbour's prev label (self-loops put the node
+    among its own neighbours) + the node's own prev label; winner = max
+    count, ties to the LARGEST label. Labels are original part ids (the
+    engine's dense vids are rank-order isomorphic, so tie-breaks agree)."""
+    steps = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        cur = f"l{k}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label DESC) AS rn
+    FROM (
+      SELECT node, label, COUNT(*) AS c FROM (
+        SELECT und.u AS node, p.label FROM und JOIN {prev} p
+          ON und.v = p.node
+        UNION ALL
+        SELECT node, label FROM {prev}
+      ) GROUP BY node, label
+    )
+  ) WHERE rn = 1
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+undm AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM dedup
+  UNION
+  SELECT dst AS u, src AS v FROM dedup
+),
+und AS (SELECT * FROM undm),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+{chain}
+SELECT node AS vid, label FROM {prev}
+"""
+
+
+def _hits3_sql(iters: int = 3) -> str:
+    """Unrolled HITS (hits.rs:53-158): auth' = Σ_in hub / Σ-total,
+    hub' = Σ_out auth / Σ-total, init hub = auth = 1."""
+    steps = []
+    ph, pa_ = "h0", "a0"
+    for k in range(1, iters + 1):
+        steps.append(f"""rh{k} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(x.v, 0) AS v FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.v) AS v FROM dedup e
+    JOIN {ph} h ON e.src = h.node GROUP BY e.dst) x
+  ON nodes.node = x.node
+),
+ra{k} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(x.v, 0) AS v FROM nodes LEFT JOIN (
+    SELECT e.src AS node, SUM(a.v) AS v FROM dedup e
+    JOIN {pa_} a ON e.dst = a.node GROUP BY e.src) x
+  ON nodes.node = x.node
+),
+a{k} AS MATERIALIZED (
+  SELECT node, v / NULLIF((SELECT SUM(v) FROM rh{k}), 0) AS v FROM rh{k}
+),
+h{k} AS MATERIALIZED (
+  SELECT node, v / NULLIF((SELECT SUM(v) FROM ra{k}), 0) AS v FROM ra{k}
+)""")
+        ph, pa_ = f"h{k}", f"a{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
+a0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
+{chain}
+SELECT h.node AS vid,
+       CAST(FLOOR(h.v * 1e9 + 0.5) AS BIGINT) AS hub_q,
+       CAST(FLOOR(a.v * 1e9 + 0.5) AS BIGINT) AS auth_q
+FROM {ph} h JOIN {pa_} a ON h.node = a.node
+"""
 
 
 def _kcore_avg_sql(rounds: int = 16) -> str:
@@ -1041,6 +1290,10 @@ deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u)
 SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
         "copurchase_kcore_avg": _kcore_avg_sql(),
+        "copurchase_pagerank_5iter": _pagerank5_sql(),
+        "copurchase_lpa_3iter": _lpa3_sql(),
+        "copurchase_hits_3iter": _hits3_sql(),
+        "user_dijkstra_cents": _dijkstra_sql(),
         "copurchase_density": f"""
 WITH {_PAIRS}, {_DEDUP},
 nn AS (SELECT COUNT(*) AS n FROM (SELECT src AS x FROM dedup
