@@ -146,15 +146,24 @@ def _one_level(u, v, w, self_w, k, n, resolution, tol, rng, max_passes=64):
     prev_com = com.copy()
     prev_gain = np.inf
     stall = 0
+    # active-set pruning: after the first pass, only nodes adjacent to a
+    # mover (or movers themselves) can discover a better community, so
+    # later passes sort/score only that shrinking edge subset (classic
+    # sequential-Louvain queue optimization, vectorized)
+    active = np.ones(n, dtype=bool)
     # random per-pass tie-perturbation stands in for the reference's node
     # shuffle (louvain.rs:52): symmetric ties break arbitrarily, not by id
     for _ in range(max_passes):
         k_com = _group_sum(com, k, n)
-        cv = com[v]
+        au = active[u]
+        u_a, v_a, w_a = u[au], v[au], w[au]
+        if len(u_a) == 0:
+            break
+        cv = com[v_a]
         # per (u, com(v)) neighbour-community weights, self-edges excluded
         # at construction; sort once, segment-reduce
-        order = np.lexsort((cv, u))
-        uu, cc, ww = u[order], cv[order], w[order]
+        order = np.lexsort((cv, u_a))
+        uu, cc, ww = u_a[order], cv[order], w_a[order]
         seg = np.r_[True, (uu[1:] != uu[:-1]) | (cc[1:] != cc[:-1])]
         sidx = np.flatnonzero(seg)
         su = uu[sidx]
@@ -197,6 +206,11 @@ def _one_level(u, v, w, self_w, k, n, resolution, tol, rng, max_passes=64):
         prev_com = com.copy()
         com[bu] = bc
         moved_any = True
+        moved = np.zeros(n, dtype=bool)
+        moved[bu] = True
+        active = np.zeros(n, dtype=bool)
+        active[bu] = True
+        active[u[moved[v]]] = True        # neighbours of movers
         # stagnation cutoff: longer limit cycles repeat the same gain; a
         # genuine refinement strictly shrinks it pass over pass
         if gain >= prev_gain * 0.999:
