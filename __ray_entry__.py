@@ -405,6 +405,28 @@ def _q_user_filtered_out_degree(sf_dir: str) -> pa.Table:
     return _nodestate_table(vids, deg, "out_degree", pa.int64(), keep=deg > 0)
 
 
+def _q_user_props_sum(sf_dir: str) -> pa.Table:
+    """Temporal edge property extracted from the events' JSON props column
+    (vectorized Arrow regex — no per-row Python), filtered with the
+    FilterExpr algebra (Prop('pk') > 50), per-dst sums via distributed
+    partials."""
+    from raphtory_ray.graph.filter import Prop
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.pipelines.tpch_graph import user_edges, user_vertex_count
+    n = user_vertex_count(sf_dir)
+    gf = GraphFrame(user_edges(sf_dir, keep_props=True), n)
+    gf2 = gf.filter_exploded_edges(Prop("pk") > 50)
+    tot = np.zeros(n, np.int64)
+    for b in gf2.edges.select_columns(["dst", "pk"]).iter_batches(
+            batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(tot, b["dst"].to_numpy(zero_copy_only=False),
+                      b["pk"].to_numpy(zero_copy_only=False))
+    vids = np.flatnonzero(tot > 0)
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "pk_sum": pa.array(tot[vids], pa.int64())})
+
+
 def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
     """Edge-level filter, LATEST semantics (edge_property_filtered_graph.rs:
     an edge passes iff its latest event's property matches; ALL its events
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_temporal_reach": _q_user_temporal_reach,
         "user_filtered_out_degree": _q_user_filtered_out_degree,
         "user_edge_latest_filter": _q_user_edge_latest_filter,
+        "user_props_sum": _q_user_props_sum,
         "user_node_filter": _q_user_node_filter,
         "user_louvain": _q_user_louvain,
         "user_modularity_singletons": _q_user_modularity_singletons,
@@ -1419,6 +1442,17 @@ typed AS (
 filt AS (SELECT * FROM typed WHERE etype = 'purchase' AND ew > 50.0)
 SELECT src AS vid, COUNT(DISTINCT dst)::BIGINT AS out_degree
 FROM filt GROUP BY src
+""",
+        "user_props_sum": f"""
+WITH typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
+         CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS pk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL
+)
+SELECT dst AS vid, SUM(pk)::BIGINT AS pk_sum
+FROM typed WHERE pk > 50 GROUP BY dst
 """,
         "user_edge_latest_filter": f"""
 WITH {_USER_EDGES},

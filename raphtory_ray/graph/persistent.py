@@ -181,6 +181,13 @@ class PersistentGraphFrame:
         self._layers = _layers
         self._times = _times          # cached (earliest, latest)
 
+    @property
+    def edges(self):
+        """Event Dataset alias — lets the WindowSet helpers
+        (algorithms.extra.rolling/expanding) and other Dataset-facing code
+        drive persistent views unchanged."""
+        return self.events
+
     # ------------------------------------------------------------- views
     def _derive(self, bounds=None, valid=None, layers=None):
         g = PersistentGraphFrame(

@@ -105,15 +105,19 @@ def copurchase_graph(sf_dir: str):
     return GraphFrame(copurchase_edges(sf_dir), n=part_vertex_count(sf_dir))
 
 
-def user_edges(sf_dir: str, keep_type: bool = False) -> rd.Dataset:
+def user_edges(sf_dir: str, keep_type: bool = False,
+               keep_props: bool = False) -> rd.Dataset:
     """Temporal user→user edges: LEAD(user_id) within event_type in
     (ts, event_id) order; t = epoch_ms(ts) of the source event. With
     ``keep_type`` the source event's type rides along as a temporal edge
-    property column ``etype`` (Prop-system parity: properties are just
-    extra event columns)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id", "event_type",
-                                  "value"])
+    property column ``etype``; with ``keep_props`` the source event's
+    props.k integer is extracted (vectorized regex over the JSON string)
+    into column ``pk`` (Prop-system parity: properties are just extra
+    event columns)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    if keep_props:
+        cols.append("props")
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
     def lead(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["ts", "event_id"], kind="stable")
@@ -127,6 +131,8 @@ def user_edges(sf_dir: str, keep_type: bool = False) -> rd.Dataset:
                    "w": pa.array([], pa.float64())}
             if keep_type:
                 out["etype"] = pa.array([], pa.string())
+            if keep_props:
+                out["pk"] = z
             return pa.table(out)
         out = {"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
                "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1]),
@@ -134,6 +140,12 @@ def user_edges(sf_dir: str, keep_type: bool = False) -> rd.Dataset:
         if keep_type:
             out["etype"] = pa.array(df["event_type"].to_numpy()[:-1],
                                     pa.string())
+        if keep_props:
+            import pyarrow.compute as pc
+            m = pc.extract_regex(pa.array(df["props"].to_numpy()[:-1],
+                                          pa.string()),
+                                 r'"k": (?P<k>-?\d+)')
+            out["pk"] = pc.struct_field(m, "k").cast(pa.int64())
         return pa.table(out)
 
     return ev.groupby("event_type").map_groups(lead, batch_format="pandas")

@@ -132,6 +132,18 @@ def test_graph_type_swap(ray_session):
     assert w.count_edges() == 1
 
 
+def test_rolling_over_persistent(ray_session):
+    """WindowSet helpers drive persistent views: per-window active-edge
+    counts follow the deletion intervals."""
+    from raphtory_ray.algorithms.extra import rolling
+    g = _pg(ray_session, [(0, 0, 1, A), (4, 0, 1, D), (6, 2, 3, A)])
+    views = rolling(g, window=2, step=2)
+    counts = [v.count_edges() for v in views]
+    # windows [0,2),[2,4),[4,6),[6,8): edge (0,1) active on [0,4);
+    # (2,3) added at 6
+    assert counts == [1, 1, 0, 1]
+
+
 def test_snapshot_semantics(ray_session):
     from raphtory_ray.graph.persistent import persistent_graph
     import ray.data as rd
