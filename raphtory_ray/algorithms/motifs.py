@@ -307,6 +307,18 @@ def _pair_merge(*pieces):
 
 
 @ray.remote
+def _split_triples(triples, R: int):
+    """Fan a triple block into R chunks so the per-triangle counting loops
+    parallelize beyond the (adaptive, possibly small) wedge grid."""
+    x, y, z = triples
+    out = []
+    for r in range(R):
+        sl = slice(r, None, R)
+        out.append((x[sl], y[sl], z[sl]))
+    return tuple(out) if R > 1 else out[0]
+
+
+@ray.remote
 def _pair_subset_n(pair_part, n: int, *triple_pieces):
     """Ship ONLY the pair rows this triple partition's triangles touch
     (sorted-key range selection — the distributed semi-join)."""
@@ -412,14 +424,25 @@ def temporal_three_node_motif_multi(gf, deltas) -> np.ndarray:
     member[core] = True
     triples = _triangles_of(g, member)        # list of per-partition refs
     member_ref = ray.put(member)
-    psplits = [_pair_split.options(num_returns=P if P > 1 else 1)
-               .remote(r, gf.n, P, member_ref) for r in refs]
+    # pair partitions stay at P: an A/B at sf0.1 measured Pp=4 at 17.5s vs
+    # Pp=32 at 6.3s — smaller pair partitions serialize the subset scans
+    Pp = P
+    psplits = [_pair_split.options(num_returns=Pp if Pp > 1 else 1)
+               .remote(r, gf.n, Pp, member_ref) for r in refs]
     pair_parts = [_pair_merge.remote(*[piece(s, q) for s in psplits])
-                  for q in range(P)]
-    Q = len(triples)
-    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, triples[q])
-             for p in range(P)] for q in range(Q)]
-    tri_futs = [_triple_motifs.remote(deltas, gf.n, triples[q], *subs[q])
+                  for q in range(Pp)]
+    # fan triple blocks out to ~32 count tasks regardless of the (adaptive)
+    # wedge grid size — the per-triangle counting loop is the hot part
+    R = max(1, 32 // max(len(triples), 1))
+    tchunks = []
+    for tr in triples:
+        parts = _split_triples.options(num_returns=R if R > 1 else 1)\
+            .remote(tr, R)
+        tchunks += list(parts) if R > 1 else [parts]
+    Q = len(tchunks)
+    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, tchunks[q])
+             for p in range(Pp)] for q in range(Q)]
+    tri_futs = [_triple_motifs.remote(deltas, gf.n, tchunks[q], *subs[q])
                 for q in range(Q)]
 
     star = np.sum(ray.get(star_futs), axis=0)
@@ -553,14 +576,23 @@ def local_temporal_three_node_motifs(gf, deltas) -> np.ndarray:
     member[core] = True
     triples = _triangles_of(g, member)
     member_ref = ray.put(member)
-    psplits = [_pair_split.options(num_returns=P if P > 1 else 1)
-               .remote(r, gf.n, P, member_ref) for r in refs]
+    # pair partitions stay at P: an A/B at sf0.1 measured Pp=4 at 17.5s vs
+    # Pp=32 at 6.3s — smaller pair partitions serialize the subset scans
+    Pp = P
+    psplits = [_pair_split.options(num_returns=Pp if Pp > 1 else 1)
+               .remote(r, gf.n, Pp, member_ref) for r in refs]
     pair_parts = [_pair_merge.remote(*[piece(s, q) for s in psplits])
-                  for q in range(P)]
-    Q = len(triples)
-    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, triples[q])
-             for p in range(P)] for q in range(Q)]
-    tri_futs = [_triple_motifs_local.remote(deltas, gf.n, triples[q],
+                  for q in range(Pp)]
+    R = max(1, 32 // max(len(triples), 1))
+    tchunks = []
+    for tr in triples:
+        parts = _split_triples.options(num_returns=R if R > 1 else 1)\
+            .remote(tr, R)
+        tchunks += list(parts) if R > 1 else [parts]
+    Q = len(tchunks)
+    subs = [[_pair_subset_n.remote(pair_parts[p], gf.n, tchunks[q])
+             for p in range(Pp)] for q in range(Q)]
+    tri_futs = [_triple_motifs_local.remote(deltas, gf.n, tchunks[q],
                                             *subs[q]) for q in range(Q)]
 
     out = np.zeros((gf.n, len(deltas), 40), np.int64)
