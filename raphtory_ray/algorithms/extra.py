@@ -188,12 +188,133 @@ def betweenness_centrality(gf, k: int | None = None,
 
 # -------------------------------------------------------------- WindowSet
 
+# ------------------------------------------------ calendar intervals
+
+_UNIT_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+_UNIT_RANK = {"millisecond": 0, "second": 1, "minute": 2, "hour": 3,
+              "day": 4, "week": 5, "month": 6, "year": 7}
+
+
+def _parse_interval(x):
+    """'1 month and 1 day' → (months, millis, smallest_unit);
+    ints pass through as discrete ms (NO alignment —
+    test_rolling_no_alignment_for_discrete_ms)."""
+    import re
+    if isinstance(x, (int, np.integer)):
+        return None
+    toks = re.findall(r"(\d+)\s*"
+                      r"(year|month|week|day|hour|minute|second|millisecond)"
+                      r"s?", str(x).lower())
+    if not toks:
+        raise ValueError(f"cannot parse interval {x!r}")
+    months = 0
+    millis = 0
+    smallest = None
+    for num, unit in toks:
+        n = int(num)
+        if unit == "year":
+            months += 12 * n
+        elif unit == "month":
+            months += n
+        else:
+            millis += n * _UNIT_MS[unit]
+        if smallest is None or _UNIT_RANK[unit] < _UNIT_RANK[smallest]:
+            smallest = unit
+    return months, millis, smallest
+
+
+def _add_months(t_ms: int, m: int) -> int:
+    """Calendar month addition in UTC, day clamped to month length
+    (chrono checked_add_months semantics)."""
+    import calendar
+    import datetime as dt
+    d = dt.datetime.fromtimestamp(t_ms / 1000.0, dt.timezone.utc)
+    total = d.year * 12 + (d.month - 1) + m
+    y, mo = divmod(total, 12)
+    day = min(d.day, calendar.monthrange(y, mo + 1)[1])
+    nd = d.replace(year=y, month=mo + 1, day=day)
+    return int(nd.timestamp() * 1000)
+
+
+def _interval_add(t_ms: int, months: int, millis: int, k: int) -> int:
+    out = _add_months(t_ms, months * k) if months else t_ms
+    return out + millis * k
+
+
+def _interval_sub(t_ms: int, months: int, millis: int) -> int:
+    out = _add_months(t_ms, -months) if months else t_ms
+    return out - millis
+
+
+def _align_floor(t_ms: int, unit: str) -> int:
+    """Floor to the unit boundary: fixed-size units floor to epoch
+    multiples (weeks = multiples of 7 days since 1970-01-01, reference
+    test_week_alignment_epoch_buckets); month/year floor via UTC
+    calendar."""
+    import datetime as dt
+    if unit in _UNIT_MS:
+        u = _UNIT_MS[unit]
+        return (t_ms // u) * u
+    d = dt.datetime.fromtimestamp(t_ms / 1000.0, dt.timezone.utc)
+    if unit == "month":
+        d = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    else:                                     # year
+        d = d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                      microsecond=0)
+    return int(d.timestamp() * 1000)
+
+
+def _calendar_windows(gf, window, step, alignment_unit, expanding_mode,
+                      start, end):
+    """Shared WindowSet generator for calendar-interval rolling/expanding
+    (time.rs rolling_aligned/expanding_aligned + WindowSet iterator):
+    aligned_lo = floor(view start, unit); end_k = aligned_lo + k·step;
+    window views [end_k − window, end_k), expanding views [None, end_k);
+    stop when end_k ≥ hi + step (overstep guard: start ≥ hi)."""
+    wiv = _parse_interval(window)
+    siv = _parse_interval(step) if step is not None else wiv
+    assert wiv is not None or siv is not None
+    wm, wms, wunit = wiv if wiv else (0, int(window), None)
+    sm, sms, sunit = siv if siv else (0, int(step), None)
+    if alignment_unit == "unaligned":
+        unit = None
+    elif alignment_unit:
+        unit = alignment_unit.rstrip("s")
+    else:
+        units = [u for u in (wunit, sunit) if u]
+        unit = min(units, key=lambda u: _UNIT_RANK[u]) if units else None
+    lo, hi = _time_bounds(gf, start, end)
+    lo_al = _align_floor(lo, unit) if unit else lo
+    views = []
+    k = 1
+    while True:
+        e = _interval_add(lo_al, sm, sms, k)
+        if e >= _interval_add(hi, sm, sms, 1):
+            break
+        if expanding_mode:
+            views.append(gf.window(None, e))
+        else:
+            s = _interval_sub(e, wm, wms)
+            if s >= hi:
+                break
+            views.append(gf.window(s, e))
+        k += 1
+    return views
+
+
 def expanding(gf: GraphFrame, step: int, start: int | None = None,
-              end: int | None = None):
+              end: int | None = None, alignment_unit: str | None = None):
     """Expanding WindowSet (WindowSet iterator, time.rs:470-495): views
     [view_start, b) for b = start+step, start+2·step, … while b < end+step.
     Ends are NOT clamped — a windowed parent's bound intersection clamps
-    the exposed end (time_tests.rs:151-175)."""
+    the exposed end (time_tests.rs:151-175). Calendar-interval steps
+    ('1 day', '1 month') align ends to the unit boundary
+    (test_rolling_expanding_alignment.py; alignment_unit overrides,
+    'unaligned' disables)."""
+    if isinstance(step, str) or alignment_unit:
+        return _calendar_windows(gf, step, step, alignment_unit, True,
+                                 start, end)
     lo, hi = _time_bounds(gf, start, end)
     b = lo + step
     views = []
@@ -204,12 +325,21 @@ def expanding(gf: GraphFrame, step: int, start: int | None = None,
 
 
 def rolling(gf: GraphFrame, window: int, step: int | None = None,
-            start: int | None = None, end: int | None = None):
+            start: int | None = None, end: int | None = None,
+            alignment_unit: str | None = None):
     """Rolling WindowSet (time.rs:470-495): [b-window, b) for
     b = start+step, start+2·step, … while b < end+step, stopping when
     b-window >= end (the overstep guard). The last window may overhang the
     data (time_tests.rs:57-80: timeline(1,6).rolling(3,2) ends (4,7));
-    windowed parents clamp via nested-bound intersection."""
+    windowed parents clamp via nested-bound intersection.
+
+    Calendar-interval windows/steps ('1 month', '1 month and 1 day') align
+    the anchor to the SMALLEST unit present (month windows start at
+    month-1sts; weeks are epoch-week multiples); plain ints stay unaligned
+    (test_rolling_expanding_alignment.py)."""
+    if isinstance(window, str) or isinstance(step, str) or alignment_unit:
+        return _calendar_windows(gf, window, step, alignment_unit, False,
+                                 start, end)
     step = step or window
     lo, hi = _time_bounds(gf, start, end)
     b = lo + step

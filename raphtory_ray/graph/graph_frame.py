@@ -94,6 +94,16 @@ class GraphFrame:
     def after(self, t: int) -> "GraphFrame":
         return self.window(t + 1, None)
 
+    def snapshot_at(self, t: int) -> "GraphFrame":
+        """Event-graph snapshot = before(t+1) (time.rs:265-270; the
+        PersistentGraphFrame overrides this with at(t))."""
+        return self.before(t + 1)
+
+    def snapshot_latest(self) -> "GraphFrame":
+        lt = self.latest_time()
+        return self.snapshot_at(lt if lt is not None
+                                else np.iinfo(np.int64).min)
+
     def layer(self, layers: str | Sequence[str]) -> "GraphFrame":
         """Restrict to edge events of the given layer(s) (layer_graph.rs)."""
         if isinstance(layers, str):

@@ -157,3 +157,6 @@ def test_snapshot_semantics(ray_session):
     assert pg.count_edges() == 3
     assert pg.snapshot_at(15).count_edges() == 2
     assert pg.snapshot_latest().count_edges() == 3
+    # event-graph snapshot = before(t+1) (time.rs:265-270)
+    assert gf.snapshot_at(2).count_temporal_edges() == 2
+    assert gf.snapshot_latest().count_temporal_edges() == 3
