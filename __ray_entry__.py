@@ -150,10 +150,13 @@ def _q_pagerank5(sf_dir: str) -> pa.Table:
     variant stays rows-only because its iteration count is data-dependent)."""
     _, g, ids = _copurchase(sf_dir)
     scores, _it, _ = g.pagerank(iter_count=5, tol=0.0)
-    # quantize to a 1e-9 grid: the driver's value compare hashes floats
+    # quantize to a 1e-9 grid with a +1e-7 boundary shift: rational
+    # scores (k/n sums) land EXACTLY on .5 decimal boundaries where 1-ulp
+    # cross-system noise flips FLOOR; the shift moves the boundary off all
+    # plausible rationals. The driver's value compare hashes floats
     # BIT-exactly, and Ray-vs-DuckDB summation orders differ in the last
     # ulp (measured |diff| ~1e-18 — nine orders below the grid)
-    q = np.floor(scores * 1e9 + 0.5).astype(np.int64)
+    q = np.floor(scores * 1e9 + 0.5000001).astype(np.int64)
     return pa.table({"vid": pa.array(ids, pa.int64()),
                      "pr_q": pa.array(q, pa.int64())})
 
@@ -175,8 +178,8 @@ def _q_hits3(sf_dir: str) -> pa.Table:
     hub, auth, _it = g.hits(iter_count=3, tol=0.0)
     return pa.table({
         "vid": pa.array(ids, pa.int64()),
-        "hub_q": pa.array(np.floor(hub * 1e9 + 0.5).astype(np.int64)),
-        "auth_q": pa.array(np.floor(auth * 1e9 + 0.5).astype(np.int64))})
+        "hub_q": pa.array(np.floor(hub * 1e9 + 0.5000001).astype(np.int64)),
+        "auth_q": pa.array(np.floor(auth * 1e9 + 0.5000001).astype(np.int64))})
 
 
 def _q_wcc(sf_dir: str) -> pa.Table:
@@ -902,6 +905,20 @@ def _q_corpus_pagerank(sf_dir: str) -> pa.Table:
     return pagerank(_corpus_graph(sf_dir)).to_arrow()
 
 
+def _q_corpus_pagerank5(sf_dir: str) -> pa.Table:
+    """End-to-end value check of the WHOLE corpus pipeline: ingest (regex
+    extraction, gid→vid resolution) feeding PageRank forced to 5 supersteps,
+    compared against DuckDB re-deriving extraction + the unrolled recurrence
+    from the same parquet. 1e-9 quantized (see copurchase_pagerank_5iter)."""
+    gf = _corpus_graph(sf_dir)
+    scores, _it, _ = gf._bsp.pagerank(iter_count=5, tol=0.0)
+    q = np.floor(scores * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({
+        "vid": pa.array(np.arange(gf.n), pa.int64()),
+        "gid": gf.vertices["gid"],
+        "pr_q": pa.array(q, pa.int64())})
+
+
 def _q_corpus_wcc(sf_dir: str) -> pa.Table:
     from raphtory_ray.algorithms import weakly_connected_components
     return weakly_connected_components(_corpus_graph(sf_dir)).to_arrow()
@@ -1006,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup": _q_embedding_dedup,
         "corpus_files": _q_corpus_files,
         "corpus_pagerank": _q_corpus_pagerank,
+        "corpus_pagerank_5iter": _q_corpus_pagerank5,
         "corpus_wcc": _q_corpus_wcc,
         "corpus_triangle_count": _q_corpus_triangles,
         "corpus_repo_edges": _q_corpus_repo_edges,
@@ -1063,7 +1081,8 @@ comp AS (SELECT node AS vid, MIN(label) AS component FROM lab GROUP BY node)"""
 _SRC0 = "(SELECT MIN(LEAST(src, dst)) FROM dedup)"
 
 
-def _pagerank5_sql(iters: int = 5, d: float = 0.85) -> str:
+def _pagerank5_sql(iters: int = 5, d: float = 0.85, base: str | None = None,
+                   final: str | None = None) -> str:
     """Unrolled PageRank recurrence (pagerank.rs:88-156 semantics: dedup'd
     directed edges incl. self-loops, outdeg = distinct out-edges, sink mass
     redistributed, init 1/n). AS MATERIALIZED throughout (DuckDB 1.0 CTE
@@ -1092,11 +1111,16 @@ def _pagerank5_sql(iters: int = 5, d: float = 0.85) -> str:
 )""")
         prev = cur
     chain = ",\n".join(steps)
-    return f"""
-WITH {_PAIRS}, {_DEDUP},
+    if base is None:
+        base = f"""{_PAIRS}, {_DEDUP},
 nodes AS MATERIALIZED (
   SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
-),
+)"""
+    if final is None:
+        final = """SELECT node AS vid,
+       CAST(FLOOR(score * 1e9 + 0.5000001) AS BIGINT) AS pr_q FROM {prev}"""
+    return f"""
+WITH {base},
 nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
 od AS MATERIALIZED (
   SELECT src AS node, COUNT(*)::DOUBLE AS od FROM dedup GROUP BY src
@@ -1105,8 +1129,7 @@ r0 AS MATERIALIZED (
   SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes
 ),
 {chain}
-SELECT node AS vid,
-       CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS pr_q FROM {prev}
+{final.replace('{prev}', prev)}
 """
 
 
@@ -1187,8 +1210,8 @@ h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
 a0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
 {chain}
 SELECT h.node AS vid,
-       CAST(FLOOR(h.v * 1e9 + 0.5) AS BIGINT) AS hub_q,
-       CAST(FLOOR(a.v * 1e9 + 0.5) AS BIGINT) AS auth_q
+       CAST(FLOOR(h.v * 1e9 + 0.5000001) AS BIGINT) AS hub_q,
+       CAST(FLOOR(a.v * 1e9 + 0.5000001) AS BIGINT) AS auth_q
 FROM {ph} h JOIN {pa_} a ON h.node = a.node
 """
 
@@ -1723,6 +1746,23 @@ tri AS (
 SELECT COUNT(*)::BIGINT AS n_triangles FROM tri
 """,
         "corpus_wcc": _corpus_wcc_sql(ce),
+        "corpus_pagerank_5iter": _pagerank5_sql(
+            base=f"""{ce},
+verts AS MATERIALIZED (
+  SELECT gid, ROW_NUMBER() OVER (ORDER BY gid) - 1 AS vid
+  FROM (SELECT DISTINCT gid FROM lines)
+),
+ed AS (
+  SELECT sv.vid AS src, dv.vid AS dst
+  FROM (SELECT DISTINCT src_gid, dst_gid FROM cedges) e
+  JOIN verts sv ON e.src_gid = sv.gid
+  JOIN verts dv ON e.dst_gid = dv.gid
+),
+dedup AS MATERIALIZED (SELECT DISTINCT src, dst FROM ed),
+nodes AS MATERIALIZED (SELECT vid AS node FROM verts)""",
+            final="""SELECT r.node AS vid, v.gid,
+       CAST(FLOOR(r.score * 1e9 + 0.5000001) AS BIGINT) AS pr_q
+FROM {prev} r JOIN verts v ON r.node = v.vid"""),
     }
 
 

@@ -78,9 +78,15 @@ class GraphFrame:
                 m = m2 if m is None else pc.and_(m, m2)
             return b if m is None else b.filter(m)
 
+        ne = self.node_events
+        if ne is not None:
+            # node-property events are window-filtered too
+            # (test_history.py:35-38: windowed node history)
+            ne = ne.map_batches(filt, batch_format="pyarrow",
+                                zero_copy_batch=True)
         g = GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
                                               zero_copy_batch=True),
-                       self.n, self.vertices, self.node_events)
+                       self.n, self.vertices, ne)
         # reference views expose their bounds (GraphView.start/end, time.rs)
         g.start, g.end = lo, hi
         return g
@@ -239,7 +245,10 @@ class GraphFrame:
         return lo, hi
 
     def node_history(self, vid: int) -> np.ndarray:
-        """Sorted event times touching the node (node.rs history())."""
+        """Sorted event times touching the node (node.rs history()):
+        incident edge events PLUS temporal node-property updates — the
+        reference's history multiset counts both (test_history.py:30-42,
+        same timestamp appears once per event)."""
         def filt(b: pa.Table) -> pa.Table:
             s = b["src"].to_numpy(zero_copy_only=False)
             d = b["dst"].to_numpy(zero_copy_only=False)
@@ -249,6 +258,15 @@ class GraphFrame:
               for t in self.edges.map_batches(filt, batch_format="pyarrow",
                                               zero_copy_batch=True)
               .iter_batches(batch_format="pyarrow") if t.num_rows]
+        if self.node_events is not None:
+            def nfilt(b: pa.Table) -> pa.Table:
+                v = b["vid"].to_numpy(zero_copy_only=False)
+                return b.select(["t"]).filter(pa.array(v == vid))
+
+            ts += [t["t"].to_numpy(zero_copy_only=False)
+                   for t in self.node_events.map_batches(
+                       nfilt, batch_format="pyarrow", zero_copy_batch=True)
+                   .iter_batches(batch_format="pyarrow") if t.num_rows]
         return np.sort(np.concatenate(ts)) if ts else np.empty(0, np.int64)
 
     def edge_history(self, src: int, dst: int) -> np.ndarray:

@@ -162,6 +162,35 @@ def test_window_bounds_intersect(ray_session):
     assert len(_events(w)) == 1
 
 
+def test_history_includes_node_events(ray_session):
+    """test_history.py:30-42 fixture (Dumbledore=0, Harry=1): node history
+    = incident edge events + temporal node-property updates, multiset."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    ne = pa.table({
+        "vid": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+        "t": pa.array([100, 200, 300, 150, 250, 350], pa.int64()),
+        "event_id": pa.array(np.arange(6), pa.int64()),
+        "Age": pa.array([None, 50, 51, None, 20, 21], pa.int64())})
+    edges = pa.table({
+        "src": pa.array([0, 0, 0, 0], pa.int64()),
+        "dst": pa.array([1, 1, 1, 1], pa.int64()),
+        "t": pa.array([150, 200, 300, 350], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "layer": pa.array(["communication", "friendship", "communication",
+                           "friendship"], pa.string())})
+    gf = GraphFrame(rd.from_arrow(edges), 2, node_events=rd.from_arrow(ne))
+    assert gf.node_history(0).tolist() == [100, 150, 200, 200, 300, 300, 350]
+    assert gf.edge_history(0, 1).tolist() == [150, 200, 300, 350]
+    # windowed node history (test_history.py:35-38) — node events are
+    # window-filtered too
+    assert gf.window(0, 150).node_history(0).tolist() == [100]
+    assert gf.window(150, 300).node_history(0).tolist() == [150, 200, 200]
+    assert gf.window(300, 450).node_history(0).tolist() == [300, 300, 350]
+    assert gf.window(0, 150).edge_history(0, 1).tolist() == []
+    assert gf.window(150, 300).edge_history(0, 1).tolist() == [150, 200]
+
+
 def test_latest_node_properties(ray_session):
     import ray.data as rd
     from raphtory_ray.graph.graph_frame import GraphFrame
