@@ -70,6 +70,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     gf, files_ds = _ingest()
     queries["ingest"] = min(w1, time.perf_counter() - t0)
 
+    # drop the ingest-side Dataset handles before the algorithm section:
+    # lingering streaming-executor state + pinned intermediate blocks from
+    # the ingest pipeline double per-superstep latency (measured round 3 —
+    # this was the round-2 "pagerank regression": 0.61 s with handles held
+    # vs 0.29 s after releasing them)
+    import gc
+    del files_ds
+    gc.collect()
+
     nb = int(os.environ.get("RAY_GRAFT_BLOCKS", "0")) or None
     t0 = time.perf_counter()
     g = BspGraph.from_graph(gf, num_blocks=nb)
