@@ -256,6 +256,23 @@ def _q_in_component(sf_dir: str) -> pa.Table:
     return pa.table({"vid": pa.array(ids[members], pa.int64())})
 
 
+def _q_out_components_k50(sf_dir: str) -> pa.Table:
+    """Descendant sets of the 50 smallest node ids via the DISTRIBUTED
+    frontier-pair closure supersteps (out_components.rs:65-221;
+    algorithms/components.py — row-partitioned seen bitsets, candidate
+    pairs routed by owner hash, driver sees only O(P) counts per round)."""
+    import ray
+    _, g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms.components import closure_dataset
+    sources = np.arange(min(50, g.n), dtype=np.int64)
+    ds = closure_dataset(g, reverse=False, sources=sources)
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    node = tbl["node"].to_numpy(zero_copy_only=False)
+    member = tbl["member"].to_numpy(zero_copy_only=False)
+    return pa.table({"node": pa.array(ids[node], pa.int64()),
+                     "member": pa.array(ids[member], pa.int64())})
+
+
 def _q_clustering(sf_dir: str) -> pa.Table:
     """Local clustering coefficient (clustering_coefficient/local.rs):
     triangles(v) / C(deg_excl_self(v), 2) over nodes with deg ≥ 2."""
@@ -985,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_sssp_hops": _q_sssp_hops,
         "copurchase_out_component": _q_out_component,
         "copurchase_in_component": _q_in_component,
+        "copurchase_out_components_k50": _q_out_components_k50,
         "copurchase_clustering": _q_clustering,
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
@@ -1414,6 +1432,17 @@ reach AS (
   SELECT dedup.src FROM reach JOIN dedup ON dedup.dst = reach.node
 )
 SELECT node AS vid FROM reach
+""",
+        "copurchase_out_components_k50": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+srcs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dedup
+         UNION ALL SELECT dst FROM dedup) ORDER BY v LIMIT 50),
+reach AS (
+  SELECT s.v AS node, d.dst AS member FROM srcs s JOIN dedup d ON d.src = s.v
+  UNION
+  SELECT r.node, d.dst FROM reach r JOIN dedup d ON d.src = r.member
+)
+SELECT node, member FROM reach
 """,
         "copurchase_clustering": f"""
 WITH {_PAIRS}, {_DEDUP}, {_UND}, {_ORIENTED}, {_TRI},

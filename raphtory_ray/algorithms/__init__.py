@@ -246,17 +246,23 @@ def largest_connected_component(gf) -> GraphFrame:
 
 
 def _closure_sets(g: BspGraph, reverse: bool) -> list[np.ndarray]:
-    """Per-node ancestor (reverse=True) / descendant sets via a BITSET
-    transitive closure (round-1 fix: was a per-node Python BFS, O(V·E) of
-    interpreter loops).
+    """Per-node ancestor (reverse=True) / descendant sets
+    (in_components.rs:99-120). Round-3: above ``_LOCAL_N`` nodes this runs
+    the DISTRIBUTED frontier-pair supersteps of ``components.closure_sets``
+    (row-partitioned seen bitsets, O(P) driver work per round — the round-2
+    driver edge pull + O(V²/8) driver bitset are gone); below it, the local
+    bitset transitive closure here is faster than P rounds of task launches.
+    """
+    from raphtory_ray.algorithms import components as C
+    if g.n > C._LOCAL_N:
+        return C.closure_sets(g, reverse)
+    return _closure_sets_local(g, reverse)
 
-    B is an (n × ⌈n/64⌉) uint64 bit matrix, row u = u's closure-so-far.
-    Each pass ORs every node's row with its out-neighbours' rows in two
-    vectorized ops (gather + bitwise_or.reduceat); converges in O(diameter)
-    passes. The O(V²/8) bit matrix is inherent to the output (the reference
-    materializes the same sets, in_components.rs:99-120); this path is for
-    the all-nodes variant at analysis scale — per-node queries use
-    _single_closure."""
+
+def _closure_sets_local(g: BspGraph, reverse: bool) -> list[np.ndarray]:
+    """Small-n fast path: (n × ⌈n/64⌉) uint64 bit matrix, row u = u's
+    closure-so-far; each pass ORs every node's row with its out-neighbours'
+    rows (gather + bitwise_or.reduceat); converges in O(diameter) passes."""
     tbls = ray.get(list(g.refs))
     if tbls:
         s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls])
@@ -297,41 +303,29 @@ def out_components(gf) -> list[np.ndarray]:
     return _closure_sets(_bsp(gf), reverse=False)
 
 
-def _single_closure(g: BspGraph, source: int, reverse: bool) -> np.ndarray:
-    """BFS closure of ONE node (in_components.rs single-node variant
-    in_component/out_component): frontier levels as vectorized numpy
-    membership passes over the concatenated simple-edge arrays."""
-    tbls = ray.get(list(g.refs))
-    if tbls:
-        s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls])
-        d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tbls])
-    else:
-        s = d = np.empty(0, np.int64)
-    if reverse:
-        s, d = d, s
-    seen = np.zeros(g.n, dtype=bool)
-    frontier = np.zeros(g.n, dtype=bool)
-    frontier[source] = True
-    result = np.zeros(g.n, dtype=bool)
-    while frontier.any():
-        nxt = np.zeros(g.n, dtype=bool)
-        hit = frontier[s]
-        nxt[d[hit]] = True
-        result |= nxt
-        nxt &= ~seen
-        seen |= nxt
-        frontier = nxt
-    return np.flatnonzero(result)
+def in_components_dataset(gf, sources=None):
+    """(node, member) ancestor pairs as a streaming Dataset — the scale
+    path for the all-nodes variant (components.closure_dataset)."""
+    from raphtory_ray.algorithms.components import closure_dataset
+    return closure_dataset(_bsp(gf), reverse=True, sources=sources)
+
+
+def out_components_dataset(gf, sources=None):
+    """(node, member) descendant pairs as a streaming Dataset."""
+    from raphtory_ray.algorithms.components import closure_dataset
+    return closure_dataset(_bsp(gf), reverse=False, sources=sources)
 
 
 def in_component(gf, source: int) -> np.ndarray:
     """Ancestors of ``source`` (nodes that can reach it)."""
-    return _single_closure(_bsp(gf), source, reverse=True)
+    from raphtory_ray.algorithms.components import single_closure
+    return single_closure(_bsp(gf), source, reverse=True)
 
 
 def out_component(gf, source: int) -> np.ndarray:
     """Descendants of ``source`` (nodes reachable from it)."""
-    return _single_closure(_bsp(gf), source, reverse=False)
+    from raphtory_ray.algorithms.components import single_closure
+    return single_closure(_bsp(gf), source, reverse=False)
 
 
 # ------------------------------------------------------------------ pathing
