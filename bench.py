@@ -131,7 +131,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray.data as rd
     t0 = time.perf_counter()
     from raphtory_ray.data.dedup import minhash_lsh_dedup
-    minhash_lsh_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    minhash_lsh_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet")).materialize()
     queries["doc_minhash_dedup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
