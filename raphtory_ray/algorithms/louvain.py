@@ -16,14 +16,18 @@ delta > tol) and modularity.rs ModularityUnDir:
   (self-loop weights excluded from k, hence from m2 — reference quirk,
   mirrored exactly).
 
-Execution split (Ray-Data-first): the 100-TB-heavy step — reducing the edge
-EVENT log to the weighted simple-edge graph — is a distributed hash shuffle
-on (src, dst) with per-partition latest-event resolution (same partitioning
-as GraphFrame.filter_edges). The multi-level local-move refinement then runs
-on the driver over the (much smaller) simple-edge graph with fully
-vectorized numpy passes — the reference's own louvain is a sequential
-single-thread loop (louvain.rs:44-71), so this matches its scalability
-class while the event→edge reduction, the expensive part at scale, streams.
+Execution split (Ray-Data-first, round-3): the event→weighted-simple-edge
+reduction is a distributed hash shuffle on (src, dst) with per-partition
+latest-event resolution; the half-edges are then re-partitioned by
+owner(u) and PINNED in the object store. While a level's half-edge count
+exceeds _LOCAL_HALF_EDGES, each local-move pass runs as per-partition Ray
+tasks (_lv_pass_task — complete per owned node since all of a node's
+half-edges share its owner partition) and each aggregation as
+_lv_agg_task; the driver holds only O(V_level) state arrays (com/k/sizes,
+the engine-wide documented trade-off) and the sparse per-pass moves —
+never an edge array. Coarsened levels below the threshold fall to the
+driver-local vectorized loop (the reference's own louvain is a sequential
+single-thread loop, louvain.rs:44-71).
 Parallel-move correctness: moves are applied Jacobi-style per pass; the
 singleton-swap guard (only let a singleton join a singleton with a smaller
 community id) prevents the classic two-node oscillation, and passes are
@@ -86,10 +90,9 @@ def _lv_latest(*pieces):
     return (s[last], d[last], w[last])
 
 
-def latest_weight_edges(gf, weight_col: str | None):
-    """(src, dst, w) of the directed simple-edge graph, w = latest event's
-    ``weight_col`` (1.0 when None). Distributed shuffle + per-partition
-    reduce; only the reduced simple edges land on the driver."""
+def _latest_parts(gf, weight_col: str | None):
+    """Distributed latest-weight reduce → P object refs of (s, d, w) simple
+    -edge partitions (hash(src,dst)-owned). Nothing is pulled."""
     cols = ["src", "dst"]
     sch = gf.edges.schema()
     for c in ("t", "event_id"):
@@ -116,8 +119,15 @@ def latest_weight_edges(gf, weight_col: str | None):
     def piece(row, q):
         return row[q] if P > 1 else row
 
-    parts = ray.get([_lv_latest.remote(*[piece(r, q) for r in splits])
-                     for q in range(P)])
+    return [_lv_latest.remote(*[piece(r, q) for r in splits])
+            for q in range(P)]
+
+
+def latest_weight_edges(gf, weight_col: str | None):
+    """(src, dst, w) of the directed simple-edge graph, w = latest event's
+    ``weight_col`` (1.0 when None) — the driver-pulled form, used by the
+    small-graph local path and tests."""
+    parts = ray.get(_latest_parts(gf, weight_col))
     s = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     d = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
     w = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
@@ -257,62 +267,304 @@ def _aggregate(u, v, w, self_w, k, com):
     return inv, nu, nv, sw, new_self, new_k, nc
 
 
-def louvain(gf, resolution: float = 1.0, weight_col: str | None = None,
-            tol: float | None = None, seed: int | None = None) -> np.ndarray:
-    """Community id per vid (louvain.rs:27-81). Deterministic for a given
-    ``seed``; like the reference, the partition is a local optimum."""
-    tol = 1e-8 if tol is None else tol
-    rng = np.random.default_rng(0 if seed is None else seed)
-    s, d, w = latest_weight_edges(gf, weight_col)
-    n = gf.n
-    # drop sub-tolerance weights (modularity.rs:200 filter w >= tol)
-    keep = w >= tol
+# ------------------------------------------- distributed local-move level
+#
+# Round-3 (VERDICT r2 item 5): the per-pass vote/move computation runs in
+# per-partition Ray tasks over half-edges hash-partitioned by owner(u) —
+# ALL of a node's half-edges live in its owner partition, so each task's
+# best-candidate selection is complete for its owned nodes. The driver
+# keeps O(V_level) state arrays (com / k / sizes — the engine-wide
+# documented trade-off, same as the PageRank superstep state) but never a
+# driver-resident edge array above _LOCAL_HALF_EDGES.
+
+_LOCAL_HALF_EDGES = 1 << 19   # below this, driver-local vectorized passes
+                              # beat P task rounds per pass
+
+
+def _owner(x: np.ndarray, P: int) -> np.ndarray:
+    return (((x.astype(np.uint64) * _GOLD) >> np.uint64(33))
+            % np.uint64(P)).astype(np.int64)
+
+
+@ray.remote
+def _lv_halve(latest, P: int, tol: float):
+    """One latest-weight partition → non-loop half-edges routed by
+    owner(u) (num_returns pieces), plus sparse self-loop sums last."""
+    s, d, w = latest
+    keep = w >= tol                      # modularity.rs:200 weight filter
     s, d, w = s[keep], d[keep], w[keep]
     loop = s == d
-    self_w = np.zeros(n, np.float64)
-    np.add.at(self_w, s[loop], w[loop])
+    sids, sinv = np.unique(s[loop], return_inverse=True)
+    ssum = np.bincount(sinv, weights=w[loop]) if len(sids) else np.empty(0)
     s, d, w = s[~loop], d[~loop], w[~loop]
-    # undirected half-edges: every directed simple edge seen from both ends
     u = np.concatenate([s, d])
     v = np.concatenate([d, s])
     hw = np.concatenate([w, w])
-    k = np.zeros(n, np.float64)
-    np.add.at(k, u, hw)
+    bk = _owner(u, P)
+    order = np.argsort(bk, kind="stable")
+    u, v, hw = u[order], v[order], hw[order]
+    bounds = np.searchsorted(bk[order], np.arange(P + 1))
+    pieces = [(u[bounds[p]:bounds[p + 1]], v[bounds[p]:bounds[p + 1]],
+               hw[bounds[p]:bounds[p + 1]]) for p in range(P)]
+    return (*pieces, (sids, ssum))
 
+
+@ray.remote
+def _lv_gather(*pieces):
+    """Merge one owner(u) partition's pieces. Duplicate (u, v) rows are
+    left unreduced — every consumer (pass segment sums, k sums, aggregate)
+    is additive, so parallel edges equal their sum. Returns the edge tuple,
+    sparse k sums (disjoint across partitions by ownership), and the row
+    count (so the driver can decide local vs distributed without pulling)."""
+    u = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    v = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    w = np.concatenate([p[2] for p in pieces]) if pieces else np.empty(0, np.float64)
+    uids, uinv = np.unique(u, return_inverse=True)
+    ks = np.bincount(uinv, weights=w) if len(uids) else np.empty(0)
+    return (u, v, w), (uids, ks), len(u)
+
+
+@ray.remote
+def _lv_count(latest) -> int:
+    return len(latest[0])
+
+
+def _half_edge_parts(gf, weight_col: str | None, tol: float, n: int):
+    """Distributed event→half-edge reduction. Returns (edge_refs, self_w,
+    k, total_half_edges); edges never land on the driver.
+
+    The move-partition count is sized to the data (~300k half-edges per
+    partition, capped at 32): each local-move pass is a synchronous task
+    round, so tiny partitions pay pure scheduling latency × passes."""
+    latest = _latest_parts(gf, weight_col)
+    directed = sum(ray.get([_lv_count.remote(r) for r in latest]))
+    P = int(max(2, min(32, -(-2 * directed // 300_000))))
+    halves = [_lv_halve.options(num_returns=P + 1).remote(r, P, tol)
+              for r in latest]
+    Q = len(latest)
+    self_w = np.zeros(n, np.float64)
+    for sids, ssum in ray.get([h[P] for h in halves]):
+        np.add.at(self_w, sids, ssum)
+    gath = [_lv_gather.options(num_returns=3)
+            .remote(*[halves[q][p] for q in range(Q)]) for p in range(P)]
+    k = np.zeros(n, np.float64)
+    total = 0
+    ksums = ray.get([g[1] for g in gath])
+    counts = ray.get([g[2] for g in gath])
+    for (uids, ks), cnt in zip(ksums, counts):
+        k[uids] += ks                     # disjoint by u-ownership
+        total += int(cnt)
+    return [g[0] for g in gath], self_w, k, total
+
+
+@ray.remote
+def _lv_pass_task(edges, com, k, k_com, m2, resolution, tol, moved):
+    """Best improving candidate move per owned node (modularity.rs
+    move_delta) over this partition's half-edges. Tie-break jitter is a
+    pure hash of (node, candidate) — deterministic at any parallelism."""
+    u, v, w = edges
+    if moved is not None:
+        act = moved.copy()                # broadcast arrays are read-only
+        act[u[moved[v]]] = True           # neighbours of movers
+        sel = act[u]
+        u, v, w = u[sel], v[sel], w[sel]
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.float64))
+    if len(u) == 0:
+        return empty
+    cv = com[v]
+    order = np.lexsort((cv, u))
+    uu, cc, ww = u[order], cv[order], w[order]
+    seg = np.r_[True, (uu[1:] != uu[:-1]) | (cc[1:] != cc[:-1])]
+    sidx = np.flatnonzero(seg)
+    su, sc = uu[sidx], cc[sidx]
+    sw = np.add.reduceat(ww, sidx)
+    own = sc == com[su]
+    a_old = np.zeros(len(com), np.float64)
+    a_old[su[own]] = sw[own]
+    cand = ~own
+    cu, ccand, cw = su[cand], sc[cand], sw[cand]
+    a = 2.0 * (cw - a_old[cu])
+    p = 2.0 * (k[cu] * (k_com[ccand] - k_com[com[cu]]) + k[cu] ** 2)
+    delta = (a - resolution * p / m2) / m2
+    good = delta > tol
+    if not np.any(good):
+        return empty
+    cu, ccand, delta = cu[good], ccand[good], delta[good]
+    jit = ((cu.astype(np.uint64) * _GOLD) ^ (ccand.astype(np.uint64) + np.uint64(1))
+           ).astype(np.float64) * (1e-22 / 2.0 ** 64)
+    order2 = np.lexsort((delta + jit, cu))
+    last = np.r_[cu[order2][1:] != cu[order2][:-1], True]
+    return cu[order2][last], ccand[order2][last], delta[order2][last]
+
+
+def _one_level_dist(edge_refs, k, n, resolution, tol, max_passes=64):
+    """_one_level with the candidate generation in per-partition tasks;
+    identical guards (singleton-swap, no-return, stall + trickle cutoffs)
+    applied on the driver over the SPARSE merged moves."""
+    com = np.arange(n, dtype=np.int64)
+    m2 = float(k.sum())
+    if m2 <= 0:
+        return com, False
+    kref = ray.put(k)
+    k_com = k.copy()
+    sizes = np.ones(n, np.int64)
+    prev_com = com.copy()
+    moved_mask = None
+    moved_any = False
+    prev_gain = np.inf
+    stall = 0
+    for _ in range(max_passes):
+        cref, kcref = ray.put(com), ray.put(k_com)
+        mref = ray.put(moved_mask) if moved_mask is not None else None
+        outs = ray.get([_lv_pass_task.remote(e, cref, kref, kcref, m2,
+                                             resolution, tol, mref)
+                        for e in edge_refs])
+        bu = np.concatenate([o[0] for o in outs])
+        bc = np.concatenate([o[1] for o in outs])
+        delta = np.concatenate([o[2] for o in outs])
+        if len(bu) == 0:
+            break
+        swap = (sizes[com[bu]] == 1) & (sizes[bc] == 1) & (bc > com[bu])
+        ret = prev_com[bu] == bc
+        dropm = swap | ret
+        gain = float(delta[~dropm].sum())
+        bu, bc = bu[~dropm], bc[~dropm]
+        if len(bu) == 0:
+            break
+        prev_com = com.copy()
+        old = com[bu]
+        com[bu] = bc
+        moved_any = True
+        np.add.at(sizes, old, -1)
+        np.add.at(sizes, bc, 1)
+        np.add.at(k_com, old, -k[bu])
+        np.add.at(k_com, bc, k[bu])
+        moved_mask = np.zeros(n, dtype=bool)
+        moved_mask[bu] = True
+        if gain >= prev_gain * 0.999:
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+        prev_gain = gain
+        if len(bu) < max(8, n // 500):
+            break
+    return com, moved_any
+
+
+@ray.remote
+def _lv_agg_task(edges, inv, nc: int, P: int):
+    """Map this partition's half-edges to community pairs, reduce locally,
+    route inter-community halves by owner(cu); sparse intra sums last."""
+    u, v, w = edges
+    cu, cv = inv[u], inv[v]
+    inter = cu != cv
+    iid, iinv = np.unique(cu[~inter], return_inverse=True)
+    isum = np.bincount(iinv, weights=w[~inter]) if len(iid) else np.empty(0)
+    key = cu[inter].astype(np.int64) * nc + cv[inter]
+    order = np.argsort(key, kind="stable")
+    kk = key[order]
+    if len(kk):
+        seg = np.r_[True, kk[1:] != kk[:-1]]
+        sidx = np.flatnonzero(seg)
+        sw = np.add.reduceat(w[inter][order], sidx)
+        nu = (kk[seg] // nc).astype(np.int64)
+        nv = (kk[seg] % nc).astype(np.int64)
+    else:
+        nu = nv = np.empty(0, np.int64)
+        sw = np.empty(0, np.float64)
+    bk = _owner(nu, P)
+    o = np.argsort(bk, kind="stable")
+    nu, nv, sw = nu[o], nv[o], sw[o]
+    bounds = np.searchsorted(bk[o], np.arange(P + 1))
+    pieces = [(nu[bounds[p]:bounds[p + 1]], nv[bounds[p]:bounds[p + 1]],
+               sw[bounds[p]:bounds[p + 1]]) for p in range(P)]
+    return (*pieces, (iid, isum))
+
+
+def _aggregate_dist(edge_refs, self_w, k, com):
+    """Distributed _aggregate: the O(E) map+reduce runs in the tasks; the
+    coarse graph stays as owner(cu)-partitioned refs. Driver work is
+    O(V_level) folds of self_w / k."""
+    P = len(edge_refs)
+    uniq, inv = np.unique(com, return_inverse=True)
+    nc = len(uniq)
+    iref = ray.put(inv.astype(np.int64))
+    outs = [_lv_agg_task.options(num_returns=P + 1).remote(e, iref, nc, P)
+            for e in edge_refs]
+    new_self = np.zeros(nc, np.float64)
+    for iid, isum in ray.get([o[P] for o in outs]):
+        np.add.at(new_self, iid, isum)
+    np.add.at(new_self, inv, self_w)
+    new_k = np.zeros(nc, np.float64)
+    np.add.at(new_k, inv, k)
+    gath = [_lv_gather.options(num_returns=3)
+            .remote(*[outs[q][p] for q in range(P)]) for p in range(P)]
+    total = int(sum(ray.get([g[2] for g in gath])))
+    return [g[0] for g in gath], new_self, new_k, nc, inv, total
+
+
+def louvain(gf, resolution: float = 1.0, weight_col: str | None = None,
+            tol: float | None = None, seed: int | None = None) -> np.ndarray:
+    """Community id per vid (louvain.rs:27-81). Deterministic for a given
+    ``seed``; like the reference, the partition is a local optimum.
+
+    Levels run DISTRIBUTED (per-partition move tasks) while the half-edge
+    count exceeds _LOCAL_HALF_EDGES, then fall to the driver-local
+    vectorized loop once the coarsened graph is small — the same
+    small-n-fast-path structure as algorithms/components."""
+    tol = 1e-8 if tol is None else tol
+    rng = np.random.default_rng(0 if seed is None else seed)
+    n = gf.n
+    edge_refs, self_w, k, total = _half_edge_parts(gf, weight_col, tol, n)
     global_com = np.arange(n, dtype=np.int64)
     nn = n
-    while True:
-        com, moved = _one_level(u, v, hw, self_w, k, nn, resolution, tol, rng)
+    u = v = hw = None              # driver edge arrays exist ONLY below the
+    while True:                    # _LOCAL_HALF_EDGES threshold
+        if u is None and total <= _LOCAL_HALF_EDGES:
+            parts = ray.get(edge_refs)
+            u = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+            v = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+            hw = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
+        if u is not None:
+            com, moved = _one_level(u, v, hw, self_w, k, nn, resolution,
+                                    tol, rng)
+        else:
+            com, moved = _one_level_dist(edge_refs, k, nn, resolution, tol)
         if not moved:
             break
-        inv, u, v, hw, self_w, k, nn = _aggregate(u, v, hw, self_w, k, com)
+        if u is not None:
+            inv, u, v, hw, self_w, k, nn = _aggregate(u, v, hw, self_w, k, com)
+        else:
+            edge_refs, self_w, k, nn, inv, total = \
+                _aggregate_dist(edge_refs, self_w, k, com)
         global_com = inv[com[global_com]]
     # compact final labels
     _, out = np.unique(global_com, return_inverse=True)
     return out.astype(np.int64)
 
 
+@ray.remote
+def _lv_mod_task(edges, com) -> float:
+    u, v, w = edges
+    return float(w[com[u] == com[v]].sum())
+
+
 def modularity(gf, com: np.ndarray, resolution: float = 1.0,
                weight_col: str | None = None, tol: float = 1e-8) -> float:
     """Modularity of a partition (modularity.rs value(): e/m2 − r·ΣK²/m2²,
-    k and m2 exclude self-loop weights; e includes them)."""
-    s, d, w = latest_weight_edges(gf, weight_col)
-    keep = w >= tol
-    s, d, w = s[keep], d[keep], w[keep]
-    loop = s == d
-    self_w_sum_by_com = np.zeros(int(com.max()) + 1 if len(com) else 1,
-                                 np.float64)
-    np.add.at(self_w_sum_by_com, com[s[loop]], w[loop])
-    s2, d2, w2 = s[~loop], d[~loop], w[~loop]
-    u = np.concatenate([s2, d2])
-    v = np.concatenate([d2, s2])
-    hw = np.concatenate([w2, w2])
-    k = np.zeros(gf.n, np.float64)
-    np.add.at(k, u, hw)
+    k and m2 exclude self-loop weights; e includes them). Intra sums run
+    in per-partition tasks; the driver holds only O(V) state."""
+    com = np.asarray(com, np.int64)
+    edge_refs, self_w, k, _total = _half_edge_parts(gf, weight_col, tol, gf.n)
     m2 = float(k.sum())
     if m2 <= 0:
         return 0.0
-    intra = float(hw[com[u] == com[v]].sum()) + float(self_w_sum_by_com.sum())
-    k_com = np.zeros(int(com.max()) + 1, np.float64)
+    cref = ray.put(com)
+    intra = sum(ray.get([_lv_mod_task.remote(e, cref) for e in edge_refs]))
+    intra += float(self_w.sum())          # self-loops count toward intra
+    k_com = np.zeros(int(com.max()) + 1 if len(com) else 1, np.float64)
     np.add.at(k_com, com, k)
     return intra / m2 - resolution * float((k_com ** 2).sum()) / (m2 ** 2)
