@@ -464,17 +464,19 @@ def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
 
 
 def _q_user_node_filter(sf_dir: str) -> pa.Table:
-    """Node filter (node_filtered_graph.rs): induced subgraph on nodes whose
-    node_type metadata is 'even'; distinct surviving (src, dst) edges."""
+    """Node filter on a BULK-LOADED node table (round 3): node_type =
+    event_type of each user's first event by (ts, event_id)
+    (load_nodes_from_parquet, parquet_loaders.rs:44-106), then the induced
+    subgraph of nodes typed 'purchase' (node_filtered_graph.rs); distinct
+    surviving (src, dst) edges."""
     from raphtory_ray.graph.filter import Field
     from raphtory_ray.pipelines.tpch_graph import user_graph
+    from raphtory_ray.sources.loaders import load_nodes_from_parquet
     gf = user_graph(sf_dir)
-    vids = np.arange(gf.n, dtype=np.int64)
-    gf.vertices = pa.table({
-        "vid": pa.array(vids, pa.int64()),
-        "gid": pa.array([f"user{v}" for v in vids], pa.string()),
-        "node_type": pa.array(np.where(vids % 2 == 0, "even", "odd"))})
-    sub = gf.filter_nodes(Field("node_type") == "even")
+    nf = load_nodes_from_parquet(
+        f"{sf_dir}/events.parquet", time_col="ts", id_col="user_id",
+        node_type_col="event_type", event_id_col="event_id", gf=gf)
+    sub = nf.filter_nodes(Field("node_type") == "purchase")
     t = pa.concat_tables(
         sub.edges.select_columns(["src", "dst"])
         .iter_batches(batch_format="pyarrow"))
@@ -1520,9 +1522,15 @@ FROM user_edges e JOIN pass p ON e.src = p.src AND e.dst = p.dst
 GROUP BY e.src, e.dst
 """,
         "user_node_filter": f"""
-WITH {_USER_EDGES}
+WITH {_USER_EDGES},
+ntypes AS (
+  SELECT user_id AS uid,
+         FIRST(event_type ORDER BY ts, event_id) AS node_type
+  FROM events GROUP BY user_id
+),
+keep AS (SELECT uid FROM ntypes WHERE node_type = 'purchase')
 SELECT DISTINCT src, dst FROM user_edges
-WHERE src % 2 = 0 AND dst % 2 = 0
+WHERE src IN (SELECT uid FROM keep) AND dst IN (SELECT uid FROM keep)
 """,
         "user_bipartite_projection": f"""
 WITH {_USER_EDGES},

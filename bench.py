@@ -262,26 +262,35 @@ def run_scaling_compute_single(num_cpus: int) -> dict:
         return pa.table({"doc_id": pa.array(range(b.num_rows), pa.int64()),
                          "text": b["content"]})
 
+    class MinHashThin(MinHashStage):
+        """The product stage with the projection FUSED into the actor
+        (round 3): emitting only doc_id from __call__ removes the separate
+        select_columns operator, so the stage pool can own every slot and
+        the driver consume is byte-free."""
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return super().__call__(b).select(["doc_id"])
+
     # input materialized UNTIMED: the measurement targets the stage's
-    # steady-state compute throughput, not parquet IO / page-cache state
-    ds = (rd.read_parquet(corpus, columns=["content"])
-          .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
-          .materialize())
+    # steady-state compute throughput, not parquet IO / page-cache state.
+    # 4x replication (union of materialized refs, free) lengthens the run
+    # to ~15-30 s so the one-time actor-pool startup (~1-2 s) amortizes to
+    # noise at both levels — round 2 timed 4-9 s passes where startup alone
+    # depressed the 32-cpu level by ~20%.
+    ds1 = (rd.read_parquet(corpus, columns=["content"])
+           .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+           .materialize())
+    ds = ds1.union(ds1, ds1, ds1).materialize()
     n_docs = ds.count()
-    # fixed actor pool of 3/4 of the slots: a FULL pool starves the
-    # consume stage (no slot left — the round-1 ingest failure mode);
-    # an autoscaling (1, N) pool ramps too slowly to measure steady-state.
-    # 3/4 at both levels keeps the worker-count ratio at exactly hi/lo.
-    pool = max(1, (3 * num_cpus) // 4)
+    pool = num_cpus          # projection fused → nothing else needs a slot
     walls = []
-    for _warm in range(2):       # pass 1 warms worker processes/imports
+    for _warm in range(3):       # pass 1-2 warm worker processes/imports/jit
         t0 = time.perf_counter()
         total = 0
-        for b in (ds.map_batches(MinHashStage, batch_format="pyarrow",
-                                 zero_copy_batch=True, batch_size=1024,
+        for b in (ds.map_batches(MinHashThin, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=2048,
                                  concurrency=pool)
-                  .select_columns(["doc_id"]).iter_batches(
-                      batch_format="pyarrow")):
+                  .iter_batches(batch_format="pyarrow")):
             total += b.num_rows
         assert total == n_docs
         walls.append(time.perf_counter() - t0)
@@ -311,18 +320,42 @@ def run_scaling_compute(cpus=(8, 32)) -> dict:
     lo, hi = cpus
     eff = results[hi]["docs_per_sec"] / (results[lo]["docs_per_sec"]
                                          * (hi / lo))
-    return {
+    # raw-multiprocessing comparator: the SAME kernel + input + protocol
+    # with no Ray (tools/minhash_raw_probe.py). engine/raw at matched
+    # worker counts isolates engine overhead from the host's own scaling.
+    raw = {}
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "minhash_raw_probe.py")
+    for nc in cpus:
+        out = subprocess.run([sys.executable, probe, str(nc)],
+                             capture_output=True, text=True, timeout=3600)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            raw[str(nc)] = json.loads(lines[-1])
+    res = {
         "metric": "minhash_scaling_efficiency",
         "value": eff,
         "unit": "ratio",
         "workload": "MinHash signatures (64 perms, k=5 shingles) over the "
-                    "sf0.1 corpus content, actor-pool map_batches, "
+                    "sf0.1 corpus content x4, actor-pool map_batches, "
                     f"best-of-{reps} interleaved fresh-process runs",
         "cpus": list(cpus),
         "docs_per_sec": {str(nc): results[nc]["docs_per_sec"]
                          for nc in cpus},
         "runs": {str(nc): rs for nc, rs in all_runs.items()},
     }
+    if len(raw) == 2:
+        raw_eff = raw[str(hi)]["docs_per_sec"] / (
+            raw[str(lo)]["docs_per_sec"] * hi / lo)
+        res["raw_multiprocessing"] = raw
+        res["raw_scaling_efficiency"] = raw_eff
+        res["engine_vs_raw"] = {
+            str(nc): results[nc]["docs_per_sec"] / raw[str(nc)]["docs_per_sec"]
+            for nc in cpus}
+        # the host-normalized number: engine scaling relative to what the
+        # same kernel achieves on this box with no engine at all
+        res["efficiency_vs_raw_hardware"] = eff / raw_eff if raw_eff else None
+    return res
 
 
 def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:

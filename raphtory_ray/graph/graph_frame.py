@@ -122,6 +122,39 @@ class GraphFrame:
         return self._derive(self.edges.map_batches(
             filt, batch_format="pyarrow", zero_copy_batch=True))
 
+    def exclude_layer(self, layers: str | Sequence[str]) -> "GraphFrame":
+        """Restrict to edge events NOT in the given layer(s)
+        (layer_graph.rs exclude_layers: complement layer set)."""
+        if isinstance(layers, str):
+            layers = [layers]
+        lset = pa.array(list(layers), pa.string())
+
+        def filt(b: pa.Table) -> pa.Table:
+            hit = pc.is_in(b["layer"], value_set=lset)
+            return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+        return self._derive(self.edges.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True))
+
+    exclude_layers = exclude_layer
+
+    DEFAULT_LAYER = "_default"
+
+    def default_layer(self) -> "GraphFrame":
+        """Events of the unnamed default layer (layer id 0,
+        layer_graph.rs default_layer): rows whose layer is null/'_default',
+        or everything when the graph has no layer column."""
+        if "layer" not in self.edges.schema().names:
+            return self._derive(self.edges)
+
+        def filt(b: pa.Table) -> pa.Table:
+            m = pc.or_kleene(pc.is_null(b["layer"]),
+                             pc.equal(b["layer"], self.DEFAULT_LAYER))
+            return b.filter(pc.fill_null(m, True))
+
+        return self._derive(self.edges.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True))
+
     def subgraph(self, vids) -> "GraphFrame":
         """Induced subgraph on a vertex set: keep events with both endpoints
         in the set (node_subgraph.rs). Membership is a broadcast boolean
@@ -136,6 +169,45 @@ class GraphFrame:
 
         return self._derive(self.edges.map_batches(
             filt, batch_format="pyarrow", zero_copy_batch=True))
+
+    def exclude_nodes(self, vids) -> "GraphFrame":
+        """Induced subgraph on the COMPLEMENT of the given vertex set
+        (view/graph.rs:689-699 exclude_nodes → NodeSubgraph)."""
+        keep = np.ones(self.n, dtype=bool)
+        keep[np.asarray(list(vids), dtype=np.int64)] = False
+        return self.subgraph(np.flatnonzero(keep))
+
+    def subgraph_node_types(self, types: str | Sequence[str]) -> "GraphFrame":
+        """Induced subgraph on nodes whose node_type metadata is in the
+        given set (view/graph.rs:679-688 subgraph_node_types)."""
+        assert self.vertices is not None, "no vertex dimension table"
+        if isinstance(types, str):
+            types = [types]
+        tset = pa.array(list(types), pa.string())
+        m = pc.fill_null(pc.is_in(self.vertices["node_type"],
+                                  value_set=tset), False)
+        vids = self.vertices["vid"].filter(m).to_numpy(zero_copy_only=False)
+        return self.subgraph(vids)
+
+    def materialize(self) -> "GraphFrame":
+        """Copy the composed view into a standalone frame
+        (test_materialize.rs:66 contract: algorithms on the materialized
+        graph equal algorithms on the view): all stacked filter stages run
+        ONCE and the surviving events pin as object-store blocks, so
+        chained-view workloads stop re-paying their filters. The vid space
+        is kept (the reference keeps node identity too); window bounds
+        carry over as plain metadata."""
+        g = GraphFrame(self.edges.materialize(), self.n, self.vertices,
+                       self.node_events.materialize()
+                       if self.node_events is not None else None)
+        g.start, g.end = self.start, self.end
+        return g
+
+    def cached_view(self) -> "GraphFrame":
+        """Cache the composed filter result (cached_view.rs:74-80: the
+        reference caches a filter bitmask; the Dataset equivalent of that
+        bitmask IS the materialized surviving-event block set)."""
+        return self.materialize()
 
     # ------------------------------------------------------ property filters
     def filter_exploded_edges(self, f) -> "GraphFrame":

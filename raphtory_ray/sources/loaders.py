@@ -83,6 +83,202 @@ def load_edges_from_json(path, time_col, src_col, dst_col, **kw):
     return load_edges(rd.read_json(path), time_col, src_col, dst_col, **kw)
 
 
+# ----------------------------------------------------------- node loaders
+
+def load_nodes(ds, time_col: str, id_col: str, node_type: str | None = None,
+               node_type_col: str | None = None, prop_cols=None,
+               metadata_cols=None, time_fmt: str | None = None,
+               event_id_col: str | None = None, gf=None):
+    """Bulk node loader (parquet_loaders.rs:44-106 /
+    io/arrow/nodes.rs load_nodes_from_df column mapping) → a GraphFrame
+    with a vertices dimension table (vid, gid, node_type, *metadata) and a
+    node_events Dataset (vid, t, event_id, *prop_cols).
+
+    id resolution (SURVEY §2.4 GID-resolver):
+    - ``gf`` with a vertices table: ids bind to its gid order; unseen ids
+      extend the vid space (broadcast sorted-gid binary search, no shuffle
+      join).
+    - ``gf`` without vertices (dense-int graphs like the user graph): ids
+      ARE vids; n grows to cover the max id.
+    - no ``gf``: vid space = sorted distinct ids.
+
+    node_type / metadata are constant per node: the value from the node's
+    FIRST event by (t, event_id) wins — one distributed groupby(id), the
+    inherent shuffle of a node-dimension build."""
+    import ray
+    import ray.data as rd
+
+    prop_cols = list(prop_cols or [])
+    metadata_cols = list(metadata_cols or [])
+
+    def canon(b: pa.Table) -> pa.Table:
+        cols = {
+            "_id": b[id_col],
+            "t": _to_ms(b[time_col], time_fmt),
+            # secondary index (parquet_loaders.rs:50): a real column when
+            # given, else a per-batch ordinal
+            "event_id": b[event_id_col].combine_chunks().cast(pa.int64())
+            if event_id_col else
+            pa.array(np.arange(b.num_rows, dtype=np.int64)),
+        }
+        if node_type_col is not None:
+            cols["node_type"] = b[node_type_col]
+        for p in prop_cols + metadata_cols:
+            cols[p] = b[p]
+        return pa.table(cols)
+
+    events = ds.map_batches(canon, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # ---- vid space
+    new_ids = sorted(events.unique("_id"))
+    if gf is not None and gf.vertices is not None:
+        base = [str(g) for g in gf.vertices["gid"].to_pylist()]
+        known = set(base)
+        extra = [s for s in (str(i) for i in new_ids) if s not in known]
+        gid_strs = np.array(base + extra)
+        n = len(gid_strs)
+        order = np.argsort(gid_strs)
+        skeys = gid_strs[order]
+        svids = order.astype(np.int64)
+        lookup = ("str", ray.put(skeys), ray.put(svids))
+    elif gf is not None:
+        n = max(gf.n, int(max(new_ids)) + 1 if new_ids else gf.n)
+        gid_strs = np.array([str(i) for i in range(n)])
+        lookup = ("dense", None, None)
+    else:
+        keys = np.array(new_ids)
+        n = len(keys)
+        gid_strs = keys.astype(str)
+        lookup = ("sorted", ray.put(keys), None)
+
+    def resolve(b: pa.Table) -> pa.Table:
+        mode, kref, vref = lookup
+        ids = b["_id"]
+        if mode == "dense":
+            vid = ids.combine_chunks().cast(pa.int64())
+        elif mode == "sorted":
+            keys = ray.get(kref)
+            vid = pa.array(np.searchsorted(
+                keys, ids.to_numpy(zero_copy_only=False)), pa.int64())
+        else:
+            skeys, svids = ray.get(kref), ray.get(vref)
+            idx = np.searchsorted(
+                skeys, np.asarray(ids.to_pylist(), dtype=skeys.dtype))
+            vid = pa.array(svids[idx], pa.int64())
+        out = {"vid": vid}
+        for c in b.column_names:
+            if c != "_id":
+                out[c] = b[c]
+        return pa.table(out)
+
+    resolved = events.map_batches(resolve, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    # ---- vertices dimension table: first (t, event_id) row per vid
+    dim_cols = (["node_type"] if node_type_col else []) + metadata_cols
+
+    def first_row(grp: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(grp, sort_keys=[("t", "ascending"),
+                                              ("event_id", "ascending")])
+        row = grp.take(idx[:1])
+        return row.select(["vid"] + dim_cols)
+
+    if dim_cols:
+        dim = (resolved.groupby("vid")
+               .map_groups(first_row, batch_format="pyarrow"))
+        import ray as _ray
+        pieces = [t.select(["vid"] + dim_cols)
+                  for t in _ray.get(dim.to_arrow_refs()) if t.num_rows]
+        dim_t = pa.concat_tables(pieces).sort_by("vid")
+        have = dim_t["vid"].to_numpy(zero_copy_only=False)
+    else:
+        have = np.empty(0, np.int64)
+        dim_t = None
+    vids = np.arange(n, dtype=np.int64)
+    vcols = {"vid": pa.array(vids, pa.int64()),
+             "gid": pa.array(gid_strs, pa.string())}
+    for c in dim_cols:
+        vals = pa.nulls(n, dim_t[c].type).to_pylist()
+        arr = np.array(vals, dtype=object)
+        arr[have] = np.array(dim_t[c].to_pylist(), dtype=object)
+        vcols[c] = pa.array(arr.tolist(), dim_t[c].type)
+    if node_type is not None and node_type_col is None:
+        tp = np.array([None] * n, dtype=object)
+        loaded = np.unique(resolved.unique("vid"))
+        tp[loaded] = node_type
+        vcols["node_type"] = pa.array(tp.tolist(), pa.string())
+    vertices = pa.table(vcols)
+
+    node_events = resolved.select_columns(["vid", "t", "event_id"]
+                                          + prop_cols)
+    edges = gf.edges if gf is not None else rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+        "t": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64())}))
+    out = GraphFrame(edges, n, vertices, node_events)
+    if gf is not None:
+        out.start, out.end = gf.start, gf.end
+    return out
+
+
+def load_nodes_from_parquet(path, time_col: str, id_col: str, **kw):
+    import ray.data as rd
+    cols = [time_col, id_col] + list(kw.get("prop_cols") or []) \
+        + list(kw.get("metadata_cols") or [])
+    if kw.get("node_type_col"):
+        cols.append(kw["node_type_col"])
+    if kw.get("event_id_col"):
+        cols.append(kw["event_id_col"])
+    return load_nodes(rd.read_parquet(path, columns=cols),
+                      time_col, id_col, **kw)
+
+
+def load_edge_props(ds, src_col: str, dst_col: str, metadata_cols,
+                    layer_col: str | None = None, gf=None):
+    """Edge metadata loader (load_edge_metadata_from_parquet,
+    parquet_loaders.rs:252-295): constant properties keyed by
+    (src, dst[, layer]) — one row per edge, LAST occurrence wins (the
+    reference overwrites on re-add). Returns the metadata Dataset; when
+    ``gf`` is given it is also attached as ``gf_out.edge_meta``."""
+    key = [src_col, dst_col] + ([layer_col] if layer_col else [])
+
+    def canon(b: pa.Table) -> pa.Table:
+        cols = {"src": b[src_col].combine_chunks().cast(pa.int64()),
+                "dst": b[dst_col].combine_chunks().cast(pa.int64())}
+        if layer_col:
+            cols["layer"] = b[layer_col]
+        for c in metadata_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    canonical = ds.map_batches(canon, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    gkey = ["src", "dst"] + (["layer"] if layer_col else [])
+
+    def last_row(grp: pa.Table) -> pa.Table:
+        return grp.take([grp.num_rows - 1])
+
+    meta = canonical.groupby(gkey).map_groups(last_row,
+                                              batch_format="pyarrow")
+    if gf is not None:
+        out = gf._derive(gf.edges)
+        out.edge_meta = meta
+        return out
+    return meta
+
+
+def load_edge_props_from_parquet(path, src_col: str, dst_col: str,
+                                 metadata_cols, **kw):
+    import ray.data as rd
+    cols = [src_col, dst_col] + list(metadata_cols)
+    if kw.get("layer_col"):
+        cols.append(kw["layer_col"])
+    return load_edge_props(rd.read_parquet(path, columns=cols),
+                           src_col, dst_col, metadata_cols, **kw)
+
+
 # ------------------------------------------------------- canonical parquet
 
 RAP_COLUMNS = ["rap_time", "rap_secondary_index", "rap_src_vid",

@@ -1,0 +1,92 @@
+"""exclude_layer / default_layer / exclude_nodes / subgraph_node_types /
+materialize / cached_view — view-algebra completeness (round 3).
+
+Modeled on the reference's invariance tests: subgraph_tests.rs:31-65
+(cached-view/subgraph triangle invariance) and test_materialize.rs:66
+(algorithm equality between a view and its materialized copy)."""
+import numpy as np
+import pyarrow as pa
+
+
+def _gf(with_layers=True, with_types=True):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    src = [0, 1, 2, 0, 3, 4, 0, 1]
+    dst = [1, 2, 0, 2, 4, 0, 3, 3]
+    t = [1, 2, 3, 4, 5, 6, 7, 8]
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "event_id": pa.array(range(8), pa.int64())}
+    if with_layers:
+        cols["layer"] = pa.array(["a", "b", "a", None, "b", "a", "c", "b"])
+    vertices = None
+    if with_types:
+        vertices = pa.table({
+            "vid": pa.array(range(5), pa.int64()),
+            "gid": pa.array([f"n{i}" for i in range(5)]),
+            "node_type": pa.array(["x", "x", "y", "y", "x"])})
+    return GraphFrame(rd.from_arrow(pa.table(cols)), 5, vertices)
+
+
+def _pairs(gf):
+    return sorted((r["src"], r["dst"]) for r in
+                  gf.edges.select_columns(["src", "dst"]).take_all())
+
+
+def test_exclude_layer(ray_session):
+    gf = _gf()
+    got = _pairs(gf.exclude_layer("a"))
+    # drops the three layer-a events; null-layer event survives
+    assert got == [(0, 2), (0, 3), (1, 2), (1, 3), (3, 4)]
+    # exclusion + inclusion partition the events (null row lands in got)
+    inc = _pairs(gf.layer("a"))
+    assert len(inc) + len(got) == 8
+    assert _pairs(gf.exclude_layers(["a", "b", "c"])) == [(0, 2)]
+
+
+def test_default_layer(ray_session):
+    gf = _gf()
+    assert _pairs(gf.default_layer()) == [(0, 2)]    # null layer only
+    # no layer column at all → everything is the default layer
+    gf2 = _gf(with_layers=False)
+    assert len(_pairs(gf2.default_layer())) == 8
+
+
+def test_exclude_nodes_complement_of_subgraph(ray_session):
+    gf = _gf()
+    ex = gf.exclude_nodes([3, 4])
+    sub = gf.subgraph([0, 1, 2])
+    assert _pairs(ex) == _pairs(sub)
+
+
+def test_subgraph_node_types(ray_session):
+    gf = _gf()
+    got = _pairs(gf.subgraph_node_types("x"))
+    # nodes {0,1,4}: surviving events (0,1),(4,0)
+    assert got == [(0, 1), (4, 0)]
+    assert _pairs(gf.subgraph_node_types(["x", "y"])) == _pairs(gf)
+
+
+def test_materialize_algorithm_equality(ray_session):
+    """test_materialize.rs:66 contract on a composed view."""
+    from raphtory_ray.state.shards import BspGraph
+    gf = _gf()
+    view = gf.window(2, 8).exclude_layer("c")
+    mat = view.materialize()
+    assert _pairs(mat) == _pairs(view)
+    g1 = BspGraph.from_graph(view)
+    g2 = BspGraph.from_graph(mat)
+    assert np.array_equal(g1.out_degree, g2.out_degree)
+    assert g1.triangle_counts()[0] == g2.triangle_counts()[0]
+    assert (mat.start, mat.end) == (view.start, view.end)
+
+
+def test_cached_view_invariance(ray_session):
+    """subgraph_tests.rs:31-65: triangle count invariant under caching."""
+    from raphtory_ray.state.shards import BspGraph
+    gf = _gf()
+    sub = gf.subgraph([0, 1, 2])
+    cached = sub.cached_view()
+    t1 = BspGraph.from_graph(sub).triangle_counts()[0]
+    t2 = BspGraph.from_graph(cached).triangle_counts()[0]
+    assert t1 == t2 == 1
