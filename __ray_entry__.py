@@ -961,6 +961,21 @@ def _q_corpus_repo_edges(sf_dir: str) -> pa.Table:
     return t.select(["src_repo", "dst_repo", "n_imports"])
 
 
+def _q_scc_small(sf_dir: str) -> pa.Table:
+    """SCC labels on the subgraph induced by the 300 smallest node ids —
+    the hash-gated variant of copurchase_scc (the full closure oracle runs
+    ~2 min at sf0.01; this one's bounded closure runs in seconds while
+    exercising the same Tarjan path, scc.rs:20-117)."""
+    gf, _g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms.extra import strongly_connected_components
+    from raphtory_ray.state.shards import BspGraph
+    keep = np.arange(min(300, gf.n), dtype=np.int64)
+    sub = BspGraph.from_graph(gf.subgraph(keep))
+    comp = strongly_connected_components(sub).values
+    return pa.table({"vid": pa.array(ids[keep], pa.int64()),
+                     "scc": pa.array(ids[comp[keep]], pa.int64())})
+
+
 def _q_scc(sf_dir: str) -> pa.Table:
     """Tarjan SCC labels (scc.rs:20-117); label = min node id in the SCC
     (closure-based SQL oracle exists but runs ~2 min at sf0.01 → rows-only
@@ -1008,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": _q_clustering,
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
+        "copurchase_scc_small": _q_scc_small,
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
@@ -1236,12 +1252,16 @@ FROM {ph} h JOIN {pa_} a ON h.node = a.node
 """
 
 
-def _kcore_avg_sql(rounds: int = 16) -> str:
-    """Unrolled k-core peel (k = floor(0.7·avg degree)): alive_{i+1} =
-    nodes with ≥k distinct alive neighbours. Measured ≤8 rounds to
-    fixpoint at sf0.001/sf0.01; 16 gives margin (peeling is monotone, so
-    post-fixpoint rounds are no-ops). AS MATERIALIZED — DuckDB 1.0 inlines
-    multiply-referenced CTEs exponentially otherwise (see corpus_wcc)."""
+def _kcore_avg_sql(rounds: int = 16, k_sql: str | None = None) -> str:
+    """Unrolled k-core peel (k = floor(0.7·avg degree), or the ``k_sql``
+    override for a fixed k): alive_{i+1} = nodes with ≥k distinct alive
+    neighbours. Measured ≤8 rounds to fixpoint at sf0.001/sf0.01; 16 gives
+    margin (peeling is monotone, so post-fixpoint rounds are no-ops).
+    AS MATERIALIZED — DuckDB 1.0 inlines multiply-referenced CTEs
+    exponentially otherwise (see corpus_wcc)."""
+    if k_sql is None:
+        k_sql = ("SELECT CAST(FLOOR(AVG(d) * 0.7) AS BIGINT) AS k "
+                 "FROM (SELECT COUNT(DISTINCT v) AS d FROM und GROUP BY u)")
     steps = []
     prev = "a0"
     for r in range(1, rounds + 1):
@@ -1264,8 +1284,7 @@ undm AS MATERIALIZED (
 ),
 und AS (SELECT * FROM undm),
 kk AS MATERIALIZED (
-  SELECT CAST(FLOOR(AVG(d) * 0.7) AS BIGINT) AS k
-  FROM (SELECT COUNT(DISTINCT v) AS d FROM und GROUP BY u)
+  {k_sql}
 ),
 a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
 {chain}
@@ -1356,6 +1375,57 @@ deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u)
 SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
         "copurchase_kcore_avg": _kcore_avg_sql(),
+        "copurchase_kcore4": _kcore_avg_sql(rounds=8,
+                                            k_sql="SELECT 4 AS k"),
+        "copurchase_scc_small": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+srcs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dedup
+         UNION ALL SELECT dst FROM dedup) ORDER BY v LIMIT 300),
+sub AS MATERIALIZED (
+  SELECT d.src, d.dst FROM dedup d
+  JOIN srcs a ON a.v = d.src JOIN srcs b ON b.v = d.dst
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM sub
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sub s ON s.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.v AS vid, LEAST(n.v, COALESCE(MIN(m.b), n.v)) AS scc
+FROM srcs n LEFT JOIN mutual m ON m.a = n.v
+GROUP BY n.v
+""",
+        "doc_ngram_jaccard_dedup": """
+WITH RECURSIVE sh0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 4)) AS i
+  FROM documents WHERE length(text) >= 5
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g FROM sh0
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup AS MATERIALIZED (
+  SELECT x, y FROM inter
+  JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+),
+und2 AS (SELECT x AS u, y AS v FROM dup UNION SELECT y, x FROM dup),
+lab AS (
+  SELECT doc_id AS node, doc_id AS l FROM documents
+  UNION
+  SELECT e.v AS node, lab.l FROM lab JOIN und2 e ON e.u = lab.node
+)
+SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
+""",
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
