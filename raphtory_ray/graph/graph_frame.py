@@ -53,11 +53,76 @@ class GraphFrame:
         self.node_events = node_events
         self.start = None      # window bounds when this is a windowed view
         self.end = None
+        # GRAPH-level properties (property_addition_ops.rs graph arm):
+        # temporal rows (t, event_id, name, value) — tiny, driver-resident —
+        # and constant metadata
+        self.graph_events: pa.Table | None = None
+        self.graph_meta: dict = {}
 
     def _derive(self, edges) -> "GraphFrame":
         g = GraphFrame(edges, self.n, self.vertices, self.node_events)
         g.start, g.end = self.start, self.end
+        g.graph_events, g.graph_meta = self.graph_events, self.graph_meta
         return g
+
+    # -------------------------------------------------- graph properties
+    def add_properties(self, t: int, props: dict) -> "GraphFrame":
+        """Append GRAPH-level temporal properties at time ``t``
+        (property_addition_ops.rs:18-46 add_properties, graph arm).
+        Returns a new frame (immutable-Dataset discipline); the rows are
+        O(#updates) and driver-resident by design."""
+        prev = self.graph_events
+        eid = (prev.num_rows if prev is not None else 0)
+        rows = pa.table({
+            "t": pa.array([int(t)] * len(props), pa.int64()),
+            "event_id": pa.array(range(eid, eid + len(props)), pa.int64()),
+            "name": pa.array(list(props), pa.string()),
+            "value": pa.array([str(v) for v in props.values()], pa.string()),
+        })
+        g = self._derive(self.edges)
+        g.graph_events = rows if prev is None \
+            else pa.concat_tables([prev, rows])
+        return g
+
+    def add_metadata(self, props: dict) -> "GraphFrame":
+        """Constant graph metadata (add_metadata, last write wins —
+        update_metadata semantics)."""
+        g = self._derive(self.edges)
+        g.graph_meta = {**self.graph_meta, **props}
+        return g
+
+    def graph_metadata(self, name: str | None = None):
+        return self.graph_meta if name is None else self.graph_meta[name]
+
+    def _graph_events_in_view(self) -> pa.Table | None:
+        ge = self.graph_events
+        if ge is None:
+            return None
+        if self.start is not None:
+            ge = ge.filter(pc.greater_equal(ge["t"],
+                                            pa.scalar(self.start, pa.int64())))
+        if self.end is not None:
+            ge = ge.filter(pc.less(ge["t"], pa.scalar(self.end, pa.int64())))
+        return ge
+
+    def graph_property_history(self, name: str) -> pa.Table:
+        """(t, value) history of one graph temporal property, window-aware
+        (reference Properties.temporal().get on the graph)."""
+        ge = self._graph_events_in_view()
+        if ge is None:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.string())})
+        ge = ge.filter(pc.equal(ge["name"], name))
+        return ge.sort_by([("t", "ascending"),
+                           ("event_id", "ascending")]).select(["t", "value"])
+
+    def latest_graph_properties(self) -> dict:
+        """name → latest value by (t, event_id) within the view."""
+        ge = self._graph_events_in_view()
+        if ge is None or ge.num_rows == 0:
+            return {}
+        ge = ge.sort_by([("t", "ascending"), ("event_id", "ascending")])
+        return dict(zip(ge["name"].to_pylist(), ge["value"].to_pylist()))
 
     # ------------------------------------------------------------------ views
     def window(self, start: int | None, end: int | None) -> "GraphFrame":
@@ -87,6 +152,7 @@ class GraphFrame:
         g = GraphFrame(self.edges.map_batches(filt, batch_format="pyarrow",
                                               zero_copy_batch=True),
                        self.n, self.vertices, ne)
+        g.graph_events, g.graph_meta = self.graph_events, self.graph_meta
         # reference views expose their bounds (GraphView.start/end, time.rs)
         g.start, g.end = lo, hi
         return g

@@ -83,6 +83,33 @@ def load_edges_from_json(path, time_col, src_col, dst_col, **kw):
     return load_edges(rd.read_json(path), time_col, src_col, dst_col, **kw)
 
 
+def load_edge_deletions(ds, time_col: str, src_col: str, dst_col: str,
+                        layer_col: str | None = None,
+                        time_fmt: str | None = None):
+    """Deletion events (load_edge_deletions_from_parquet,
+    parquet_loaders.rs:296-340): same column mapping as ``load_edges``
+    tagged op=1; union with addition events (op=0) to build a
+    PersistentGraphFrame (graph/persistent.py)."""
+    base = load_edges(ds, time_col, src_col, dst_col, layer_col=layer_col,
+                      time_fmt=time_fmt)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "op", pa.array(np.ones(b.num_rows, np.int64), pa.int64()))
+
+    return base.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def load_edge_deletions_from_parquet(path, time_col, src_col, dst_col, **kw):
+    import ray.data as rd
+    cols = [time_col, src_col, dst_col]
+    if kw.get("layer_col"):
+        cols.append(kw["layer_col"])
+    return load_edge_deletions(rd.read_parquet(path, columns=cols),
+                               time_col, src_col, dst_col, **kw)
+
+
 # ----------------------------------------------------------- node loaders
 
 def load_nodes(ds, time_col: str, id_col: str, node_type: str | None = None,
