@@ -437,6 +437,10 @@ class GraphFrame:
             layers.update(pc.unique(b["layer"].combine_chunks()).to_pylist())
         return {lay: self.layer(lay) for lay in sorted(layers)}
 
+    def unique_layers(self) -> list[str]:
+        """Sorted distinct layer names (GraphViewOps.unique_layers)."""
+        return sorted(self.layers())
+
     # ----------------------------------------------------- node properties
     def node_metadata(self, name: str) -> pa.Array:
         """Constant node property column (metadata() accessor)."""
