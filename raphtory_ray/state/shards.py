@@ -66,11 +66,15 @@ def _degree_partial(block: pa.Table, col: str):
 
 
 @ray.remote
-def _csr_by_dst(block: pa.Table):
-    """One-time per-block prep: rows sorted by dst + group index — the
-    static CSR adjacency slice each superstep gathers over (north_star's
-    'CSR adjacency blocks'; built once, pinned in the object store)."""
-    s, d = _sd(block)
+def _csr_by_dst(*blocks: pa.Table):
+    """One-time prep: rows sorted by dst + group index — the static CSR
+    adjacency slice each superstep gathers over (north_star's 'CSR
+    adjacency blocks'; built once, pinned in the object store). Accepts
+    several dst-hash buckets: merging buckets keeps dst-ownership disjoint
+    across the merged groups."""
+    sd = [_sd(b) for b in blocks]
+    s = np.concatenate([x[0] for x in sd])
+    d = np.concatenate([x[1] for x in sd])
     order = np.argsort(d, kind="stable")
     s, d = s[order], d[order]
     uds, start = np.unique(d, return_index=True)
@@ -454,9 +458,21 @@ class BspGraph:
 
     @property
     def csr_refs(self) -> list:
-        """Per-block dst-sorted CSR slices, built once (superstep hot path)."""
+        """Dst-sorted CSR slices, built once (superstep hot path).
+
+        COALESCED to ~cpus/4 partitions (round 3): a superstep is a
+        synchronous task round, so at sandbox edge counts 32 micro-blocks
+        pay ~2x pure scheduling latency over 8 merged ones (measured
+        0.37-0.57s vs 0.29-0.33s per 10 supersteps at sf0.1). Merging
+        dst-hash buckets preserves disjoint dst-ownership. Topology blocks
+        (self.refs) stay fine-grained for the throughput-bound wedge/probe
+        paths."""
         if self._csr_refs is None:
-            self._csr_refs = [_csr_by_dst.remote(r) for r in self.refs]
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            G = max(4, min(len(self.refs), cpus // 4))
+            k = -(-len(self.refs) // G)
+            groups = [self.refs[i:i + k] for i in range(0, len(self.refs), k)]
+            self._csr_refs = [_csr_by_dst.remote(*g) for g in groups]
         return self._csr_refs
 
     # ------------------------------------------------------------ construction
