@@ -451,6 +451,7 @@ class BspGraph:
         self.refs = refs                  # directed simple (src,dst) blocks
         self.num_edges = num_edges
         self._und_refs = None
+        self._und_step_refs = None
         self._csr_refs = None
         self._outdeg = None
         self._indeg = None
@@ -515,6 +516,22 @@ class BspGraph:
             both = [_both_dirs.remote(r) for r in self.refs]
             self._und_refs = _shuffle_pairs(both, nb, key="src")
         return self._und_refs
+
+    @property
+    def und_step_refs(self) -> list:
+        """und_refs coalesced to ~cpus/4 groups for the SYNCHRONOUS round
+        loops (wcc/lpa/kcore): merging src-hash buckets preserves
+        src-ownership disjointness while quartering per-round scheduling
+        latency (same round-3 rationale as csr_refs). Throughput-bound
+        consumers (wedge/probe shuffles, degrees) keep the fine blocks."""
+        if self._und_step_refs is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            G = max(4, min(len(self.und_refs), cpus // 4))
+            k = -(-len(self.und_refs) // G)
+            self._und_step_refs = [
+                _merge_concat.remote(*self.und_refs[i:i + k])
+                for i in range(0, len(self.und_refs), k)]
+        return self._und_step_refs
 
     # ------------------------------------------------------------ degrees
     def _degree(self, refs, col) -> np.ndarray:
@@ -594,7 +611,7 @@ class BspGraph:
         while True:
             ref = ray.put(label)
             parts = ray.get([_wcc_step_owned.remote(r, ref)
-                             for r in self.und_refs])
+                             for r in self.und_step_refs])
             new = label.copy()
             for chg, vals in parts:       # disjoint by ownership
                 new[chg] = vals
@@ -617,7 +634,7 @@ class BspGraph:
         for it in range(1, iter_count + 1):
             ref = ray.put(prev)
             parts = ray.get([_lpa_step_owned.remote(r, ref, n)
-                             for r in self.und_refs])
+                             for r in self.und_step_refs])
             cur = prev.copy()
             for us, ls in parts:          # disjoint by ownership
                 cur[us] = ls
@@ -635,7 +652,7 @@ class BspGraph:
             ref = ray.put(alive)
             cnt = np.zeros(self.n, dtype=np.int64)
             for ids, c in ray.get([_alive_count_partial.remote(r, ref)
-                                   for r in self.und_refs]):
+                                   for r in self.und_step_refs]):
                 cnt[ids] += c             # disjoint by src ownership
             new_alive = alive & (cnt >= k)
             if np.array_equal(new_alive, alive):
