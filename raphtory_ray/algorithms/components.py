@@ -228,7 +228,9 @@ def closure_pairs(g, reverse: bool, sources: np.ndarray | None = None,
                   max_rounds: int = 10_000) -> list:
     """Distributed closure. Returns P object refs of (node, member) Arrow
     tables (row-partitioned by hash(node)). ``sources=None`` = all nodes."""
-    P = max(1, len(g.refs))
+    # P >= 2 always: the num_returns routing convention returns bare values
+    # at P=1 (single-block graphs get a padded empty partition instead)
+    P = max(2, len(g.refs))
     n = g.n
     oriented = [_cl_orient.remote(r, reverse) for r in g.refs]
     parts = _shuffle_pairs(oriented, P, key="src")

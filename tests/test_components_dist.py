@@ -47,3 +47,14 @@ def test_single_closure_cycle(ray_session):
     assert set(C.single_closure(g, 0, reverse=False).tolist()) == {0, 1, 2, 3}
     assert set(C.single_closure(g, 3, reverse=True).tolist()) == {0, 1, 2}
     assert set(C.single_closure(g, 3, reverse=False).tolist()) == set()
+
+
+def test_single_block_graph(ray_session):
+    """P=1 topology pads to two partitions (num_returns convention)."""
+    from raphtory_ray.algorithms import components as C
+    src = np.array([0, 1, 2, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 3], dtype=np.int64)
+    g = BspGraph.from_arrays(src, dst, 4, num_blocks=1)
+    out = C.closure_sets(g, reverse=False)
+    assert set(out[0].tolist()) == {0, 1, 2, 3}
+    assert set(out[3].tolist()) == set()
