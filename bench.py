@@ -27,10 +27,29 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def _host_cal_ms() -> float:
+    """In-band host-health probe: 5x 8M-element int64 multiply, ~40-60 ms
+    on this box when healthy. The sandbox VM suffers multi-minute
+    hypervisor-level memory-bandwidth degradation bursts where this same
+    probe measures 4,000-30,000 ms (observed 2026-08-18); recording it
+    next to the timings lets a reader tell engine regressions from host
+    bursts."""
+    import time
+
+    import numpy as np
+    a = np.arange(8_000_000, dtype=np.int64)
+    out = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.multiply(a, 3, out=out)
+    return (time.perf_counter() - t0) * 1000
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    cal_start = _host_cal_ms()
 
     # warm the worker pool before timing anything: a real long-running
     # cluster has resident workers; on this sandbox each cold stage
@@ -155,6 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
+        "host_cal_ms": {"start": cal_start, "end": _host_cal_ms(),
+                        "healthy_ref": 60},
         **extra,
     }
 
@@ -235,6 +256,7 @@ def run_scaling_single(num_cpus: int) -> dict:
         "supersteps": RA_STEPS,
         "sec_per_superstep": mean_step,
         "edges_per_sec_per_superstep": g.num_edges / mean_step,
+        "host_cal_ms": _host_cal_ms(),
     }
 
 
@@ -296,7 +318,8 @@ def run_scaling_compute_single(num_cpus: int) -> dict:
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     return {"num_cpus": num_cpus, "docs": n_docs, "wall_sec": wall,
-            "walls": walls, "docs_per_sec": n_docs / wall}
+            "walls": walls, "docs_per_sec": n_docs / wall,
+            "host_cal_ms": _host_cal_ms()}
 
 
 def run_scaling_compute(cpus=(8, 32)) -> dict:
