@@ -151,6 +151,17 @@ def _route(tbl: pa.Table, bucket: np.ndarray, P: int):
     return tuple(out) if P > 1 else out[0]
 
 
+def _stage_pool() -> tuple:
+    """Autoscaling actor-pool bounds for compute stages: floor cpus//4 so
+    the ramp doesn't dominate short stages, cap cpus-2 to leave slots for
+    the read/consume operators (round 3 — the previous fixed (1-2, 8) cap
+    left 3/4 of a 32-cpu box idle in the signature stages)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (max(1, cpus // 4), max(2, cpus - 2))
+
+
 def _dedup_parallelism() -> int:
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
@@ -452,7 +463,7 @@ def minhash_lsh_dedup(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     """
     sig = ds.map_batches(MinHashStage, fn_constructor_kwargs={
         "num_perm": num_perm, "k": k}, batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 8))
+        zero_copy_batch=True, concurrency=_stage_pool())
     band_refs = (sig.map_batches(lambda b: _band_rows(b, bands),
                                  batch_format="pyarrow", zero_copy_batch=True)
                  .materialize().to_arrow_refs())
@@ -492,9 +503,10 @@ class SimHashStage:
                          "simhash": pa.array(fp, pa.uint64())})
 
 
-def simhash_signatures(ds, concurrency=(2, 8)):
+def simhash_signatures(ds, concurrency=None):
     return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=concurrency)
+                          zero_copy_batch=True,
+                          concurrency=concurrency or _stage_pool())
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -49,6 +49,13 @@ class _BlockTopK:
         })
 
 
+def _knn_pool() -> tuple:
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (max(1, cpus // 4), max(2, cpus - 2))
+
+
 def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
                    query_ids: np.ndarray | None = None) -> pa.Table:
     """Exact top-k cosine neighbours of each query row.
@@ -61,7 +68,7 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
     partials = ds.map_batches(
         _BlockTopK, fn_constructor_args=(q_ref, k),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(2, 8)).to_pandas()
+        concurrency=_knn_pool()).to_pandas()
     # driver-side final combine: top-k of the per-block top-ks
     partials = partials.sort_values(
         ["query_id", "cosine", "neighbor_id"],

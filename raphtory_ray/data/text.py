@@ -149,9 +149,17 @@ def quality_stats(ds, text_col: str = "text"):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
-def language_id(ds, concurrency=(2, 8)):
+def _stage_pool() -> tuple:
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (max(1, cpus // 4), max(2, cpus - 2))
+
+
+def language_id(ds, concurrency=None):
     return ds.map_batches(LanguageId, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=concurrency)
+                          zero_copy_batch=True,
+                          concurrency=concurrency or _stage_pool())
 
 
 def fingerprints(ds, k: int = 8, window: int = 16):
