@@ -331,6 +331,32 @@ def _q_user_window_out_degree(sf_dir: str) -> pa.Table:
     return _nodestate_table(vids, deg, "out_degree", pa.int64(), keep=deg > 0)
 
 
+def _q_user_exclude_layer(sf_dir: str) -> pa.Table:
+    """exclude_layer view (layer_graph.rs exclude_layers, round-3 view
+    algebra): the user graph layered by the source event's type; distinct
+    (src, dst) simple edges whose events survive excluding the 'click'
+    and 'view' layers."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.pipelines.tpch_graph import (user_edges,
+                                                   user_vertex_count)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["layer" if c == "etype" else c for c in b.column_names])
+
+    edges = user_edges(sf_dir, keep_type=True).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True)
+    gf = GraphFrame(edges, n=user_vertex_count(sf_dir))
+    sub = gf.exclude_layer(["click", "view"])
+    t = pa.concat_tables(
+        sub.edges.select_columns(["src", "dst"])
+        .iter_batches(batch_format="pyarrow"))
+    import pandas as pd
+    df = t.to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _q_user_balance(sf_dir: str) -> pa.Table:
     """Per-user net Σ of the edge weight over temporal events
     (balance.rs:44-123, direction=BOTH: incoming +w, outgoing −w); restricted
@@ -1027,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
+        "user_exclude_layer_edges": _q_user_exclude_layer,
         "user_rolling_edge_counts": _q_user_rolling_counts,
         "user_temporal_reach": _q_user_temporal_reach,
         "user_filtered_out_degree": _q_user_filtered_out_degree,
@@ -1705,6 +1732,17 @@ deg AS (
 ),
 m AS (SELECT SUM(k) AS m2, SUM(k * k) AS kk FROM deg)
 SELECT (SELECT s FROM selfs) / m2 - kk / (m2 * m2) AS modularity FROM m
+""",
+        "user_exclude_layer_edges": f"""
+WITH user_edges AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
+         event_type AS layer
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL
+)
+SELECT DISTINCT src, dst FROM user_edges
+WHERE layer NOT IN ('click', 'view')
 """,
         "user_balance": f"""
 WITH {_USER_EDGES},
