@@ -120,3 +120,25 @@ def test_nodestate_reductions(ray_session):
     g = ns.groups()
     assert set(g) == {1.0, 3.0, 4.0, 5.0}
     assert sorted(g[1.0].tolist()) == [1, 3]
+
+
+def test_load_edges_from_csv_and_json(ray_session, tmp_path):
+    """CsvLoader / json_loader parity: same rows through both formats."""
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.sources.loaders import (load_edges_from_csv,
+                                              load_edges_from_json)
+    csv_p = tmp_path / "e.csv"
+    csv_p.write_text("when,a,b,w\n1,0,1,2.5\n2,1,2,0.5\n3,2,0,1.0\n")
+    json_p = tmp_path / "e.json"
+    json_p.write_text(
+        '{"when": 1, "a": 0, "b": 1, "w": 2.5}\n'
+        '{"when": 2, "a": 1, "b": 2, "w": 0.5}\n'
+        '{"when": 3, "a": 2, "b": 0, "w": 1.0}\n')
+    got_csv = load_edges_from_csv(str(csv_p), "when", "a", "b",
+                                  prop_cols=["w"]).take_all()
+    got_json = load_edges_from_json(str(json_p), "when", "a", "b",
+                                    prop_cols=["w"]).take_all()
+    key = lambda r: (r["t"], r["src"], r["dst"], r["w"])
+    assert sorted(map(key, got_csv)) == sorted(map(key, got_json)) == [
+        (1, 0, 1, 2.5), (2, 1, 2, 0.5), (3, 2, 0, 1.0)]
