@@ -270,6 +270,18 @@ class PersistentGraphFrame:
                 nodes.add(b)
         return len(nodes)
 
+    def to_graph_frame(self):
+        """The view's ACTIVE simple edges as a GraphFrame — runs every
+        BspGraph algorithm on a persistent snapshot (the reference runs
+        algorithms on any view). Built from per-partition task outputs via
+        from_arrow_refs — no driver pull of the edge set."""
+        import ray.data as rd
+        from raphtory_ray.graph.graph_frame import GraphFrame
+        s, e, vld, lay = self._sel()
+        refs = [_active_pairs_tbl.remote(r, s, e, vld, lay)
+                for r in self._live_refs]
+        return GraphFrame(rd.from_arrow_refs(refs), self.n)
+
     def edges_table(self) -> pa.Table:
         """Distinct (src, dst) pairs included in the view, sorted."""
         s, e, vld, lay = self._sel()
@@ -408,6 +420,20 @@ def _active_pairs(tab: pa.Table, s, e, valid, layers):
     sa = _np(tab["src"])[m]
     da = _np(tab["dst"])[m]
     return list({(int(a), int(b)) for a, b in zip(sa, da)})
+
+
+@ray.remote
+def _active_pairs_tbl(tab: pa.Table, s, e, valid, layers) -> pa.Table:
+    """Distinct active (src, dst) rows of one interval partition, as an
+    Arrow table (feeds ray.data.from_arrow_refs — stays off the driver)."""
+    m = _select(tab, s, e, valid, layers)
+    sa = _np(tab["src"])[m]
+    da = _np(tab["dst"])[m]
+    if len(sa):
+        key = np.unique(sa * (np.int64(1) << 32) + da)
+        sa, da = key >> 32, key & ((np.int64(1) << 32) - 1)
+    return pa.table({"src": pa.array(sa, pa.int64()),
+                     "dst": pa.array(da, pa.int64())})
 
 
 @ray.remote

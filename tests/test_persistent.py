@@ -160,3 +160,24 @@ def test_snapshot_semantics(ray_session):
     # event-graph snapshot = before(t+1) (time.rs:265-270)
     assert gf.snapshot_at(2).count_temporal_edges() == 2
     assert gf.snapshot_latest().count_temporal_edges() == 3
+
+
+def test_to_graph_frame_runs_algorithms(ray_session):
+    """Persistent snapshot → GraphFrame → BspGraph algorithms (reference
+    runs algorithms on any view); pairs match edges_table exactly."""
+    import numpy as np
+    from raphtory_ray.state.shards import BspGraph
+    # triangle 0-1-2 alive at t=10; edge (0,1) deleted at t=5 kills it
+    pg = _pg(ray_session, [
+        (1, 0, 1, 0), (1, 1, 2, 0), (1, 2, 0, 0),
+        (5, 0, 1, 1)])
+    snap_early = pg.snapshot_at(3)
+    gf = snap_early.to_graph_frame()
+    t = snap_early.edges_table()
+    got = sorted((r["src"], r["dst"]) for r in
+                 gf.edges.select_columns(["src", "dst"]).take_all())
+    want = sorted(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
+    assert got == want
+    assert BspGraph.from_graph(gf).triangle_counts()[0] == 1
+    gf2 = pg.snapshot_at(7).to_graph_frame()
+    assert BspGraph.from_graph(gf2).triangle_counts()[0] == 0
