@@ -310,7 +310,10 @@ def _jaccard_verify_part(k: int, threshold: float, *pieces: pa.Table) -> pa.Tabl
         sa, sb = sh(r1), sh(r2)
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 1.0
+        # empty shingle sets (docs shorter than k): Jaccard is undefined —
+        # never a duplicate (matches the SQL oracle, where shingle-less
+        # docs can't appear in the intersection join)
+        jac = inter / union if union else 0.0
         if jac >= threshold:
             oa.append(int(a[r1]))
             ob.append(int(b[r1]))

@@ -193,3 +193,20 @@ def test_multimodal_pipeline(ray_session):
     from raphtory_ray.data.multimodal import DecodeImageStage
     with pytest.raises(NotImplementedError):
         DecodeImageStage(fake=False)._decode(b"payload")
+
+
+def test_minhash_short_docs_never_duplicate(ray_session):
+    """Docs shorter than the shingle width have EMPTY shingle sets: their
+    Jaccard is undefined and they must each stay their own cluster (the
+    SQL oracle can't pair shingle-less docs either)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.dedup import minhash_lsh_dedup
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["ab", "cd",
+                          "the quick brown fox jumps over",
+                          "the quick brown fox jumps over"])})
+    t = (minhash_lsh_dedup(rd.from_arrow(docs), threshold=0.7)
+         .to_pandas().sort_values("doc_id"))
+    assert t["cluster_id"].tolist() == [0, 1, 2, 2]
