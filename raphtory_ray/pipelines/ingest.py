@@ -100,6 +100,184 @@ def _distinct_gids(*blocks: pa.Table) -> pa.Array:
     return pc.unique(pa.concat_arrays(arrs))
 
 
+# ----------------------------------------- distributed gid resolution
+#
+# The broadcast sorted-gid dictionary holds to ~10^8 vertices (O(V)
+# strings on the driver). Past that, this path: vid = global rank from a
+# DISTRIBUTED sort of the distinct gids (driver sees only O(blocks)
+# counts), and edge endpoints resolve through a two-round hash-partitioned
+# shuffle JOIN against the (gid, vid) dictionary partitions. Same vid
+# contract as build_gid_index (sorted rank — the two paths are
+# interchangeable and tested equal).
+
+def _gid_hash(col: pa.Array) -> np.ndarray:
+    import pandas as pd
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pd.util.hash_array(
+        np.asarray(arr.to_pandas(), dtype=object)).astype(np.uint64)
+
+
+def _bucket_of(h: np.ndarray, P: int) -> np.ndarray:
+    _G = np.uint64(0x9E3779B97F4A7C15)
+    return (((h * _G) >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+
+
+@ray.remote
+def _gid_route(piece: pa.Array, P: int):
+    """Distinct-gid piece → P hash partitions (exact global distinct after
+    the per-partition unique in _gid_dedup_part)."""
+    bk = _bucket_of(_gid_hash(piece), P)
+    order = np.argsort(bk, kind="stable")
+    b = bk[order]
+    bounds = np.searchsorted(b, np.arange(P + 1))
+    taken = piece.take(pa.array(order))
+    return tuple(pa.table({"gid": taken.slice(
+        int(bounds[p]), int(bounds[p + 1] - bounds[p]))}) for p in range(P))
+
+
+@ray.remote
+def _gid_dedup_part(*pieces: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    arrs = [p["gid"].combine_chunks() for p in pieces if p.num_rows]
+    if not arrs:
+        return pa.table({"gid": pa.array([], pa.string())})
+    return pa.table({"gid": pc.unique(pa.concat_arrays(arrs))})
+
+
+@ray.remote
+def _gid_count(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _gid_assign(t: pa.Table, offset: int) -> pa.Table:
+    """Sorted block → (gid, vid = global rank) rows."""
+    return t.append_column("vid", pa.array(
+        np.arange(offset, offset + t.num_rows), pa.int64()))
+
+
+@ray.remote
+def _dict_route(t: pa.Table, P: int):
+    bk = _bucket_of(_gid_hash(t["gid"]), P)
+    order = np.argsort(bk, kind="stable")
+    b = bk[order]
+    bounds = np.searchsorted(b, np.arange(P + 1))
+    tt = t.take(pa.array(order))
+    return tuple(tt.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _dict_merge(*pieces: pa.Table) -> pa.Table:
+    good = [p for p in pieces if p.num_rows]
+    if not good:
+        return pa.table({"gid": pa.array([], pa.string()),
+                         "vid": pa.array([], pa.int64())})
+    return pa.concat_tables(good)
+
+
+def build_gid_index_distributed(files_ds, P: int | None = None):
+    """→ (dict_refs, n): P hash(gid)-partitioned (gid, vid) dictionary
+    tables + the vertex count. vid = rank in the globally sorted distinct
+    gid order — IDENTICAL to build_gid_index's contract; the driver holds
+    only O(P) counts, never the gid strings."""
+    import ray.data as rd
+    refs = files_ds.to_arrow_refs()
+    P = P or max(4, min(32, len(refs)))
+    k = max(1, len(refs) // 16)
+    pieces = [_distinct_gids.remote(*refs[i:i + k])
+              for i in range(0, len(refs), k)]
+    routed = [_gid_route.options(num_returns=P).remote(p, P) for p in pieces]
+    parts = [_gid_dedup_part.remote(*[r[q] for r in routed])
+             for q in range(P)]
+    sorted_ds = rd.from_arrow_refs(parts).sort("gid")
+    blocks = sorted_ds.to_arrow_refs()
+    counts = ray.get([_gid_count.remote(b) for b in blocks])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n = int(offsets[-1])
+    assigned = [_gid_assign.remote(b, int(offsets[i]))
+                for i, b in enumerate(blocks)]
+    routed2 = [_dict_route.options(num_returns=P).remote(a, P)
+               for a in assigned]
+    dict_refs = [_dict_merge.remote(*[r[q] for r in routed2])
+                 for q in range(P)]
+    return dict_refs, n
+
+
+@ray.remote
+def _edge_resolve_src(b: pa.Table, P: int):
+    """Route gid-form edge rows by hash(src_gid)."""
+    bk = _bucket_of(_gid_hash(b["src_gid"]), P)
+    order = np.argsort(bk, kind="stable")
+    bb = bk[order]
+    bounds = np.searchsorted(bb, np.arange(P + 1))
+    t = b.take(pa.array(order))
+    return tuple(t.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _edge_join_src(dictionary: pa.Table, P: int, *pieces: pa.Table):
+    """Resolve src against this partition's dictionary, then re-route the
+    rows by hash(dst_gid) for the dst join round."""
+    import pyarrow.compute as pc
+    good = [p for p in pieces if p.num_rows]
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst_gid": pa.array([], pa.string()),
+                      "t": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64())})
+    if not good:
+        return tuple([empty] * P) if P > 1 else empty
+    t = pa.concat_tables(good)
+    idx = pc.index_in(t["src_gid"].combine_chunks(),
+                      value_set=dictionary["gid"].combine_chunks())
+    ok = pc.is_valid(idx)
+    src = pc.take(dictionary["vid"],
+                  idx.filter(ok)).combine_chunks().cast(pa.int64())
+    t = t.filter(ok)
+    out = pa.table({"src": src, "dst_gid": t["dst_gid"],
+                    "t": t["t"], "event_id": t["event_id"]})
+    bk = _bucket_of(_gid_hash(out["dst_gid"]), P)
+    order = np.argsort(bk, kind="stable")
+    bb = bk[order]
+    bounds = np.searchsorted(bb, np.arange(P + 1))
+    oo = out.take(pa.array(order))
+    return tuple(oo.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _edge_join_dst(dictionary: pa.Table, *pieces: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    good = [p for p in pieces if p.num_rows]
+    if not good:
+        z = pa.array([], pa.int64())
+        return pa.table({"src": z, "dst": z, "t": z, "event_id": z})
+    t = pa.concat_tables(good)
+    idx = pc.index_in(t["dst_gid"].combine_chunks(),
+                      value_set=dictionary["gid"].combine_chunks())
+    ok = pc.is_valid(idx)
+    dst = pc.take(dictionary["vid"],
+                  idx.filter(ok)).combine_chunks().cast(pa.int64())
+    t = t.filter(ok)
+    return pa.table({"src": t["src"], "dst": dst,
+                     "t": t["t"], "event_id": t["event_id"]})
+
+
+def resolve_edges_distributed(edge_gid_refs: list, dict_refs: list):
+    """gid-form edge blocks → resolved (src, dst, t, event_id) blocks via
+    two hash-partitioned shuffle-join rounds (src round, dst round). No
+    broadcast dictionary, no driver strings."""
+    P = len(dict_refs)
+    split = [_edge_resolve_src.options(num_returns=max(P, 2)).remote(b, P)
+             for b in edge_gid_refs]
+    src_joined = [_edge_join_src.options(num_returns=max(P, 2)).remote(
+        dict_refs[p], P, *[s[p] for s in split]) for p in range(P)]
+    return [_edge_join_dst.remote(dict_refs[q],
+                                  *[sj[q] for sj in src_joined])
+            for q in range(P)]
+
+
 class VidResolver:
     """gid → vid via Arrow ``pc.index_in`` against the broadcast sorted
     gid dictionary (position in the sorted array IS the vid) — an all-C
@@ -221,6 +399,14 @@ def _files_part(*blocks: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _edges_part_raw(*blocks: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return pa.concat_tables(
+        b.filter(pc.equal(b["kind"], 1)).select(
+            ["src_gid", "dst_gid", "t", "event_id"]) for b in blocks)
+
+
+@ray.remote
 def _edges_part_resolve(gids: pa.Array, *blocks: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
     res = VidResolver(gids)
@@ -229,7 +415,8 @@ def _edges_part_resolve(gids: pa.Array, *blocks: pa.Table) -> pa.Table:
             ["src_gid", "dst_gid", "t", "event_id"])) for b in blocks)
 
 
-def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:
+def load_graph(corpus_path: str,
+               distributed_resolve: bool = False) -> tuple[GraphFrame, "rd.Dataset"]:
     """Full ingest: corpus parquet dir → (GraphFrame, files_ds).
 
     SINGLE pass over the corpus (round 3; was hash pass + extract pass):
@@ -237,6 +424,14 @@ def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:
     slim kind-tagged union of file rows and gid-form edge events; the
     union (content-free — tiny relative to the corpus) is the only thing
     pinned. Splitting and vid resolution then run over slim blocks only.
+
+    ``distributed_resolve=True`` switches to the 10^9+-vertex path: the
+    gid→vid dictionary is built by a DISTRIBUTED sort (vid = global rank,
+    same contract) and endpoints resolve through hash-partitioned shuffle
+    joins — no broadcast dictionary, no driver-held strings
+    (build_gid_index_distributed / resolve_edges_distributed). The
+    vertices dimension table is left None on this path (it would be the
+    very O(V) driver table the path exists to avoid).
     """
     import pyarrow.compute as pc
 
@@ -252,6 +447,11 @@ def load_graph(corpus_path: str) -> tuple[GraphFrame, "rd.Dataset"]:
     k = max(1, len(refs) // 16)
     grp = [refs[i:i + k] for i in range(0, len(refs), k)]
     files_ds = rd.from_arrow_refs([_files_part.remote(*g) for g in grp])
+    if distributed_resolve:
+        dict_refs, n = build_gid_index_distributed(files_ds)
+        raw = [_edges_part_raw.remote(*g) for g in grp]
+        edges = rd.from_arrow_refs(resolve_edges_distributed(raw, dict_refs))
+        return GraphFrame(edges, n=n), files_ds
     gids = build_gid_index(files_ds)
     ref = ray.put(gids)
     edges = rd.from_arrow_refs([_edges_part_resolve.remote(ref, *g)

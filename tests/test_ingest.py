@@ -82,3 +82,21 @@ def test_repo_edges_rollup(corpus):
            zip(t["src_repo"].to_pylist(), t["dst_repo"].to_pylist(),
                t["n_imports"].to_pylist())}
     assert got == want
+
+
+def test_distributed_resolve_parity(corpus):
+    """distributed_resolve=True (distributed-sort dictionary + shuffle-join
+    resolution, the 10^9-vertex path) must produce the IDENTICAL graph to
+    the broadcast-dictionary path: same n, same resolved edge events."""
+    from raphtory_ray.pipelines.ingest import load_graph
+    gf1, _ = load_graph(corpus)
+    gf2, _ = load_graph(corpus, distributed_resolve=True)
+    assert gf1.n == gf2.n
+
+    def rows(gf):
+        return sorted(
+            (r["src"], r["dst"], r["t"], r["event_id"])
+            for r in gf.edges.select_columns(
+                ["src", "dst", "t", "event_id"]).take_all())
+
+    assert rows(gf1) == rows(gf2)
