@@ -350,8 +350,11 @@ def run_scaling_compute(cpus=(8, 32)) -> dict:
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "minhash_raw_probe.py")
     for nc in cpus:
-        out = subprocess.run([sys.executable, probe, str(nc)],
-                             capture_output=True, text=True, timeout=3600)
+        try:
+            out = subprocess.run([sys.executable, probe, str(nc)],
+                                 capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            break          # host burst: report engine numbers without raw
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if lines:
             raw[str(nc)] = json.loads(lines[-1])
