@@ -987,6 +987,17 @@ def _q_corpus_repo_edges(sf_dir: str) -> pa.Table:
     return t.select(["src_repo", "dst_repo", "n_imports"])
 
 
+def _q_betweenness(sf_dir: str) -> pa.Table:
+    """Brandes betweenness, sources fanned over Ray tasks (betweenness.rs;
+    value conformance = exact NetworkX parity in tests/test_betweenness).
+    Rounded to a 1e-9 grid for stable hashing."""
+    gf, _g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms.extra import betweenness_centrality
+    bc = betweenness_centrality(gf, normalized=True).values
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "betweenness": pa.array(np.round(bc, 9), pa.float64())})
+
+
 def _q_scc_small(sf_dir: str) -> pa.Table:
     """SCC labels on the subgraph induced by the 300 smallest node ids —
     the hash-gated variant of copurchase_scc (the full closure oracle runs
@@ -1050,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
         "copurchase_scc_small": _q_scc_small,
+        "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
