@@ -1,15 +1,17 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Container has no codec libraries, so the *decode* kernels are stubbed: each
-stage is a real actor-pool ``map_batches`` class with real schema handling,
-batch sizing and output layout; only the innermost bytes→pixels/samples call
-is replaced. Two modes per stage:
+Each stage is a real actor-pool ``map_batches`` class with real schema
+handling, batch sizing and output layout. Decode modes (round 3: codec-free
+formats decode FOR REAL in pure numpy):
 
-- ``fake=True``  (default): deterministic fake decode derived from the
+- ``fake=False``: REAL decode for PPM/P6 images (`decode_ppm` + NN resize)
+  and RIFF/WAVE PCM16 audio (`decode_wav_pcm16`, channel-averaged mono);
+  compressed formats (jpeg/png/mp3/mp4) raise NotImplementedError at the
+  decode call — the container has no codec libs — marking exactly where
+  `PIL.Image.open` / `soundfile.read` / `av.open` would go.
+- ``fake=True`` (default): deterministic fake decode derived from the
   payload bytes (blake2 seeded) — lets the full pipeline run and be tested
-  end-to-end with stable outputs.
-- ``fake=False``: raises NotImplementedError at the decode call, marking
-  exactly where `PIL.Image.open` / `soundfile.read` / `av.open` would go.
+  end-to-end with stable outputs regardless of payload format.
 
 Scale notes: binary payloads are large → callers should pass a SMALL
 ``batch_size`` to map_batches (e.g. 16-64) so batch × concurrency fits the
@@ -34,17 +36,55 @@ def _binary_rows(col) -> list[bytes]:
     return col.to_pylist()
 
 
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """REAL image decode for binary PPM (P6) — a codec-free container
+    format parseable in pure numpy: ASCII header (magic, width, height,
+    maxval, '#' comments allowed) then raw RGB bytes. Returns (h, w, 3)
+    uint8."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1                              # single whitespace after maxval
+    w, h, maxval = fields
+    assert maxval == 255, "only 8-bit PPM supported"
+    pix = np.frombuffer(buf, np.uint8, count=h * w * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def _resize_nn(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resize (vectorized index sampling)."""
+    ys = (np.arange(h) * img.shape[0] // h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] // w).astype(np.int64)
+    return img[ys][:, xs]
+
+
 class DecodeImageStage:
     """binary `image` column → fixed (h, w, 3) uint8 tensor column `pixels`
-    + (height, width) metadata. Stub decode; resize is real numpy."""
+    + (height, width) metadata. REAL decode for PPM/P6 payloads (pure
+    numpy, `decode_ppm`) with nearest-neighbour resize; other formats need
+    a codec lib this container lacks (fake=False raises there, marking
+    where PIL.Image.open would plug in)."""
 
     def __init__(self, height: int = 32, width: int = 32, fake: bool = True):
         self.h, self.w, self.fake = height, width, fake
 
     def _decode(self, buf: bytes) -> np.ndarray:
         if not self.fake:
+            if buf.startswith(b"P6"):
+                return _resize_nn(decode_ppm(buf), self.h, self.w)
             raise NotImplementedError(
-                "image codec not available in this container; "
+                "non-PPM image codec not available in this container; "
                 "plug PIL.Image.open(io.BytesIO(buf)) here")
         rng = np.random.default_rng(_seed_from_bytes(buf))
         return rng.integers(0, 256, (self.h, self.w, 3), dtype=np.uint8)
@@ -88,9 +128,44 @@ class ImageFeatureStage:
         })
 
 
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM16 — codec-free, pure numpy:
+    walk the chunk list, read 'fmt ' (PCM, 16-bit) and 'data', average
+    channels to mono float32 in [-1, 1]. Returns (samples, sample_rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)      # chunks are 2-byte aligned
+    assert fmt is not None and data is not None, "missing fmt/data chunk"
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    assert audio_format == 1 and bits == 16, "only PCM16 supported"
+    raw = np.frombuffer(data, np.int16)
+    if channels > 1:
+        raw = raw[:len(raw) - len(raw) % channels].reshape(-1, channels)
+        mono = raw.mean(axis=1)
+    else:
+        mono = raw.astype(np.float64)
+    return (mono / 32768.0).astype(np.float32), rate
+
+
 class DecodeAudioStage:
-    """binary `audio` column → mono float32 samples (fixed-rate stub) +
-    duration metadata."""
+    """binary `audio` column → mono float32 samples + duration metadata.
+    REAL decode for RIFF/WAVE PCM16 payloads (pure numpy,
+    `decode_wav_pcm16`); compressed formats need a codec lib this
+    container lacks (fake=False raises there, marking where
+    soundfile.read would plug in)."""
 
     def __init__(self, sample_rate: int = 16000, max_seconds: float = 1.0,
                  fake: bool = True):
@@ -98,8 +173,13 @@ class DecodeAudioStage:
 
     def _decode(self, buf: bytes) -> np.ndarray:
         if not self.fake:
+            if buf[:4] == b"RIFF":
+                samples, rate = decode_wav_pcm16(buf)
+                self.sr = rate
+                return samples
             raise NotImplementedError(
-                "audio codec not available; plug soundfile.read here")
+                "compressed audio codec not available; plug "
+                "soundfile.read here")
         rng = np.random.default_rng(_seed_from_bytes(buf))
         n = int(self.sr * self.max_s * (0.25 + 0.75 * rng.random()))
         return rng.standard_normal(n).astype(np.float32)

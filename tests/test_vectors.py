@@ -53,3 +53,55 @@ def test_nodestate_arrow_compute(ray_session):
     out = ns.arrow_compute(pc.sqrt)
     assert out.values.tolist() == [1.0, 2.0, 3.0]
     assert out.name == "v"
+
+
+def _ppm_bytes(img):
+    import numpy as np
+    h, w, _ = img.shape
+    return (b"P6\n# test\n%d %d\n255\n" % (w, h)) + img.astype("uint8").tobytes()
+
+
+def _wav_bytes(samples_i16, rate=8000, channels=1):
+    import numpy as np
+    data = samples_i16.astype("<i2").tobytes()
+    fmt = (1).to_bytes(2, "little") + channels.to_bytes(2, "little") + \
+        rate.to_bytes(4, "little") + \
+        (rate * channels * 2).to_bytes(4, "little") + \
+        (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt + \
+        b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_real_ppm_decode(ray_session):
+    """fake=False is a REAL decode for PPM payloads (pure-numpy parser)."""
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.multimodal import DecodeImageStage, decode_ppm
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(_ppm_bytes(img)), img)
+    batch = pa.table({"item_id": pa.array([0], pa.int64()),
+                      "image": pa.array([_ppm_bytes(img)], pa.binary())})
+    out = DecodeImageStage(height=8, width=6, fake=False)(batch)
+    pix = np.asarray(out["pixels"].combine_chunks().values).reshape(8, 6, 3)
+    assert np.array_equal(pix, img)       # same size → identity resize
+
+
+def test_real_wav_decode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.multimodal import (DecodeAudioStage,
+                                              decode_wav_pcm16)
+    sig = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    samples, rate = decode_wav_pcm16(_wav_bytes(sig, rate=8000))
+    assert rate == 8000 and len(samples) == 400
+    assert np.allclose(samples, sig / 32768.0, atol=1e-6)
+    # stereo averages to mono
+    stereo = np.stack([sig, -sig], axis=1).reshape(-1)
+    s2, _ = decode_wav_pcm16(_wav_bytes(stereo, rate=8000, channels=2))
+    assert np.allclose(s2, 0.0, atol=1e-4)
+    batch = pa.table({"item_id": pa.array([0], pa.int64()),
+                      "audio": pa.array([_wav_bytes(sig)], pa.binary())})
+    out = DecodeAudioStage(fake=False)(batch)
+    assert out["duration_s"].to_pylist() == [400 / 8000]
