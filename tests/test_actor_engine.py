@@ -158,3 +158,21 @@ def test_graphgen_degree_shapes(ray_session):
     ra_max = ra.groupby("dst").size().max()
     ba_max = ba.groupby("dst").size().max()
     assert ba_max > 2 * ra_max
+
+
+def test_task_path_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """BspGraph.pagerank (the task path jobs/linkgraph_job.py uses) resumes
+    from the last complete manifest: a 3-iteration checkpointed run
+    continued to 6 must equal an uninterrupted 6-iteration run."""
+    import numpy as np
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 500, 3000).astype(np.int64)
+    dst = rng.integers(0, 500, 3000).astype(np.int64)
+    g = BspGraph.from_arrays(src, dst, 500, num_blocks=4)
+    want = g.pagerank(iter_count=6, tol=0.0)[0]
+    ck = CheckpointManager(str(tmp_path / "pr"), num_partitions=4)
+    g.pagerank(iter_count=3, tol=0.0, checkpoint=ck)
+    got = g.pagerank(iter_count=6, tol=0.0, checkpoint=ck)[0]
+    assert np.allclose(got, want, atol=1e-12)
