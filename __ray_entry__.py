@@ -1388,6 +1388,34 @@ cedges AS (
 )"""
 
 
+def _lang_id_sql() -> str:
+    """SQL mirror of text.py:_LANG_MARKERS scoring, built from the same
+    marker dict so the oracle can't drift from the engine."""
+    from raphtory_ray.data.text import _LANG_MARKERS
+
+    def _cnt(m: str) -> str:
+        esc = m.replace("'", "''")
+        return f"(length(t)-length(replace(t,'{esc}','')))//{len(m)}"
+
+    parts = [
+        f"SELECT doc_id, '{lg}' AS lg, "
+        f"CAST({'+'.join(_cnt(m) for m in ms)} AS BIGINT) AS score "
+        f"FROM lowered"
+        for lg, ms in _LANG_MARKERS.items()
+    ]
+    return (
+        "WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),\n"
+        "scores AS (" + "\nUNION ALL\n".join(parts) + "),\n"
+        "best AS (SELECT doc_id, lg, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lg ASC) AS rn FROM scores)\n"
+        "SELECT doc_id, CASE WHEN score = 0 THEN 'unknown' ELSE lg END "
+        "AS pred_lang, score FROM best WHERE rn = 1"
+    )
+
+
+_LANG_ID_SQL = _lang_id_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -1831,6 +1859,42 @@ FROM documents GROUP BY 1
 """,
         "doc_lang_counts": """
 SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+""",
+        # language_id (text.py:LanguageId): score(lang) = non-overlapping
+        # marker occurrences in lower(text); argmax with lexicographic
+        # tie-break (np.argmax over sorted langs); score 0 -> 'unknown'.
+        # The replace-trick counts non-overlapping matches exactly like
+        # pyarrow count_substring.
+        "doc_lang_id": _LANG_ID_SQL,
+        # winnowing (text.py:winnow_batch, k=8, window=16, base 1000003,
+        # u64 wraparound): per-position polynomial k-gram hash folded in
+        # HUGEINT mod 2^64, sliding-window min over 16 hashes (clipped at
+        # the partition end, which also covers the len<=window whole-doc
+        # case), distinct per doc.
+        "doc_fingerprints": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS p,
+         length(text)-7 AS n
+  FROM documents WHERE length(text) >= 8
+), hashes AS (
+  SELECT doc_id, p, n,
+    CAST(list_reduce(
+      list_transform(generate_series(0,7),
+                     j -> CAST(ord(substr(text, p+j, 1)) AS HUGEINT)),
+      (h, b) -> (h * 1000003 + b) % 18446744073709551616
+    ) AS UBIGINT) AS h
+  FROM pos
+), wins AS (
+  SELECT doc_id, p, n,
+    min(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+  FROM hashes
+), fps AS (
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE p <= greatest(1, n-15)
+)
+SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+       min(wmin) AS min_fingerprint
+FROM fps GROUP BY doc_id
 """,
         "doc_text_search": """
 WITH toks AS (
