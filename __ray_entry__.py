@@ -287,6 +287,17 @@ def _q_clustering(sf_dir: str) -> pa.Table:
                      "clustering": pa.array(vals, pa.float64())})
 
 
+def _q_clustering_batch(sf_dir: str) -> pa.Table:
+    """Subset form (local_clustering_coefficient_batch.rs): coefficients
+    for requested ids only; deg<2 nodes report 0.0."""
+    from raphtory_ray.algorithms import local_clustering_coefficient_batch
+    gf, g, ids = _copurchase(sf_dir)
+    subset = ids[ids % 7 == 0]
+    t = local_clustering_coefficient_batch(gf, [str(i) for i in subset])
+    return pa.table({"vid": pa.array(subset, pa.int64()),
+                     "clustering": t["clustering"]})
+
+
 def _q_degree_stats(sf_dir: str) -> pa.Table:
     """Global degree reductions (metrics/degree.rs:50-94) in one row."""
     _, g, _ = _copurchase(sf_dir)
@@ -1058,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_in_component": _q_in_component,
         "copurchase_out_components_k50": _q_out_components_k50,
         "copurchase_clustering": _q_clustering,
+        "copurchase_clustering_batch": _q_clustering_batch,
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
         "copurchase_scc_small": _q_scc_small,
@@ -1597,6 +1609,28 @@ SELECT deg.vid,
          AS clustering
 FROM deg LEFT JOIN ltri ON deg.vid = ltri.vid
 WHERE deg.d >= 2
+""",
+        # local_clustering_coefficient_batch: per-node coefficient for a
+        # requested id subset (vid % 7 here); nodes with deg < 2 -> 0.0
+        # (local_clustering_coefficient_batch.rs semantics).
+        "copurchase_clustering_batch": f"""
+WITH {_PAIRS}, {_DEDUP}, {_UND}, {_ORIENTED}, {_TRI},
+roles AS (
+  SELECT x AS vid FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+ltri AS (SELECT vid, COUNT(*) AS tri_n FROM roles GROUP BY vid),
+deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und WHERE u <> v GROUP BY u),
+nodes AS (SELECT src AS vid FROM dedup UNION SELECT dst FROM dedup)
+SELECT n.vid,
+       CASE WHEN COALESCE(deg.d, 0) >= 2
+            THEN COALESCE(ltri.tri_n, 0)::DOUBLE / (deg.d * (deg.d - 1) / 2.0)
+            ELSE 0.0 END AS clustering
+FROM nodes n
+LEFT JOIN deg ON n.vid = deg.vid
+LEFT JOIN ltri ON n.vid = ltri.vid
+WHERE n.vid % 7 = 0
 """,
         "copurchase_degree_stats": f"""
 WITH {_PAIRS}, {_DEDUP}, {_UND},

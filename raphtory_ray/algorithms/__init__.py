@@ -24,7 +24,8 @@ __all__ = [
     "max_degree", "min_degree", "average_degree",
     "max_in_degree", "min_in_degree", "max_out_degree", "min_out_degree",
     "directed_graph_density", "triplet_count",
-    "local_clustering_coefficient", "global_clustering_coefficient",
+    "local_clustering_coefficient", "local_clustering_coefficient_batch",
+    "global_clustering_coefficient",
     "global_reciprocity", "all_local_reciprocity",
     "hits", "balance", "in_components", "out_components",
     "in_component", "out_component",
@@ -179,6 +180,32 @@ def local_clustering_coefficient(gf) -> NodeState:
     nz = denom > 0
     out[nz] = tri[nz] / denom[nz]
     return NodeState(out, gf, "clustering")
+
+
+def local_clustering_coefficient_batch(gf, v=None) -> pa.Table:
+    """Local clustering coefficient for a node subset (or all nodes when
+    ``v`` is falsy) — reference
+    `local_clustering_coefficient_batch` semantics
+    (clustering_coefficient/local_clustering_coefficient_batch.rs; python
+    stub algorithms/__init__.pyi:416): same values as the per-node
+    coefficient, computed for the requested ids only. The distributed
+    triangle pass already produces every node's count in one sweep, so the
+    subset form is a zero-copy take on the dense result."""
+    import pyarrow.compute as pc
+    ns = local_clustering_coefficient(gf)
+    t = ns.to_arrow()  # vid[, gid], clustering
+    if v is None or (hasattr(v, "__len__") and len(v) == 0):
+        return t
+    if "gid" in t.column_names:
+        want = pa.array([str(x) for x in v], pa.string())
+        idx = pc.index_in(want, t["gid"].combine_chunks().cast(pa.string()))
+    else:  # anonymous dense-vid graph: ids ARE vids
+        want = pa.array([int(x) for x in v], pa.int64())
+        idx = pc.index_in(want, t["vid"].combine_chunks())
+    if idx.null_count:
+        missing = pc.filter(want, pc.is_null(idx)).to_pylist()
+        raise KeyError(f"unknown node ids: {missing[:5]}")
+    return t.take(idx)
 
 
 def global_clustering_coefficient(gf) -> float:

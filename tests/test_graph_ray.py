@@ -185,3 +185,21 @@ def test_determinism_across_block_counts(rand_gf, ray_session):
     np.testing.assert_array_equal(g2.lpa()[0], g7.lpa()[0])
     np.testing.assert_array_equal(g2.wcc(), g7.wcc())
     assert g2.triangle_counts()[0] == g7.triangle_counts()[0]
+
+
+def test_local_clustering_batch_subset(rand_gf):
+    """local_clustering_coefficient_batch.rs semantics: the subset form
+    returns exactly the full result's rows for the requested ids, in
+    request order; unknown ids raise."""
+    from raphtory_ray import algorithms as alg
+    gf, s, d, t = rand_gf
+    full = alg.local_clustering_coefficient(gf).values
+    want = [7, 0, 249, 42]
+    sub = alg.local_clustering_coefficient_batch(gf, want)
+    assert sub["vid"].to_pylist() == want
+    np.testing.assert_allclose(sub["clustering"].to_numpy(), full[want],
+                               atol=1e-12)
+    allt = alg.local_clustering_coefficient_batch(gf, None)
+    np.testing.assert_allclose(allt["clustering"].to_numpy(), full, atol=1e-12)
+    with pytest.raises(KeyError):
+        alg.local_clustering_coefficient_batch(gf, [99999])
