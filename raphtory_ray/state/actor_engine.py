@@ -63,7 +63,8 @@ class PRShard:
     partitions on fewer/more workers)."""
 
     def __init__(self, part_ids: list, P: int, n: int, block_refs: list,
-                 outdeg_ref, pos_ref, dtype: str = "float64"):
+                 outdeg_ref, pos_ref, dtype: str = "float64",
+                 tile_shift: int = 18):
         blocks = ray.get(list(block_refs))
         outdeg = ray.get(outdeg_ref) if isinstance(outdeg_ref, ray.ObjectRef) else outdeg_ref
         pos = ray.get(pos_ref) if isinstance(pos_ref, ray.ObjectRef) else pos_ref
@@ -114,6 +115,7 @@ class PRShard:
         self.factor_sorted = self.factor_g[dorder]
         self.sink_mask = outdeg[self.owned] == 0
         self.rank = np.full(len(self.owned), 1.0 / n, dtype=self.dtype)
+        self.tile_shift = tile_shift
 
     def _split_slices(self, full: np.ndarray) -> list:
         return [ray.put(full[self.slice_bounds[i]:self.slice_bounds[i + 1]])
@@ -208,6 +210,61 @@ class PRShard:
         tail = (float(new[self.sink_mask].sum(dtype=np.float64)), diff2)
         return (*outs, tail) if outs else tail
 
+    def _build_tiled(self):
+        shift = self.tile_shift
+        """Propagation-blocked row layout (Beamer/Asanović/Patterson,
+        "Reducing PageRank Communication via Propagation Blocking",
+        IPDPS'17 — public technique): rows grouped by src>>shift windows
+        (2^shift × 8 B ≈ a 2 MB L2-resident slice of the rank vector),
+        dst-sorted within each window. The full-vector gather then walks
+        the rank vector window by window (random only inside a
+        cache-resident window), and the combine is one reduceat over
+        (window, dst) runs plus one bincount into the owned accumulator
+        (random only inside the ~2 MB owned vector). Unlike `step_full`'s
+        flat gather, no pass does random access over an array larger than
+        cache. Built lazily on first tiled superstep."""
+        b = self.s_sorted.astype(np.int64) >> shift
+        order = np.argsort(b, kind="stable")   # keeps dst order per window
+        b_t = b[order]
+        # per-row owned-local dst index, reconstructed from run starts
+        run_len = np.diff(np.r_[self.start, len(self.s_sorted)])
+        row_local = np.repeat(self.dst_local, run_len)
+        l_t = row_local[order]
+        n_rows = len(b_t)
+        chg = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            chg[0] = True
+            chg[1:] = (b_t[1:] != b_t[:-1]) | (l_t[1:] != l_t[:-1])
+        starts = np.flatnonzero(chg)
+        self.t_src = self.s_sorted[order]
+        self.t_factor = self.factor_sorted[order]
+        self.t_starts = starts
+        self.t_local = l_t[starts]
+
+    def step_full_tiled(self, full_ref, sink_total: float, damping: float):
+        """Central superstep over the propagation-blocked layout — same
+        recurrence as `step_full`, different summation order (well inside
+        the 1e-6 score contract)."""
+        full = ray.get(full_ref) if isinstance(full_ref, ray.ObjectRef) \
+            else full_ref
+        if not hasattr(self, "t_src"):
+            self._build_tiled()
+        w = np.take(full, self.t_src)
+        w *= self.t_factor
+        base = (1.0 - damping) / self.n + damping * sink_total / self.n
+        if len(w):
+            part = np.add.reduceat(w, self.t_starts)
+            acc = np.bincount(self.t_local,
+                              weights=part.astype(np.float64, copy=False),
+                              minlength=len(self.owned))
+        else:
+            acc = np.zeros(len(self.owned))
+        new = (base + damping * acc).astype(self.dtype, copy=False)
+        d = (new - self.rank).astype(np.float64, copy=False)
+        diff2 = float(np.square(d).sum())
+        self.rank = new
+        return new, float(new[self.sink_mask].sum(dtype=np.float64)), diff2
+
     def step_full(self, full_ref, sink_total: float, damping: float):
         """One superstep against a single driver-assembled rank vector
         (central all-gather): ONE driver-owned plasma object per superstep
@@ -244,7 +301,8 @@ class ShardedPageRank:
     """Driver handle over the PRShard pool."""
 
     def __init__(self, edge_block_refs: list, n: int, outdeg: np.ndarray,
-                 num_workers: int | None = None, dtype: str = "float64"):
+                 num_workers: int | None = None, dtype: str = "float64",
+                 tile_shift: int = 18):
         """edge_block_refs: dst-partitioned blocks (one per PARTITION) from
         shards._shuffle_pairs(key='dst') — partition p MUST hold exactly the
         edges whose dst hashes to p with this module's _part_of.
@@ -271,7 +329,7 @@ class ShardedPageRank:
             PRShard.options(num_cpus=1).remote(
                 stripe.tolist(), P, n,
                 [edge_block_refs[p] for p in stripe], od_ref, pos_ref,
-                dtype)
+                dtype, tile_shift)
             for stripe in self.stripes]
 
     @classmethod
@@ -297,12 +355,19 @@ class ShardedPageRank:
           borrowed-object resolutions per superstep.
         - "central": actors return owned values; the driver assembles ONE
           rank vector and ray.puts it (O(V) driver work, O(W) resolutions).
-          Faster until driver assembly dominates (~10^8+ vertices)."""
+          Faster until driver assembly dominates (~10^8+ vertices).
+        - "central-tiled": central transport + propagation-blocked row
+          layout (see PRShard._build_tiled) — every random-access pass is
+          confined to a cache-resident window, trading one lazy re-sort at
+          first step for much lower DRAM latency sensitivity on
+          bandwidth-bound supersteps."""
         import time
-        if gather_mode == "central":
+        if gather_mode in ("central", "central-tiled"):
             return self._pagerank_central(damping, iter_count, tol,
                                           use_l2_norm, checkpoint,
-                                          checkpoint_every)
+                                          checkpoint_every,
+                                          tiled=(gather_mode ==
+                                                 "central-tiled"))
         if gather_mode == "p2p-owned":
             return self._pagerank_p2p_owned(damping, iter_count, tol,
                                             use_l2_norm, checkpoint,
@@ -390,7 +455,7 @@ class ShardedPageRank:
         return self.gather(), it, times
 
     def _pagerank_central(self, damping, iter_count, tol, use_l2_norm,
-                          checkpoint, checkpoint_every):
+                          checkpoint, checkpoint_every, tiled=False):
         import time
         owned_per = [self._owned_concat(st) for st in self.stripes]
         full = np.full(self.n, 1.0 / self.n, dtype=self.dtype)
@@ -406,7 +471,9 @@ class ShardedPageRank:
         for it in range(it0 + 1, iter_count + 1):
             t0 = time.perf_counter()
             ref = ray.put(full)
-            outs = ray.get([s.step_full.remote(ref, sink, damping)
+            step = (lambda s: s.step_full_tiled) if tiled \
+                else (lambda s: s.step_full)
+            outs = ray.get([step(s).remote(ref, sink, damping)
                             for s in self.shards])
             for owned, (vals, _s, _d) in zip(owned_per, outs):
                 full[owned] = vals

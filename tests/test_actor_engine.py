@@ -176,3 +176,29 @@ def test_task_path_pagerank_checkpoint_resume(ray_session, tmp_path):
     g.pagerank(iter_count=3, tol=0.0, checkpoint=ck)
     got = g.pagerank(iter_count=6, tol=0.0, checkpoint=ck)[0]
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_central_tiled_matches_central(ray_session):
+    """gather_mode='central-tiled' (propagation-blocked layout) computes
+    the same recurrence as 'central'; only float summation order differs.
+    Tiny shift forces many windows so window/run bookkeeping is exercised
+    even on a small graph."""
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 900, 6000)
+    dst = rng.integers(0, 900, 6000)
+    g = BspGraph.from_arrays(src, dst, 900, num_blocks=5)
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_c, it_a, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                     gather_mode="central")
+    with ShardedPageRank.from_bsp(g, tile_shift=6) as eng:  # 64-vid windows
+        pr_t, it_b, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                     gather_mode="central-tiled")
+    assert it_a == it_b
+    np.testing.assert_allclose(pr_c, pr_t, rtol=1e-12, atol=1e-15)
+    # default shift too (single window on a small graph)
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_t2, _, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                   gather_mode="central-tiled")
+    np.testing.assert_allclose(pr_c, pr_t2, rtol=1e-12, atol=1e-15)
