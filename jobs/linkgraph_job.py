@@ -56,6 +56,14 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--num-blocks", type=int, default=None)
+    ap.add_argument("--engine", choices=["task", "sharded"], default="task",
+                    help="pagerank execution engine: 'task' (Ray Data task "
+                         "rounds, small/medium graphs) or 'sharded' "
+                         "(state/actor_engine.ShardedPageRank — CSR pinned "
+                         "in actors, the 10^9-edge path)")
+    ap.add_argument("--gather-mode", default="central-tiled",
+                    help="sharded-engine all-gather: p2p | p2p-owned | "
+                         "central | central-tiled (propagation-blocked)")
     args = ap.parse_args()
 
     import ray
@@ -94,8 +102,16 @@ def main() -> None:
                     os.path.join(args.checkpoint, "pagerank"))
             # per-iteration lineage checkpoints (kill → resumes
             # mid-convergence from the last complete manifest)
-            rank, iters = g.pagerank(iter_count=args.iterations,
-                                     tol=args.tol, checkpoint=ckpt)[:2]
+            if args.engine == "sharded":
+                from raphtory_ray.state.actor_engine import ShardedPageRank
+                with ShardedPageRank.from_bsp(g) as eng:
+                    rank, iters, _ = eng.pagerank(
+                        iter_count=args.iterations, tol=args.tol,
+                        checkpoint=ckpt, gather_mode=args.gather_mode)
+            else:
+                rank, iters = g.pagerank(iter_count=args.iterations,
+                                         tol=args.tol, checkpoint=ckpt)[:2]
+            metrics["engine"] = args.engine
             _write_nodestate(d, ["pagerank"], [rank], g.n)
             metrics["iterations"] = int(iters)
         elif algo == "wcc":
