@@ -116,6 +116,7 @@ class PRShard:
         self.sink_mask = outdeg[self.owned] == 0
         self.rank = np.full(len(self.owned), 1.0 / n, dtype=self.dtype)
         self.tile_shift = tile_shift
+        self._pos = pos          # zero-copy plasma view; used by p2p-tiled
 
     def _split_slices(self, full: np.ndarray) -> list:
         return [ray.put(full[self.slice_bounds[i]:self.slice_bounds[i + 1]])
@@ -241,6 +242,63 @@ class PRShard:
         self.t_starts = starts
         self.t_local = l_t[starts]
 
+    def _build_tiled_p2p(self):
+        """p2p analogue of the propagation-blocked layout: rows ordered by
+        (src PARTITION, dst). The gather is contiguous per rank-slice (each
+        slice is owned-vids-sized, cache-resident at realistic P), and the
+        combine is reduceat over (partition, dst) runs + one bincount into
+        the owned accumulator — `step`'s O(E) random permutation pass
+        (np.take over the whole row set) disappears."""
+        run_local = np.repeat(self.dst_local,
+                              np.diff(np.r_[self.start,
+                                            len(self.s_sorted)]))
+        part = _part_of(self.s_sorted.astype(np.int64), self.P)
+        order = np.argsort(part, kind="stable")  # keeps dst order per part
+        part_t = part[order]
+        self.t2_bounds = np.searchsorted(part_t, np.arange(self.P + 1))
+        src_pos = self._pos[self.s_sorted[order]]
+        self.t2_idx = src_pos.astype(np.int32) \
+            if (len(src_pos) == 0 or src_pos.max() < 2**31) else src_pos
+        self.t2_factor = self.factor_sorted[order]
+        l_t = run_local[order]
+        n_rows = len(l_t)
+        chg = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            chg[0] = True
+            chg[1:] = (part_t[1:] != part_t[:-1]) | (l_t[1:] != l_t[:-1])
+        self.t2_starts = np.flatnonzero(chg)
+        self.t2_local = l_t[self.t2_starts]
+
+    def step_tiled(self, slice_refs: list, sink_total: float,
+                   damping: float):
+        """p2p superstep over the (partition, dst)-blocked layout — same
+        recurrence as `step`, no O(E) permutation pass."""
+        slices = ray.get(list(slice_refs))
+        if not hasattr(self, "t2_idx"):
+            self._build_tiled_p2p()
+        if not hasattr(self, "_wt"):
+            self._wt = np.empty(len(self.t2_idx), dtype=self.dtype)
+        w = self._wt
+        for q in range(self.P):
+            lo, hi = self.t2_bounds[q], self.t2_bounds[q + 1]
+            if hi > lo:
+                w[lo:hi] = slices[q][self.t2_idx[lo:hi]]
+        w *= self.t2_factor
+        base = (1.0 - damping) / self.n + damping * sink_total / self.n
+        if len(w):
+            part = np.add.reduceat(w, self.t2_starts)
+            acc = np.bincount(self.t2_local,
+                              weights=part.astype(np.float64, copy=False),
+                              minlength=len(self.owned))
+        else:
+            acc = np.zeros(len(self.owned))
+        new = (base + damping * acc).astype(self.dtype, copy=False)
+        d = (new - self.rank).astype(np.float64, copy=False)
+        diff2 = float(np.square(d).sum())
+        self.rank = new
+        return (self._split_slices(new),
+                float(new[self.sink_mask].sum(dtype=np.float64)), diff2)
+
     def step_full_tiled(self, full_ref, sink_total: float, damping: float):
         """Central superstep over the propagation-blocked layout — same
         recurrence as `step_full`, different summation order (well inside
@@ -360,7 +418,10 @@ class ShardedPageRank:
           layout (see PRShard._build_tiled) — every random-access pass is
           confined to a cache-resident window, trading one lazy re-sort at
           first step for much lower DRAM latency sensitivity on
-          bandwidth-bound supersteps."""
+          bandwidth-bound supersteps.
+        - "p2p-tiled": p2p slice transport + (partition, dst)-blocked rows
+          (PRShard._build_tiled_p2p) — `step`'s O(E) random permutation
+          pass disappears; gathers stay per-slice contiguous."""
         import time
         if gather_mode in ("central", "central-tiled"):
             return self._pagerank_central(damping, iter_count, tol,
@@ -381,10 +442,12 @@ class ShardedPageRank:
         pub = ray.get([s.publish.remote() for s in self.shards])
         slice_refs = self._compose(p[0] for p in pub)
         sink = float(sum(p[1] for p in pub))
+        step = (lambda s: s.step_tiled) if gather_mode == "p2p-tiled" \
+            else (lambda s: s.step)
         times, it = [], it0
         for it in range(it0 + 1, iter_count + 1):
             t0 = time.perf_counter()
-            outs = ray.get([s.step.remote(slice_refs, sink, damping)
+            outs = ray.get([step(s).remote(slice_refs, sink, damping)
                             for s in self.shards])
             slice_refs = self._compose(o[0] for o in outs)
             sink = float(sum(o[1] for o in outs))

@@ -202,3 +202,22 @@ def test_central_tiled_matches_central(ray_session):
         pr_t2, _, _ = eng.pagerank(iter_count=8, tol=0.0,
                                    gather_mode="central-tiled")
     np.testing.assert_allclose(pr_c, pr_t2, rtol=1e-12, atol=1e-15)
+
+
+def test_p2p_tiled_matches_central(ray_session):
+    """gather_mode='p2p-tiled' ((partition,dst)-blocked rows, slice
+    transport) computes the same recurrence."""
+    from raphtory_ray.state.actor_engine import ShardedPageRank
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 900, 6000)
+    dst = rng.integers(0, 900, 6000)
+    g = BspGraph.from_arrays(src, dst, 900, num_blocks=5)
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_c, it_a, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                     gather_mode="central")
+    with ShardedPageRank.from_bsp(g) as eng:
+        pr_t, it_b, _ = eng.pagerank(iter_count=8, tol=0.0,
+                                     gather_mode="p2p-tiled")
+    assert it_a == it_b
+    np.testing.assert_allclose(pr_c, pr_t, rtol=1e-12, atol=1e-15)
