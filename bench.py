@@ -441,6 +441,60 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     }
 
 
+def run_scaling_weak(cpus=(8, 32)) -> dict:
+    """WEAK-scaling evidence: constant per-worker load — the lo level runs
+    a (lo/hi)-sized graph on lo workers, the hi level the full graph on hi
+    workers (how a real cluster is sized: 4x nodes <-> 4x data). Ideal
+    weak scaling keeps sec/superstep constant, i.e. total edges/s grows
+    with the cluster; efficiency = thr_hi / (thr_lo * hi/lo). Partition
+    count scales with the data so per-worker partition count (and
+    therefore per-worker state) is identical at both levels."""
+    reps = int(os.environ.get("RA_REPS", "2"))
+    lo, hi = cpus
+    scale = hi // lo
+    levels = {
+        lo: {"RA_NODES": str(RA_NODES // scale),
+             "RA_BLOCKS": str(max(1, RA_BLOCKS // scale)),
+             "RAY_GRAFT_CPUS": str(lo)},
+        hi: {"RA_NODES": str(RA_NODES), "RA_BLOCKS": str(RA_BLOCKS),
+             "RAY_GRAFT_CPUS": str(hi)},
+    }
+    all_runs: dict[int, list] = {nc: [] for nc in cpus}
+    for _rep in range(reps):
+        for nc in cpus:
+            env = dict(os.environ, **levels[nc])
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-single"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"weak-scaling run at {nc} cpus failed:\n"
+                                   f"{out.stdout[-2000:]}\n"
+                                   f"{out.stderr[-2000:]}")
+            all_runs[nc].append(json.loads(lines[-1]))
+    results = {nc: min(rs, key=lambda r: r["sec_per_superstep"])
+               for nc, rs in all_runs.items()}
+    thr_lo = results[lo]["edges_per_sec_per_superstep"]
+    thr_hi = results[hi]["edges_per_sec_per_superstep"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    return {
+        "metric": "pagerank_superstep_weak_scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "workload": "constant per-worker load: "
+                    f"random_attachment(n={RA_NODES // scale}, k={RA_K}) on "
+                    f"{lo} workers vs random_attachment(n={RA_NODES}, "
+                    f"k={RA_K}) on {hi}; per-worker partition count equal; "
+                    f"best-of-{reps} interleaved",
+        "cpus": list(cpus),
+        "throughput_edges_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "sec_per_superstep": {str(lo): results[lo]["sec_per_superstep"],
+                              str(hi): results[hi]["sec_per_superstep"]},
+        "runs": {str(nc): rs for nc, rs in all_runs.items()},
+    }
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -450,6 +504,8 @@ def main():
         print(json.dumps(run_scaling_compute_single(num_cpus)))
     elif "--scaling-compute" in sys.argv:
         print(json.dumps(run_scaling_compute()))
+    elif "--scaling-weak" in sys.argv:
+        print(json.dumps(run_scaling_weak()))
     elif "--scaling" in sys.argv:
         res = run_scaling(sf_dir)
         res["compute_bound"] = run_scaling_compute()

@@ -211,63 +211,46 @@ class PRShard:
         tail = (float(new[self.sink_mask].sum(dtype=np.float64)), diff2)
         return (*outs, tail) if outs else tail
 
+    def _row_local(self) -> np.ndarray:
+        """Per-row owned-local dst index (dst-sorted row order)."""
+        run_len = np.diff(np.r_[self.start, len(self.s_sorted)])
+        return np.repeat(self.dst_local, run_len)
+
     def _build_tiled(self):
-        shift = self.tile_shift
         """Propagation-blocked row layout (Beamer/Asanović/Patterson,
         "Reducing PageRank Communication via Propagation Blocking",
-        IPDPS'17 — public technique): rows grouped by src>>shift windows
-        (2^shift × 8 B ≈ a 2 MB L2-resident slice of the rank vector),
-        dst-sorted within each window. The full-vector gather then walks
-        the rank vector window by window (random only inside a
-        cache-resident window), and the combine is one reduceat over
-        (window, dst) runs plus one bincount into the owned accumulator
-        (random only inside the ~2 MB owned vector). Unlike `step_full`'s
-        flat gather, no pass does random access over an array larger than
-        cache. Built lazily on first tiled superstep."""
-        b = self.s_sorted.astype(np.int64) >> shift
-        order = np.argsort(b, kind="stable")   # keeps dst order per window
-        b_t = b[order]
-        # per-row owned-local dst index, reconstructed from run starts
-        run_len = np.diff(np.r_[self.start, len(self.s_sorted)])
-        row_local = np.repeat(self.dst_local, run_len)
-        l_t = row_local[order]
-        n_rows = len(b_t)
-        chg = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            chg[0] = True
-            chg[1:] = (b_t[1:] != b_t[:-1]) | (l_t[1:] != l_t[:-1])
-        starts = np.flatnonzero(chg)
+        IPDPS'17 — public technique): rows grouped by src>>tile_shift
+        windows (2^shift × dtype bytes ≈ an L2-resident slice of the rank
+        vector). The full-vector gather then walks the rank vector window
+        by window (random only inside a cache-resident window), and the
+        combine is ONE bincount of the per-row owned-local dst indices
+        into the owned accumulator (random only inside the ~2 MB owned
+        vector) — no reduceat: window-splitting shatters dst runs to
+        length ~1, where per-run reduction is pure overhead. Unlike
+        `step_full`'s flat gather, no pass does random access over an
+        array larger than cache. Built lazily on first tiled superstep."""
+        b = self.s_sorted.astype(np.int64) >> self.tile_shift
+        order = np.argsort(b, kind="stable")
         self.t_src = self.s_sorted[order]
         self.t_factor = self.factor_sorted[order]
-        self.t_starts = starts
-        self.t_local = l_t[starts]
+        # np.intp so bincount takes the no-cast fast path every step
+        self.t_local = self._row_local()[order].astype(np.intp)
 
     def _build_tiled_p2p(self):
         """p2p analogue of the propagation-blocked layout: rows ordered by
         (src PARTITION, dst). The gather is contiguous per rank-slice (each
         slice is owned-vids-sized, cache-resident at realistic P), and the
-        combine is reduceat over (partition, dst) runs + one bincount into
+        combine is one bincount of per-row owned-local dst indices into
         the owned accumulator — `step`'s O(E) random permutation pass
         (np.take over the whole row set) disappears."""
-        run_local = np.repeat(self.dst_local,
-                              np.diff(np.r_[self.start,
-                                            len(self.s_sorted)]))
         part = _part_of(self.s_sorted.astype(np.int64), self.P)
-        order = np.argsort(part, kind="stable")  # keeps dst order per part
-        part_t = part[order]
-        self.t2_bounds = np.searchsorted(part_t, np.arange(self.P + 1))
+        order = np.argsort(part, kind="stable")
+        self.t2_bounds = np.searchsorted(part[order], np.arange(self.P + 1))
         src_pos = self._pos[self.s_sorted[order]]
         self.t2_idx = src_pos.astype(np.int32) \
             if (len(src_pos) == 0 or src_pos.max() < 2**31) else src_pos
         self.t2_factor = self.factor_sorted[order]
-        l_t = run_local[order]
-        n_rows = len(l_t)
-        chg = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            chg[0] = True
-            chg[1:] = (part_t[1:] != part_t[:-1]) | (l_t[1:] != l_t[:-1])
-        self.t2_starts = np.flatnonzero(chg)
-        self.t2_local = l_t[self.t2_starts]
+        self.t2_local = self._row_local()[order].astype(np.intp)
 
     def step_tiled(self, slice_refs: list, sink_total: float,
                    damping: float):
@@ -285,13 +268,9 @@ class PRShard:
                 w[lo:hi] = slices[q][self.t2_idx[lo:hi]]
         w *= self.t2_factor
         base = (1.0 - damping) / self.n + damping * sink_total / self.n
-        if len(w):
-            part = np.add.reduceat(w, self.t2_starts)
-            acc = np.bincount(self.t2_local,
-                              weights=part.astype(np.float64, copy=False),
-                              minlength=len(self.owned))
-        else:
-            acc = np.zeros(len(self.owned))
+        acc = np.bincount(self.t2_local, weights=w,
+                          minlength=len(self.owned)) if len(w) \
+            else np.zeros(len(self.owned))
         new = (base + damping * acc).astype(self.dtype, copy=False)
         d = (new - self.rank).astype(np.float64, copy=False)
         diff2 = float(np.square(d).sum())
@@ -310,13 +289,9 @@ class PRShard:
         w = np.take(full, self.t_src)
         w *= self.t_factor
         base = (1.0 - damping) / self.n + damping * sink_total / self.n
-        if len(w):
-            part = np.add.reduceat(w, self.t_starts)
-            acc = np.bincount(self.t_local,
-                              weights=part.astype(np.float64, copy=False),
-                              minlength=len(self.owned))
-        else:
-            acc = np.zeros(len(self.owned))
+        acc = np.bincount(self.t_local, weights=w,
+                          minlength=len(self.owned)) if len(w) \
+            else np.zeros(len(self.owned))
         new = (base + damping * acc).astype(self.dtype, copy=False)
         d = (new - self.rank).astype(np.float64, copy=False)
         diff2 = float(np.square(d).sum())
