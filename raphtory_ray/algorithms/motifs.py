@@ -75,55 +75,79 @@ def _two_node_count(dirs: np.ndarray, times: np.ndarray,
 def _star_count(nbs: np.ndarray, dirs: np.ndarray, times: np.ndarray,
                 n: int, delta: int) -> np.ndarray:
     """StarCounter.execute (three_node_motifs.rs:85-177): 24 counts
-    (pre | mid | post)."""
+    (pre | mid | post). Pure-Python-list inner loop with the _map2d/_map3d
+    index algebra pre-expanded — numpy scalar indexing in this per-event
+    loop measured ~4x slower than list ops."""
     out = np.zeros(24, np.int64)
     l = len(nbs)
     if l < 3:
         return out
-    pre_nodes = np.zeros(2 * n, np.int64)
-    post_nodes = np.zeros(2 * n, np.int64)
-    pre_sum = np.zeros(8, np.int64)
-    mid_sum = np.zeros(8, np.int64)
-    post_sum = np.zeros(8, np.int64)
-    count_pre = out[0:8]
-    count_mid = out[8:16]
-    count_post = out[16:24]
+    nbs_l = nbs.tolist() if hasattr(nbs, "tolist") else list(nbs)
+    dirs_l = dirs.tolist() if hasattr(dirs, "tolist") else list(dirs)
+    times_l = times.tolist() if hasattr(times, "tolist") else list(times)
+    pre_nodes = [0] * (2 * n)
+    post_nodes = [0] * (2 * n)
+    pre_sum = [0] * 4      # index _map2d(d1,d2) = 2*d1+d2
+    mid_sum = [0] * 4
+    post_sum = [0] * 4
+    cp = [0] * 8           # count_pre, index _map3d
+    cm = [0] * 8           # count_mid
+    cpo = [0] * 8          # count_post
     start = 0
     end = 0
     for j in range(l):
-        tj = times[j]
-        while start < l and times[start] + delta < tj:
+        tj = times_l[j]
+        while start < l and times_l[start] + delta < tj:
             # pop_pre
-            nb, d = nbs[start], dirs[start]
+            nb = nbs_l[start]
+            d = dirs_l[start]
             pre_nodes[d * n + nb] -= 1
-            pre_sum[_map2d(d, 0)] -= pre_nodes[0 * n + nb]
-            pre_sum[_map2d(d, 1)] -= pre_nodes[1 * n + nb]
+            pre_sum[2 * d] -= pre_nodes[nb]           # _map2d(d,0)
+            pre_sum[2 * d + 1] -= pre_nodes[n + nb]   # _map2d(d,1)
             start += 1
-        while end < l and times[end] <= tj + delta:
+        while end < l and times_l[end] <= tj + delta:
             # push_post
-            nb, d = nbs[end], dirs[end]
-            post_sum[_map2d(0, d)] += post_nodes[0 * n + nb]
-            post_sum[_map2d(1, d)] += post_nodes[1 * n + nb]
+            nb = nbs_l[end]
+            d = dirs_l[end]
+            post_sum[d] += post_nodes[nb]             # _map2d(0,d)
+            post_sum[2 + d] += post_nodes[n + nb]     # _map2d(1,d)
             post_nodes[d * n + nb] += 1
             end += 1
-        nb, d = nbs[j], dirs[j]
+        nb = nbs_l[j]
+        d = dirs_l[j]
         # pop_post
         post_nodes[d * n + nb] -= 1
-        post_sum[_map2d(d, 0)] -= post_nodes[0 * n + nb]
-        post_sum[_map2d(d, 1)] -= post_nodes[1 * n + nb]
+        post_sum[2 * d] -= post_nodes[nb]
+        post_sum[2 * d + 1] -= post_nodes[n + nb]
         # process_current
-        mid_sum[_map2d(0, d)] -= pre_nodes[0 * n + nb]
-        mid_sum[_map2d(1, d)] -= pre_nodes[1 * n + nb]
-        for d1, d2 in _DIRS2D:
-            count_pre[_map3d(d1, d2, d)] += pre_sum[_map2d(d1, d2)]
-            count_post[_map3d(d, d1, d2)] += post_sum[_map2d(d1, d2)]
-            count_mid[_map3d(d1, d, d2)] += mid_sum[_map2d(d1, d2)]
-        mid_sum[_map2d(d, 0)] += post_nodes[0 * n + nb]
-        mid_sum[_map2d(d, 1)] += post_nodes[1 * n + nb]
+        mid_sum[d] -= pre_nodes[nb]                   # _map2d(0,d)
+        mid_sum[2 + d] -= pre_nodes[n + nb]           # _map2d(1,d)
+        # count_pre[_map3d(d1,d2,d)] += pre_sum[_map2d(d1,d2)]
+        cp[d] += pre_sum[0]
+        cp[2 + d] += pre_sum[1]
+        cp[4 + d] += pre_sum[2]
+        cp[6 + d] += pre_sum[3]
+        # count_post[_map3d(d,d1,d2)] += post_sum[_map2d(d1,d2)]
+        b = 4 * d
+        cpo[b] += post_sum[0]
+        cpo[b + 1] += post_sum[1]
+        cpo[b + 2] += post_sum[2]
+        cpo[b + 3] += post_sum[3]
+        # count_mid[_map3d(d1,d,d2)] += mid_sum[_map2d(d1,d2)]
+        b = 2 * d
+        cm[b] += mid_sum[0]
+        cm[b + 1] += mid_sum[1]
+        cm[b + 4] += mid_sum[2]
+        cm[b + 5] += mid_sum[3]
+        mid_sum[2 * d] += post_nodes[nb]              # _map2d(d,0)
+        mid_sum[2 * d + 1] += post_nodes[n + nb]      # _map2d(d,1)
         # push_pre
-        pre_sum[_map2d(0, d)] += pre_nodes[0 * n + nb]
-        pre_sum[_map2d(1, d)] += pre_nodes[1 * n + nb]
+        pre_sum[d] += pre_nodes[nb]                   # _map2d(0,d)
+        pre_sum[2 + d] += pre_nodes[n + nb]           # _map2d(1,d)
         pre_nodes[d * n + nb] += 1
+    out[0:8] = cp
+    out[8:16] = cm
+    out[16:24] = cpo
     return out
 
 
@@ -194,6 +218,115 @@ def _triangle_count8(uv: np.ndarray, uorv: np.ndarray, dirs: np.ndarray,
 
 # --------------------------------------------------------------- star phase
 
+def _two_node_group_counts(node, nbr, dr, t, e, deltas,
+                           per_node: bool = False):
+    """Vectorized TwoNodeCounter over every (node, nbr) event group.
+
+    Exact reformulation of _two_node_count's sliding window: the
+    contribution of event j is the number of pairs (i1 < i2 < j) in j's
+    group with t_j - t_i1 <= delta, classified by (dir_i1, dir_i2,
+    dir_j). Window pairs come from per-group prefix sums -- for window
+    start L(j) (first index with t >= t_j - delta, via one global
+    searchsorted over group-offset composite keys):
+
+        wp(d1,d2) = Q[d1,d2][j] - Q[d1,d2][L] - c[d1][L] * (c[d2][j] - c[d2][L])
+
+    with c[d] the group-relative exclusive dir counts and Q[d1,d2] the
+    group-relative exclusive pair-prefix (cumsum of (dir==d2)*c[d1]).
+    Replaces the per-neighbour boolean-mask loop (O(deg*m) per node) and
+    the per-group Python loop with O(rows) numpy passes.
+
+    Returns (D, 8) global totals, or (vids, (nv, D, 8)) when per_node.
+    """
+    D = len(deltas)
+    if len(node) == 0:
+        return (np.empty(0, np.int64), np.zeros((0, D, 8), np.int64)) \
+            if per_node else np.zeros((D, 8), np.int64)
+    order = np.lexsort((e, t, nbr, node))
+    nd = node[order]
+    nb = nbr[order]
+    d = dr[order].astype(np.int64)
+    tt = t[order]
+    rows = len(nd)
+    ar = np.arange(rows, dtype=np.int64)
+    first_g = np.empty(rows, bool)
+    first_g[0] = True
+    first_g[1:] = (nd[1:] != nd[:-1]) | (nb[1:] != nb[:-1])
+    gid = np.cumsum(first_g) - 1
+    gs_row = np.maximum.accumulate(np.where(first_g, ar, 0))
+    # group-relative exclusive prefix dir counts
+    is1 = (d == 1).astype(np.int64)
+    c1x = np.cumsum(is1) - is1
+    c0x = ar - c1x
+    c = (c0x - c0x[gs_row], c1x - c1x[gs_row])
+    # group-offset composite keys: searchsorted stays inside j's group
+    t_rel = tt - tt[gs_row]
+    M = int(t_rel.max()) + int(max(deltas)) + 2
+    comp = gid * M + t_rel
+    # group-relative exclusive pair-prefix per (d1, d2)
+    Q = {}
+    for d1 in (0, 1):
+        for d2 in (0, 1):
+            inc = np.where(d == d2, c[d1], 0)
+            q = np.cumsum(inc) - inc
+            Q[(d1, d2)] = q
+    if per_node:
+        first_n = np.empty(rows, bool)
+        first_n[0] = True
+        first_n[1:] = nd[1:] != nd[:-1]
+        nrun = np.cumsum(first_n) - 1
+        vids = nd[first_n]
+        out = np.zeros((len(vids), D, 8), np.int64)
+    else:
+        out = np.zeros((D, 8), np.int64)
+    m1 = d == 1
+    for di, delta in enumerate(deltas):
+        L = np.searchsorted(comp, comp - delta, side="left")
+        for d1 in (0, 1):
+            cbL = c[d1][L]
+            for d2 in (0, 1):
+                q = Q[(d1, d2)]
+                wp = q - q[L] - cbL * (c[d2] - c[d2][L])
+                base = 4 * d1 + 2 * d2
+                if per_node:
+                    out[:, di, base + 1] += np.bincount(
+                        nrun[m1], weights=wp[m1],
+                        minlength=len(vids)).astype(np.int64)
+                    out[:, di, base] += np.bincount(
+                        nrun[~m1], weights=wp[~m1],
+                        minlength=len(vids)).astype(np.int64)
+                else:
+                    out[di, base + 1] += int(wp[m1].sum())
+                    out[di, base] += int(wp[~m1].sum())
+    return (vids, out) if per_node else out
+
+
+def _node_codes_and_order(node, nbr, dr, t, e):
+    """(order2, codes, starts, degs): rows in per-node (t, e) order with
+    per-node dense neighbour codes (first-appearance order is irrelevant
+    to the counters) -- replaces per-node np.unique + mask loops."""
+    rows = len(node)
+    ar = np.arange(rows, dtype=np.int64)
+    order1 = np.lexsort((e, t, nbr, node))
+    nd1, nb1 = node[order1], nbr[order1]
+    first_g = np.empty(rows, bool)
+    first_g[0] = True
+    first_g[1:] = (nd1[1:] != nd1[:-1]) | (nb1[1:] != nb1[:-1])
+    gid = np.cumsum(first_g) - 1
+    first_n = np.empty(rows, bool)
+    first_n[0] = True
+    first_n[1:] = nd1[1:] != nd1[:-1]
+    node_start = np.maximum.accumulate(np.where(first_n, ar, 0))
+    code1 = gid - gid[node_start]
+    codes = np.empty(rows, np.int64)
+    codes[order1] = code1
+    degs = np.bincount((np.cumsum(first_n) - 1)[first_g])
+    order2 = np.lexsort((e, t, node))
+    nd2 = node[order2]
+    starts = np.r_[0, np.flatnonzero(nd2[1:] != nd2[:-1]) + 1, rows]
+    return order2, codes, starts, degs
+
+
 @ray.remote
 def _star_split(block: pa.Table, P: int):
     """Route every non-self event to BOTH endpoints' owner partitions as
@@ -228,7 +361,11 @@ def _star_split(block: pa.Table, P: int):
 @ray.remote
 def _star_partial(deltas: tuple, *pieces) -> np.ndarray:
     """One node partition: per node, star + two-node counts over its
-    time-sorted incident events → (len(deltas), 32) partial."""
+    time-sorted incident events → (len(deltas), 32) partial. Two-node
+    counts come from the vectorized group counter (global totals suffice:
+    the per-node star24 - tile(two) corrections sum to
+    Σstar24 - tile(Σtwo)); the star counter runs per node over dense
+    neighbour codes (no per-node np.unique / mask loop)."""
     node = np.concatenate([p[0] for p in pieces])
     res = np.zeros((len(deltas), 32), np.int64)
     if len(node) == 0:
@@ -237,27 +374,17 @@ def _star_partial(deltas: tuple, *pieces) -> np.ndarray:
     dr = np.concatenate([p[2] for p in pieces]).astype(np.int64)
     t = np.concatenate([p[3] for p in pieces])
     e = np.concatenate([p[4] for p in pieces])
-    order = np.lexsort((e, t, node))
-    node, nbr, dr, t, e = (node[order], nbr[order], dr[order],
-                           t[order], e[order])
-    starts = np.r_[0, np.flatnonzero(node[1:] != node[:-1]) + 1, len(node)]
+    two_tot = _two_node_group_counts(node, nbr, dr, t, e, deltas)
+    order2, codes, starts, degs = _node_codes_and_order(node, nbr, dr, t, e)
+    nd2, cd2, dr2, t2 = node[order2], codes[order2], dr[order2], t[order2]
     for i in range(len(starts) - 1):
         lo, hi = starts[i], starts[i + 1]
-        nb_u, nb_idx = np.unique(nbr[lo:hi], return_inverse=True)
-        deg = len(nb_u)
-        dirs_u = dr[lo:hi]
-        times_u = t[lo:hi]
-        # two-node per neighbour (already (t,e)-sorted within the node)
-        two = np.zeros((len(deltas), 8), np.int64)
-        for k in range(deg):
-            sel = nb_idx == k
-            dd, tt2 = dirs_u[sel], times_u[sel]
-            for j, delta in enumerate(deltas):
-                two[j] += _two_node_count(dd, tt2, delta)
         for j, delta in enumerate(deltas):
-            star24 = _star_count(nb_idx, dirs_u, times_u, deg, delta)
-            res[j, :24] += star24 - np.tile(two[j], 3)
-            res[j, 24:] += two[j]
+            res[j, :24] += _star_count(cd2[lo:hi], dr2[lo:hi], t2[lo:hi],
+                                       int(degs[i]), delta)
+    for j in range(len(deltas)):
+        res[j, :24] -= np.tile(two_tot[j], 3)
+        res[j, 24:] += two_tot[j]
     return res
 
 
@@ -469,28 +596,19 @@ def _star_partial_local(deltas: tuple, *pieces):
     dr = np.concatenate([p[2] for p in pieces]).astype(np.int64)
     t = np.concatenate([p[3] for p in pieces])
     e = np.concatenate([p[4] for p in pieces])
-    order = np.lexsort((e, t, node))
-    node, nbr, dr, t, e = (node[order], nbr[order], dr[order],
-                           t[order], e[order])
-    starts = np.r_[0, np.flatnonzero(node[1:] != node[:-1]) + 1, len(node)]
-    vids = node[starts[:-1]]
+    vids, two_pn = _two_node_group_counts(node, nbr, dr, t, e, deltas,
+                                          per_node=True)
+    order2, codes, starts, degs = _node_codes_and_order(node, nbr, dr, t, e)
+    nd2, cd2, dr2, t2 = node[order2], codes[order2], dr[order2], t[order2]
+    assert np.array_equal(vids, nd2[starts[:-1]])
     out = np.zeros((len(vids), len(deltas), 32), np.int64)
     for i in range(len(starts) - 1):
         lo, hi = starts[i], starts[i + 1]
-        nb_u, nb_idx = np.unique(nbr[lo:hi], return_inverse=True)
-        deg = len(nb_u)
-        dirs_u = dr[lo:hi]
-        times_u = t[lo:hi]
-        two = np.zeros((len(deltas), 8), np.int64)
-        for k in range(deg):
-            sel = nb_idx == k
-            dd, tt2 = dirs_u[sel], times_u[sel]
-            for j, delta in enumerate(deltas):
-                two[j] += _two_node_count(dd, tt2, delta)
         for j, delta in enumerate(deltas):
-            star24 = _star_count(nb_idx, dirs_u, times_u, deg, delta)
-            out[i, j, :24] = star24 - np.tile(two[j], 3)
-            out[i, j, 24:] = two[j]
+            star24 = _star_count(cd2[lo:hi], dr2[lo:hi], t2[lo:hi],
+                                 int(degs[i]), delta)
+            out[i, j, :24] = star24 - np.tile(two_pn[i, j], 3)
+            out[i, j, 24:] = two_pn[i, j]
     return vids, out
 
 
