@@ -151,69 +151,87 @@ def _star_count(nbs: np.ndarray, dirs: np.ndarray, times: np.ndarray,
     return out
 
 
-def _triangle_count8(uv: np.ndarray, uorv: np.ndarray, dirs: np.ndarray,
-                     times: np.ndarray, delta: int) -> np.ndarray:
+# uv-event count table for _triangle_count8: for each uv-event direction d,
+# 8 rows of (out_slot, mid_idx, post_idx, pre_idx) — generated from the
+# reference index expressions (three_node_motifs.rs:223-341) so the fast
+# kernel cannot drift from them.
+def _uv_count_table():
+    tab = {}
+    for d in (0, 1):
+        tab[d] = (
+            (0, _map3d(d, 0, 0), _map3d(d, 0, 1), _map3d(1 - d, 1, 1)),
+            (4, _map3d(d, 1, 0), _map3d(1 - d, 0, 1), _map3d(1 - d, 0, 1)),
+            (2, _map3d(1 - d, 0, 0), _map3d(d, 1, 1), _map3d(1 - d, 1, 0)),
+            (6, _map3d(1 - d, 1, 0), _map3d(1 - d, 1, 1), _map3d(1 - d, 0, 0)),
+            (1, _map3d(d, 0, 1), _map3d(d, 0, 0), _map3d(d, 1, 1)),
+            (5, _map3d(d, 1, 1), _map3d(1 - d, 0, 0), _map3d(d, 0, 1)),
+            (3, _map3d(1 - d, 0, 1), _map3d(d, 1, 0), _map3d(d, 1, 0)),
+            (7, _map3d(1 - d, 1, 1), _map3d(1 - d, 1, 0), _map3d(d, 0, 0)),
+        )
+    return tab
+
+
+_UV_TABLE = _uv_count_table()
+
+
+def _triangle_count8(uv, uorv, dirs, times, delta: int) -> np.ndarray:
     """TriangleCounter.execute with n=2, nb=0 (three_node_motifs.rs:223-341,
-    as used by triangle_motifs with init_tri_count(2)): 8 counts."""
-    out = np.zeros(8, np.int64)
+    as used by triangle_motifs with init_tri_count(2)): 8 counts.
+    List-based inner loop with the _map2d/_map3d algebra pre-expanded
+    (4d+2s / 2-2s / 6-2s / 4s+2d / 4-4s+d / 6-4s+d)."""
+    out = [0] * 8
     l = len(uv)
     if l < 3:
-        return out
-    pre_nodes = np.zeros(8, np.int64)    # index 2*map2d(dir,uorv), nb=0
-    post_nodes = np.zeros(8, np.int64)
-    pre_sum = np.zeros(8, np.int64)
-    mid_sum = np.zeros(8, np.int64)
-    post_sum = np.zeros(8, np.int64)
+        return np.zeros(8, np.int64)
+    uv_l = uv if type(uv) is list else uv.tolist()
+    s_l = uorv if type(uorv) is list else uorv.tolist()
+    d_l = dirs if type(dirs) is list else dirs.tolist()
+    t_l = times if type(times) is list else times.tolist()
+    pre_nodes = [0] * 8
+    post_nodes = [0] * 8
+    pre_sum = [0] * 8
+    mid_sum = [0] * 8
+    post_sum = [0] * 8
     start = 0
     end = 0
     for j in range(l):
-        tj = times[j]
-        while start < l and times[start] + delta < tj:
-            if not uv[start]:               # pop_pre (w-event)
-                s, d = uorv[start], dirs[start]
-                pre_nodes[2 * _map2d(d, s)] -= 1
-                pre_sum[_map3d(s, d, 0)] -= pre_nodes[2 * _map2d(0, 1 - s)]
-                pre_sum[_map3d(s, d, 1)] -= pre_nodes[2 * _map2d(1, 1 - s)]
+        tj = t_l[j]
+        while start < l and t_l[start] + delta < tj:
+            if not uv_l[start]:             # pop_pre (w-event)
+                sx = s_l[start]
+                dx = d_l[start]
+                pre_nodes[4 * dx + 2 * sx] -= 1
+                i0 = 4 * sx + 2 * dx
+                pre_sum[i0] -= pre_nodes[2 - 2 * sx]
+                pre_sum[i0 + 1] -= pre_nodes[6 - 2 * sx]
             start += 1
-        while end < l and times[end] <= tj + delta:
-            if not uv[end]:                 # push_post
-                s, d = uorv[end], dirs[end]
-                post_sum[_map3d(1 - s, 0, d)] += post_nodes[2 * _map2d(0, 1 - s)]
-                post_sum[_map3d(1 - s, 1, d)] += post_nodes[2 * _map2d(1, 1 - s)]
-                post_nodes[2 * _map2d(d, s)] += 1
+        while end < l and t_l[end] <= tj + delta:
+            if not uv_l[end]:               # push_post
+                sx = s_l[end]
+                dx = d_l[end]
+                post_sum[4 - 4 * sx + dx] += post_nodes[2 - 2 * sx]
+                post_sum[6 - 4 * sx + dx] += post_nodes[6 - 2 * sx]
+                post_nodes[4 * dx + 2 * sx] += 1
             end += 1
-        s, d = uorv[j], dirs[j]
-        if not uv[j]:                       # pop_post
-            post_nodes[2 * _map2d(d, s)] -= 1
-            post_sum[_map3d(s, d, 0)] -= post_nodes[2 * _map2d(0, 1 - s)]
-            post_sum[_map3d(s, d, 1)] -= post_nodes[2 * _map2d(1, 1 - s)]
-            # process_current (w-event)
-            mid_sum[_map3d(1 - s, 0, d)] -= pre_nodes[2 * _map2d(0, 1 - s)]
-            mid_sum[_map3d(1 - s, 1, d)] -= pre_nodes[2 * _map2d(1, 1 - s)]
-            mid_sum[_map3d(s, d, 0)] += post_nodes[2 * _map2d(0, 1 - s)]
-            mid_sum[_map3d(s, d, 1)] += post_nodes[2 * _map2d(1, 1 - s)]
+        sx = s_l[j]
+        dx = d_l[j]
+        if not uv_l[j]:                     # pop_post + process_current
+            post_nodes[4 * dx + 2 * sx] -= 1
+            i0 = 4 * sx + 2 * dx
+            post_sum[i0] -= post_nodes[2 - 2 * sx]
+            post_sum[i0 + 1] -= post_nodes[6 - 2 * sx]
+            mid_sum[4 - 4 * sx + dx] -= pre_nodes[2 - 2 * sx]
+            mid_sum[6 - 4 * sx + dx] -= pre_nodes[6 - 2 * sx]
+            mid_sum[i0] += post_nodes[2 - 2 * sx]
+            mid_sum[i0 + 1] += post_nodes[6 - 2 * sx]
             # push_pre
-            pre_sum[_map3d(1 - s, 0, d)] += pre_nodes[2 * _map2d(0, 1 - s)]
-            pre_sum[_map3d(1 - s, 1, d)] += pre_nodes[2 * _map2d(1, 1 - s)]
-            pre_nodes[2 * _map2d(d, s)] += 1
+            pre_sum[4 - 4 * sx + dx] += pre_nodes[2 - 2 * sx]
+            pre_sum[6 - 4 * sx + dx] += pre_nodes[6 - 2 * sx]
+            pre_nodes[4 * dx + 2 * sx] += 1
         else:                               # uv-edge event: count motifs
-            out[0] += mid_sum[_map3d(d, 0, 0)] + post_sum[_map3d(d, 0, 1)] \
-                + pre_sum[_map3d(1 - d, 1, 1)]
-            out[4] += mid_sum[_map3d(d, 1, 0)] + post_sum[_map3d(1 - d, 0, 1)] \
-                + pre_sum[_map3d(1 - d, 0, 1)]
-            out[2] += mid_sum[_map3d(1 - d, 0, 0)] + post_sum[_map3d(d, 1, 1)] \
-                + pre_sum[_map3d(1 - d, 1, 0)]
-            out[6] += mid_sum[_map3d(1 - d, 1, 0)] + post_sum[_map3d(1 - d, 1, 1)] \
-                + pre_sum[_map3d(1 - d, 0, 0)]
-            out[1] += mid_sum[_map3d(d, 0, 1)] + post_sum[_map3d(d, 0, 0)] \
-                + pre_sum[_map3d(d, 1, 1)]
-            out[5] += mid_sum[_map3d(d, 1, 1)] + post_sum[_map3d(1 - d, 0, 0)] \
-                + pre_sum[_map3d(d, 0, 1)]
-            out[3] += mid_sum[_map3d(1 - d, 0, 1)] + post_sum[_map3d(d, 1, 0)] \
-                + pre_sum[_map3d(d, 1, 0)]
-            out[7] += mid_sum[_map3d(1 - d, 1, 1)] + post_sum[_map3d(1 - d, 1, 0)] \
-                + pre_sum[_map3d(d, 0, 0)]
-    return out
+            for slot, mi, pi, ri in _UV_TABLE[dx]:
+                out[slot] += mid_sum[mi] + post_sum[pi] + pre_sum[ri]
+    return np.asarray(out, np.int64)
 
 
 # --------------------------------------------------------------- star phase
@@ -473,7 +491,11 @@ def _pair_subset_n(pair_part, n: int, *triple_pieces):
 @ray.remote
 def _triple_motifs(deltas: tuple, n: int, triples, *subsets) -> np.ndarray:
     """One triple partition: merge its pair subsets, run the reference
-    TriangleCounter per triangle → (len(deltas), 8) partial."""
+    TriangleCounter per triangle → (len(deltas), 8) partial. Per-triangle
+    event assembly is fully vectorized (one batched searchsorted over all
+    3T pair keys, one ragged-arange gather, one global (triangle, t, e)
+    lexsort, vectorized dir/uorv tagging) — only the O(m) reference
+    counter itself runs per triangle."""
     res = np.zeros((len(deltas), 8), np.int64)
     x, y, z = triples
     if len(x) == 0:
@@ -484,43 +506,60 @@ def _triple_motifs(deltas: tuple, n: int, triples, *subsets) -> np.ndarray:
     e = np.concatenate([s[3] for s in subsets])
     order = np.lexsort((e, t, pk))
     pk, sl, t, e = pk[order], sl[order], t[order], e[order]
-    for i in range(len(x)):
-        xi, yi, zi = int(x[i]), int(y[i]), int(z[i])
-        # reference mapping: w = largest (z), u = middle (y), v = smallest
-        # (x) — triangle_motifs enumerates edge (u,v) with u>v and
-        # w ∈ common-larger-neighbours
-        kxy, kxz, kyz = xi * n + yi, xi * n + zi, yi * n + zi
-        segs = []
-        for key in (kxy, kxz, kyz):
-            a = np.searchsorted(pk, key, side="left")
-            b = np.searchsorted(pk, key, side="right")
-            if b > a:
-                segs.append(np.arange(a, b))
-        if not segs:
+    T = len(x)
+    xi = x.astype(np.int64)
+    yi = y.astype(np.int64)
+    zi = z.astype(np.int64)
+    # reference mapping: w = largest (z), u = middle (y), v = smallest (x)
+    keys = np.empty(3 * T, np.int64)
+    keys[0::3] = xi * n + yi
+    keys[1::3] = xi * n + zi
+    keys[2::3] = yi * n + zi
+    a = np.searchsorted(pk, keys, side="left")
+    b = np.searchsorted(pk, keys, side="right")
+    cnt = b - a
+    total = int(cnt.sum())
+    if total == 0:
+        return res
+    offs = np.cumsum(cnt) - cnt
+    idx = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt) \
+        + np.repeat(a, cnt)
+    trow = np.repeat(np.repeat(np.arange(T, dtype=np.int64), 3), cnt)
+    kk, ss, tt, ee = pk[idx], sl[idx], t[idx], e[idx]
+    order2 = np.lexsort((ee, tt, trow))
+    kk, ss, tt, trow = kk[order2], ss[order2], tt[order2], trow[order2]
+    yr, zr = yi[trow], zi[trow]
+    kxy = xi[trow] * n + yr
+    lo_n = kk // n
+    hi_n = kk % n
+    src = np.where(ss == 1, lo_n, hi_n)
+    dst = np.where(ss == 1, hi_n, lo_n)
+    uv = kk == kxy                       # events on the (u,v)=(y,x) edge
+    dirs = np.zeros(total, np.int64)
+    uorv = np.zeros(total, np.int64)
+    # w-events (src or dst == z); reference tagging (dirs stays 0 for
+    # w-src events)
+    is_w_src = src == zr
+    is_w_dst = dst == zr
+    uorv[is_w_src] = np.where(dst[is_w_src] == yr[is_w_src], 0, 1)
+    uorv[is_w_dst] = np.where(src[is_w_dst] == yr[is_w_dst], 0, 1)
+    dirs[is_w_dst] = 1
+    # uv events: src == u(y) → (uorv=1, dir=1); src == v(x) → (0, 0)
+    on_u = src[uv] == yr[uv]
+    dirs[uv] = np.where(on_u, 1, 0)
+    uorv[uv] = np.where(on_u, 1, 0)
+    starts = np.r_[0, np.flatnonzero(trow[1:] != trow[:-1]) + 1, total]
+    uv_l = uv.tolist()
+    s_l = uorv.tolist()
+    d_l = dirs.tolist()
+    t_l = tt.tolist()
+    for i in range(len(starts) - 1):
+        lo, hi = int(starts[i]), int(starts[i + 1])
+        if hi - lo < 3:
             continue
-        idx = np.concatenate(segs)
-        idx = idx[np.lexsort((e[idx], t[idx]))]
-        kk, ss, tt = pk[idx], sl[idx], t[idx]
-        # derive (src, dst) of each event: src_is_lo → src = key//n
-        lo_n = kk // n
-        hi_n = kk % n
-        src = np.where(ss == 1, lo_n, hi_n)
-        dst = np.where(ss == 1, hi_n, lo_n)
-        uv = kk == kxy                       # events on the (u,v)=(y,x) edge
-        dirs = np.zeros(len(kk), np.int64)
-        uorv = np.zeros(len(kk), np.int64)
-        # w-events (src or dst == z); reference tagging
-        is_w_src = src == zi
-        is_w_dst = dst == zi
-        uorv[is_w_src] = np.where(dst[is_w_src] == yi, 0, 1)
-        dirs[is_w_src] = 0
-        uorv[is_w_dst] = np.where(src[is_w_dst] == yi, 0, 1)
-        dirs[is_w_dst] = 1
-        # uv events: src == u(y) → (uorv=1, dir=1); src == v(x) → (0, 0)
-        dirs[uv] = np.where(src[uv] == yi, 1, 0)
-        uorv[uv] = np.where(src[uv] == yi, 1, 0)
         for j, delta in enumerate(deltas):
-            res[j] += _triangle_count8(uv, uorv, dirs, tt, delta)
+            res[j] += _triangle_count8(uv_l[lo:hi], s_l[lo:hi],
+                                       d_l[lo:hi], t_l[lo:hi], delta)
     return res
 
 
