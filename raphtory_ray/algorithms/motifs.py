@@ -849,16 +849,18 @@ def _triangles_of(g, member: np.ndarray) -> list:
     from raphtory_ray.state import shards as S
     member_ref = ray.put(member)
     sub_refs = [_subgraph_und.remote(r, member_ref) for r in g.und_refs]
-    # adaptive task grid, as in BspGraph.triangle_counts: worker spin-up
-    # dominates a P×P fan on small graphs
-    P = min(len(sub_refs), max(4, g.num_edges // 150_000))
+    # adaptive task grid, as in BspGraph.triangle_counts: ~35k oriented
+    # edges per partition (P=4 on a 567k-edge graph measured 10-20x slower
+    # than P=16 — wedge expansion under-parallelized), capped by CPUs
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = min(len(sub_refs), max(4, min(cpus, g.num_edges // 35_000)))
     if P == 1:
         Ssplit = [S._merge_concat.remote(
             *[S._orient_split.remote(r, 1, "src") for r in sub_refs])]
         Dsplit = [S._merge_concat.remote(
             *[S._orient_split.remote(r, 1, "dst") for r in sub_refs])]
         wparts = [[S._wedge_split.remote(Dsplit[0], Ssplit[0], 1,
-                                         4_000_000)]]
+                                         262_144)]]
     else:
         so = [S._orient_split.options(num_returns=P).remote(r, P, "src")
               for r in sub_refs]
@@ -869,7 +871,7 @@ def _triangles_of(g, member: np.ndarray) -> list:
         Dsplit = [S._merge_concat.remote(*[sp[p] for sp in do])
                   for p in range(P)]
         w = [S._wedge_split.options(num_returns=P).remote(
-            Dsplit[p], Ssplit[p], P, 4_000_000) for p in range(P)]
+            Dsplit[p], Ssplit[p], P, 262_144) for p in range(P)]
         wparts = [[w[p][q] for p in range(P)] for q in range(P)]
     return [_probe_triples.remote(Ssplit[q], len(member), *wparts[q])
             for q in range(P)]
