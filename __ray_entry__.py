@@ -735,6 +735,22 @@ def _q_user_seir(sf_dir: str) -> pa.Table:
 
 # ------------------------------------------------------------ motif queries
 
+def _q_user_motifs_twonode(sf_dir: str) -> pa.Table:
+    """Two-node slice (indices 24:32) of the global motif 40-vector —
+    SQL-oracled via an exact triple self-join (each same-pair ordered
+    event triple within delta counted from both endpoints' perspectives:
+    slot 4d1+2d2+d3 and its flip 7-slot)."""
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.algorithms.motifs import global_temporal_three_node_motif
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, hi = _time_bounds(gf, None, None)
+    counts = global_temporal_three_node_motif(gf, max(1, (hi - lo) // 4))
+    return pa.table({"motif_id": pa.array(np.arange(8, dtype=np.int64)),
+                     "count": pa.array(counts[24:32], pa.int64())})
+
+
 def _q_user_motifs(sf_dir: str) -> pa.Table:
     """Global temporal three-node motif counts (Paranjape et al.;
     global_temporal_three_node_motifs.rs:272-330) over the user graph at
@@ -1093,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_dijkstra_cents": _q_user_dijkstra,
         "user_fr_layout": _q_user_fr_layout,
         "user_motifs": _q_user_motifs,
+        "user_motifs_twonode": _q_user_motifs_twonode,
         "user_local_motifs": _q_user_local_motifs,
         "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
@@ -1867,6 +1884,33 @@ win AS (
 )
 SELECT src AS vid, COUNT(DISTINCT dst)::BIGINT AS out_degree
 FROM user_edges, win WHERE t >= t0 AND t < t1 GROUP BY src
+""",
+        # two-node temporal motifs: exact triple self-join on same-pair
+        # ordered events within delta (engine window semantics: t3-t1 <=
+        # delta, (t,event_id) ordering); each triple counted from both
+        # endpoints' perspectives (slot and 7-slot).
+        "user_motifs_twonode": f"""
+WITH {_USER_EDGES},
+e AS (
+  SELECT LEAST(src,dst) AS u, GREATEST(src,dst) AS v, t, event_id,
+         CASE WHEN src = LEAST(src,dst) THEN 1 ELSE 0 END AS d
+  FROM user_edges WHERE dst IS NOT NULL AND src <> dst
+),
+dv AS (SELECT greatest(1, (max(t) + 1 - min(t)) // 4) AS delta FROM e),
+trip AS (
+  SELECT (4*a.d + 2*b.d + c.d) AS slot
+  FROM e a
+  JOIN e b ON a.u = b.u AND a.v = b.v
+          AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+  JOIN e c ON b.u = c.u AND b.v = c.v
+          AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id))
+  WHERE c.t - a.t <= (SELECT delta FROM dv)
+),
+counts AS (SELECT slot, count(*)::BIGINT AS n FROM trip GROUP BY slot)
+SELECT m.motif_id, (COALESCE(s1.n,0) + COALESCE(s2.n,0))::BIGINT AS count
+FROM (SELECT unnest(generate_series(0,7)) AS motif_id) m
+LEFT JOIN counts s1 ON s1.slot = m.motif_id
+LEFT JOIN counts s2 ON s2.slot = 7 - m.motif_id
 """,
         "doc_token_counts": r"""
 SELECT doc_id,
