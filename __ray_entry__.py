@@ -1040,6 +1040,21 @@ def _q_scc_small(sf_dir: str) -> pa.Table:
                      "scc": pa.array(ids[comp[keep]], pa.int64())})
 
 
+def _q_scc_small_dist(sf_dir: str) -> pa.Table:
+    """Same 300-node induced subgraph as copurchase_scc_small, computed by
+    the DISTRIBUTED ColorSCC engine (components.scc_distributed) — the
+    driver's gate then value-checks the at-scale SCC path against the
+    same bounded-closure oracle."""
+    gf, _g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms import strongly_connected_components_dist
+    from raphtory_ray.state.shards import BspGraph
+    keep = np.arange(min(300, gf.n), dtype=np.int64)
+    sub = BspGraph.from_graph(gf.subgraph(keep))
+    comp = strongly_connected_components_dist(sub).values
+    return pa.table({"vid": pa.array(ids[keep], pa.int64()),
+                     "scc": pa.array(ids[comp[keep]], pa.int64())})
+
+
 def _q_scc(sf_dir: str) -> pa.Table:
     """Tarjan SCC labels (scc.rs:20-117); label = min node id in the SCC
     (closure-based SQL oracle exists but runs ~2 min at sf0.01 → rows-only
@@ -1089,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
         "copurchase_scc_small": _q_scc_small,
+        "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
         "user_window_out_degree": _q_user_window_out_degree,
@@ -1474,6 +1490,27 @@ SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
         "copurchase_kcore4": _kcore_avg_sql(rounds=8,
                                             k_sql="SELECT 4 AS k"),
         "copurchase_scc_small": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+srcs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dedup
+         UNION ALL SELECT dst FROM dedup) ORDER BY v LIMIT 300),
+sub AS MATERIALIZED (
+  SELECT d.src, d.dst FROM dedup d
+  JOIN srcs a ON a.v = d.src JOIN srcs b ON b.v = d.dst
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM sub
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sub s ON s.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.v AS vid, LEAST(n.v, COALESCE(MIN(m.b), n.v)) AS scc
+FROM srcs n LEFT JOIN mutual m ON m.a = n.v
+GROUP BY n.v
+""",
+        "copurchase_scc_small_dist": f"""
 WITH RECURSIVE {_PAIRS}, {_DEDUP},
 srcs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dedup
          UNION ALL SELECT dst FROM dedup) ORDER BY v LIMIT 300),

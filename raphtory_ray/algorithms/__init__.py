@@ -28,6 +28,7 @@ __all__ = [
     "global_clustering_coefficient",
     "global_reciprocity", "all_local_reciprocity",
     "hits", "balance", "in_components", "out_components",
+    "strongly_connected_components_dist",
     "in_component", "out_component",
     "largest_connected_component", "single_source_shortest_path",
     "temporally_reachable_nodes", "fast_rp",
@@ -319,6 +320,17 @@ def _closure_sets_local(g: BspGraph, reverse: bool) -> list[np.ndarray]:
         bits = np.unpackbits(B[v].view(np.uint8), bitorder="little")[:n]
         out.append(np.flatnonzero(bits).astype(np.int64))
     return out
+
+
+def strongly_connected_components_dist(gf, max_rounds: int = 64) -> NodeState:
+    """Distributed ColorSCC (components.scc_distributed): trim + forward
+    max-color fixpoint + backward claim supersteps over the partitioned
+    blocks; same contract as the sequential Tarjan path (component id =
+    min vid in SCC). The at-scale SCC — the driver holds O(V) state,
+    never the edge set."""
+    from raphtory_ray.algorithms.components import scc_distributed
+    comp = scc_distributed(_bsp(gf), max_rounds=max_rounds)
+    return NodeState(comp, gf if isinstance(gf, GraphFrame) else None, "scc")
 
 
 def in_components(gf) -> list[np.ndarray]:

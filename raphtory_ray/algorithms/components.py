@@ -287,3 +287,155 @@ def closure_sets(g, reverse: bool) -> list[np.ndarray]:
         for i, v in enumerate(uniq):
             out[int(v)] = member[bounds[i]:bounds[i + 1]]
     return out
+
+
+# ------------------------------------------------------- distributed SCC
+
+@ray.remote
+def _scc_active_ends(block: pa.Table, active_ref):
+    """Sparse (unique active srcs, unique active dsts) of edges whose both
+    endpoints are active — the trim step's per-block partial."""
+    active = ray.get(active_ref) if isinstance(active_ref, ray.ObjectRef) \
+        else active_ref
+    s, d = _sd(block)
+    m = active[s] & active[d] & (s != d)
+    return np.unique(s[m]), np.unique(d[m])
+
+
+@ray.remote
+def _scc_color_step(block: pa.Table, color_ref, active_ref):
+    """Forward max-propagation over this dst-owned block: per owned dst,
+    max active-ancestor color that beats its current color. Sparse
+    (dst, new_color) return; dst ownership makes driver scatters disjoint."""
+    color = ray.get(color_ref) if isinstance(color_ref, ray.ObjectRef) \
+        else color_ref
+    active = ray.get(active_ref) if isinstance(active_ref, ray.ObjectRef) \
+        else active_ref
+    s, d = _sd(block)
+    m = active[s] & active[d] & (s != d)
+    s, d = s[m], d[m]
+    cand = color[s]
+    better = cand > color[d]
+    if not better.any():
+        z = np.empty(0, np.int64)
+        return z, z
+    d, cand = d[better], cand[better]
+    order = np.argsort(d, kind="stable")
+    d_o, c_o = d[order], cand[order]
+    ud, starts = np.unique(d_o, return_index=True)
+    return ud, np.maximum.reduceat(c_o, starts)
+
+
+@ray.remote
+def _scc_claim_step(block: pa.Table, color_ref, frontier_ref, member_ref,
+                    active_ref):
+    """Backward-claim over this block: srcs of edges u→w where w is in the
+    claimed frontier, u is active, unclaimed, and shares w's color."""
+    color = ray.get(color_ref) if isinstance(color_ref, ray.ObjectRef) \
+        else color_ref
+    frontier = ray.get(frontier_ref) if isinstance(frontier_ref, ray.ObjectRef) \
+        else frontier_ref
+    member = ray.get(member_ref) if isinstance(member_ref, ray.ObjectRef) \
+        else member_ref
+    active = ray.get(active_ref) if isinstance(active_ref, ray.ObjectRef) \
+        else active_ref
+    s, d = _sd(block)
+    m = frontier[d] & active[s] & ~member[s] & (s != d)
+    if not m.any():
+        return np.empty(0, np.int64)
+    s, d = s[m], d[m]
+    m2 = color[s] == color[d]
+    return np.unique(s[m2])
+
+
+def scc_distributed(g, max_rounds: int = 64) -> np.ndarray:
+    """Strongly connected components via distributed ColorSCC
+    (trim → forward max-color fixpoint → backward claim from color roots;
+    Orzan-style coloring — public algorithm). Component id = min vid in
+    SCC, matching the sequential Tarjan path (scc.rs:20-117 contract).
+
+    Scale shape: edges stay in the dst-partitioned blocks; every per-round
+    task return is SPARSE (touched vids only); the driver holds O(V)
+    comp/color/active arrays — the engine's task-path norm (same as
+    BspGraph.wcc). Convergence: every round removes at least the SCC of
+    each color-class root (the max-vid node always roots its class); after
+    trim, DAG-like residues are gone, so rounds track the depth of the
+    SCC condensation chain, not V. A ``max_rounds`` safety valve falls
+    back to the driver Tarjan on the (by then small) residual."""
+    n = g.n
+    comp = np.full(n, -1, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    # nodes with no edges at all are their own SCCs
+    for rounds in range(max_rounds):
+        if not active.any():
+            break
+        a_ref = ray.put(active)
+        # ---- trim to fixpoint: no active in- or out-edge → own SCC
+        while True:
+            parts = ray.get([_scc_active_ends.remote(r, a_ref)
+                             for r in g.refs])
+            has_out = np.zeros(n, dtype=bool)
+            has_in = np.zeros(n, dtype=bool)
+            for us, ud in parts:
+                has_out[us] = True
+                has_in[ud] = True
+            trivial = active & ~(has_out & has_in)
+            if not trivial.any():
+                break
+            ids = np.flatnonzero(trivial)
+            comp[ids] = ids
+            active[ids] = False
+            a_ref = ray.put(active)
+        if not active.any():
+            break
+        # ---- forward max-color fixpoint
+        color = np.arange(n, dtype=np.int64)
+        while True:
+            c_ref = ray.put(color)
+            parts = ray.get([_scc_color_step.remote(r, c_ref, a_ref)
+                             for r in g.refs])
+            changed = False
+            for ud, mx in parts:          # dst-owned → disjoint scatters
+                if len(ud):
+                    upd = mx > color[ud]
+                    if upd.any():
+                        color[ud[upd]] = mx[upd]
+                        changed = True
+            if not changed:
+                break
+        # ---- backward claim from color roots, within color classes
+        member = np.zeros(n, dtype=bool)
+        frontier = active & (color == np.arange(n))
+        member |= frontier
+        c_ref = ray.put(color)
+        m_ref = ray.put(member)
+        while frontier.any():
+            f_ref = ray.put(frontier)
+            parts = ray.get([_scc_claim_step.remote(r, c_ref, f_ref,
+                                                    m_ref, a_ref)
+                             for r in g.refs])
+            nxt = np.zeros(n, dtype=bool)
+            for us in parts:
+                nxt[us] = True
+            nxt &= ~member
+            if not nxt.any():
+                break
+            member |= nxt
+            frontier = nxt
+            m_ref = ray.put(member)
+        # assign SCC ids: per color class, id = min member vid
+        ids = np.flatnonzero(member)
+        if len(ids):
+            cls = color[ids]
+            order = np.argsort(cls, kind="stable")
+            ids_o, cls_o = ids[order], cls[order]
+            ucls, starts = np.unique(cls_o, return_index=True)
+            mins = np.minimum.reduceat(ids_o, starts)
+            pos = np.searchsorted(ucls, cls_o)
+            comp[ids_o] = mins[pos]
+            active[ids] = False
+    if active.any():
+        # residual fallback: driver Tarjan on the (small) leftover subgraph
+        from raphtory_ray.algorithms.extra import _tarjan_residual
+        comp = _tarjan_residual(g, active, comp)
+    return comp

@@ -371,3 +371,81 @@ def _time_bounds(gf: GraphFrame, start, end):
         start = mn if start is None else start
         end = (mx + 1) if end is None else end
     return start, end
+
+
+def _tarjan_residual(g, active: np.ndarray, comp: np.ndarray) -> np.ndarray:
+    """Driver Tarjan restricted to the residual ``active`` subgraph —
+    the safety valve of components.scc_distributed when ColorSCC hits its
+    round cap (deep SCC-condensation chains). Pulls ONLY the residual's
+    edges (both endpoints active)."""
+    import ray as _ray
+    import pyarrow as _pa
+
+    @_ray.remote
+    def _residual_edges(block, active_ref):
+        act = _ray.get(active_ref) if isinstance(active_ref,
+                                                 _ray.ObjectRef) else active_ref
+        s = block["src"].to_numpy(zero_copy_only=False)
+        d = block["dst"].to_numpy(zero_copy_only=False)
+        m = act[s] & act[d] & (s != d)
+        return _pa.table({"src": _pa.array(s[m]), "dst": _pa.array(d[m])})
+
+    a_ref = _ray.put(active)
+    tabs = _ray.get([_residual_edges.remote(r, a_ref) for r in g.refs])
+    s = np.concatenate([t["src"].to_numpy(zero_copy_only=False)
+                        for t in tabs]) if tabs else np.empty(0, np.int64)
+    d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False)
+                        for t in tabs]) if tabs else np.empty(0, np.int64)
+    n = g.n
+    order = np.argsort(s, kind="stable")
+    adj = d[order]
+    indptr = np.searchsorted(s[order], np.arange(n + 1))
+    UNSET = -1
+    index = np.full(n, UNSET, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    stack: list[int] = []
+    counter = 0
+    comp = comp.copy()
+    for root in np.flatnonzero(active):
+        root = int(root)
+        if index[root] != UNSET:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for ei in range(indptr[v] + pi, indptr[v + 1]):
+                w = int(adj[ei])
+                if not active[w]:
+                    continue
+                if index[w] == UNSET:
+                    work[-1] = (v, ei - indptr[v] + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp[w] = label
+    return comp
