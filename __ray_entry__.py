@@ -1025,6 +1025,23 @@ def _q_betweenness(sf_dir: str) -> pa.Table:
                      "betweenness": pa.array(np.round(bc, 9), pa.float64())})
 
 
+def _q_betweenness_small(sf_dir: str) -> pa.Table:
+    """Betweenness (unnormalized, Brandes over source-parallel Ray tasks)
+    on the 40-smallest-ids induced subgraph — value-checked by an exact
+    SQL oracle: BFS closure (recursive CTE) for distances, shortest-path
+    counts via per-layer aggregated sums over the BFS DAG (no path
+    enumeration), then bc(v) = sum sigma(s,v)*sigma(v,t)/sigma(s,t) over
+    pairs with d(s,v)+d(v,t)=d(s,t)."""
+    gf, _g, ids = _copurchase(sf_dir)
+    from raphtory_ray.algorithms.extra import betweenness_centrality
+    from raphtory_ray.state.shards import BspGraph
+    keep = np.arange(min(_BC_K, gf.n), dtype=np.int64)
+    sub = BspGraph.from_graph(gf.subgraph(keep))
+    bc = betweenness_centrality(sub, normalized=False).values[:len(keep)]
+    return pa.table({"vid": pa.array(ids[keep], pa.int64()),
+                     "betweenness": pa.array(bc, pa.float64())})
+
+
 def _q_scc_small(sf_dir: str) -> pa.Table:
     """SCC labels on the subgraph induced by the 300 smallest node ids —
     the hash-gated variant of copurchase_scc (the full closure oracle runs
@@ -1103,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering_batch": _q_clustering_batch,
         "copurchase_degree_stats": _q_degree_stats,
         "copurchase_scc": _q_scc,
+        "copurchase_betweenness_small": _q_betweenness_small,
         "copurchase_scc_small": _q_scc_small,
         "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_betweenness": _q_betweenness,
@@ -1431,6 +1449,62 @@ cedges AS (
            AS dst_gid
   FROM imp
 )"""
+
+
+_BC_K = 40
+
+
+def _betweenness_small_sql() -> str:
+    """Exact Brandes oracle on the induced _BC_K-node subgraph: sigma by
+    K-1 unrolled MATERIALIZED per-layer aggregations over the BFS DAG."""
+    K = _BC_K
+    layers, sigs, prev = [], ["SELECT s, v, sig FROM sig0"], "sig0"
+    for L in range(1, K):
+        cur = f"sig{L}"
+        layers.append(
+            f"{cur} AS MATERIALIZED (SELECT w.s, e.dst AS v, SUM(w.sig) "
+            f"AS sig FROM {prev} w JOIN se e ON e.src = w.v "
+            f"JOIN dist dd ON dd.s = w.s AND dd.v = e.dst AND dd.d = {L} "
+            f"GROUP BY w.s, e.dst)")
+        sigs.append(f"SELECT s, v, sig FROM sig{L}")
+        prev = cur
+    return f"""
+WITH RECURSIVE {_PAIRS},
+dedup AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+nodes AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM dedup UNION SELECT dst FROM dedup)),
+ranked AS (SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS rk FROM nodes),
+keepn AS (SELECT vid, rk FROM ranked WHERE rk < {K}),
+se AS MATERIALIZED (
+  SELECT a.rk AS src, b.rk AS dst
+  FROM dedup JOIN keepn a ON dedup.src = a.vid
+             JOIN keepn b ON dedup.dst = b.vid
+  WHERE a.rk <> b.rk
+),
+reach(s, v, d) AS (
+  SELECT rk, rk, 0 FROM keepn
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN se e ON e.src = r.v
+  WHERE r.d < {K}
+),
+dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM reach GROUP BY s, v),
+sig0 AS (SELECT s, v, 1.0::DOUBLE AS sig FROM dist WHERE d = 0),
+{",".join(layers)},
+sigma AS MATERIALIZED ({" UNION ALL ".join(sigs)}),
+bcsum AS (
+  SELECT s1.v AS rk, SUM(s1.sig * s2.sig / st.sig) AS bc
+  FROM sigma s1
+  JOIN dist d1 ON d1.s = s1.s AND d1.v = s1.v
+  JOIN sigma s2 ON s2.s = s1.v
+  JOIN dist d2 ON d2.s = s2.s AND d2.v = s2.v
+  JOIN dist dt ON dt.s = s1.s AND dt.v = s2.v AND dt.d = d1.d + d2.d
+  JOIN sigma st ON st.s = s1.s AND st.v = s2.v
+  WHERE s1.s <> s1.v AND s2.v <> s1.v AND s1.s <> s2.v
+  GROUP BY s1.v
+)
+SELECT k.vid, COALESCE(b.bc, 0.0) AS betweenness
+FROM keepn k LEFT JOIN bcsum b ON b.rk = k.rk
+"""
 
 
 def _lang_id_sql() -> str:
@@ -1949,6 +2023,7 @@ FROM (SELECT unnest(generate_series(0,7)) AS motif_id) m
 LEFT JOIN counts s1 ON s1.slot = m.motif_id
 LEFT JOIN counts s2 ON s2.slot = 7 - m.motif_id
 """,
+        "copurchase_betweenness_small": _betweenness_small_sql(),
         "doc_token_counts": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
