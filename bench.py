@@ -450,6 +450,10 @@ def run_scaling_weak(cpus=(8, 32)) -> dict:
     count scales with the data so per-worker partition count (and
     therefore per-worker state) is identical at both levels."""
     reps = int(os.environ.get("RA_REPS", "2"))
+    cpus = tuple(int(x) for x in
+                 os.environ.get("RA_CPUS", ",".join(map(str, cpus))).split(","))
+    if len(cpus) != 2:
+        raise SystemExit(f"RA_CPUS must give exactly two levels, got {cpus!r}")
     lo, hi = cpus
     scale = hi // lo
     levels = {
