@@ -298,11 +298,13 @@ def run_scaling_compute_single(num_cpus: int) -> dict:
     # 4x replication (union of materialized refs, free) lengthens the run
     # to ~15-30 s so the one-time actor-pool startup (~1-2 s) amortizes to
     # noise at both levels — round 2 timed 4-9 s passes where startup alone
-    # depressed the 32-cpu level by ~20%.
+    # depressed the 32-cpu level by ~20%. RA_DOC_REPL overrides the factor
+    # (the weak-scaling harness scales input with worker count through it).
+    repl = int(os.environ.get("RA_DOC_REPL", "4"))
     ds1 = (rd.read_parquet(corpus, columns=["content"])
            .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
            .materialize())
-    ds = ds1.union(ds1, ds1, ds1).materialize()
+    ds = ds1.union(*([ds1] * (repl - 1))).materialize() if repl > 1 else ds1
     n_docs = ds.count()
     pool = num_cpus          # projection fused → nothing else needs a slot
     walls = []
@@ -380,6 +382,84 @@ def run_scaling_compute(cpus=(8, 32)) -> dict:
             for nc in cpus}
         # the host-normalized number: engine scaling relative to what the
         # same kernel achieves on this box with no engine at all
+        res["efficiency_vs_raw_hardware"] = eff / raw_eff if raw_eff else None
+    return res
+
+
+def run_scaling_weak_compute(cpus=(8, 32)) -> dict:
+    """WEAK-scaling evidence on the COMPUTE-BOUND workload — the north
+    rule's own sizing shape (4x nodes <-> 4x data) on the workload class
+    where a single box can express scaling at all: the lo level MinHashes
+    a (lo/hi)-replicated corpus on lo workers, the hi level the fully
+    replicated corpus on hi workers, so per-worker document load is
+    identical. Ideal weak scaling keeps wall time constant, i.e. total
+    docs/s grows with the cluster; efficiency = thr_hi/(thr_lo*hi/lo).
+    The raw-multiprocessing comparator runs the SAME kernel + per-level
+    input + protocol with no Ray, isolating engine overhead from the
+    host's own idle-core turbo/cache boost at the low level."""
+    reps = int(os.environ.get("RA_REPS", "2"))
+    cpus = tuple(int(x) for x in
+                 os.environ.get("RA_CPUS", ",".join(map(str, cpus))).split(","))
+    if len(cpus) != 2:
+        raise SystemExit(f"RA_CPUS must give exactly two levels, got {cpus!r}")
+    lo, hi = cpus
+    scale = hi // lo
+    base_repl = int(os.environ.get("RA_DOC_REPL", "4"))
+    repl = {lo: max(1, base_repl // scale), hi: base_repl}
+    all_runs: dict[int, list] = {nc: [] for nc in cpus}
+    for _rep in range(reps):
+        for nc in cpus:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(nc),
+                       RA_DOC_REPL=str(repl[nc]))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-compute-single"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"weak-compute run at {nc} failed:\n"
+                                   f"{out.stdout[-2000:]}\n"
+                                   f"{out.stderr[-2000:]}")
+            all_runs[nc].append(json.loads(lines[-1]))
+    results = {nc: max(rs, key=lambda r: r["docs_per_sec"])
+               for nc, rs in all_runs.items()}
+    eff = results[hi]["docs_per_sec"] / (results[lo]["docs_per_sec"]
+                                         * (hi / lo))
+    res = {
+        "metric": "minhash_weak_scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "workload": "constant per-worker load: sf0.1 corpus content "
+                    f"x{repl[lo]} on {lo} workers vs x{repl[hi]} on {hi}; "
+                    f"MinHash 64 perms k=5, actor-pool map_batches, "
+                    f"best-of-{reps} interleaved fresh-process runs",
+        "cpus": list(cpus),
+        "docs_per_sec": {str(nc): results[nc]["docs_per_sec"] for nc in cpus},
+        "wall_sec": {str(nc): results[nc]["wall_sec"] for nc in cpus},
+        "runs": {str(nc): rs for nc, rs in all_runs.items()},
+    }
+    raw = {}
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "minhash_raw_probe.py")
+    for nc in cpus:
+        try:
+            out = subprocess.run(
+                [sys.executable, probe, str(nc)],
+                env=dict(os.environ, RA_DOC_REPL=str(repl[nc])),
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            break
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            raw[str(nc)] = json.loads(lines[-1])
+    if len(raw) == 2:
+        raw_eff = raw[str(hi)]["docs_per_sec"] / (
+            raw[str(lo)]["docs_per_sec"] * hi / lo)
+        res["raw_multiprocessing"] = raw
+        res["raw_weak_scaling_efficiency"] = raw_eff
+        res["engine_vs_raw"] = {
+            str(nc): results[nc]["docs_per_sec"] / raw[str(nc)]["docs_per_sec"]
+            for nc in cpus}
         res["efficiency_vs_raw_hardware"] = eff / raw_eff if raw_eff else None
     return res
 
@@ -508,6 +588,8 @@ def main():
         print(json.dumps(run_scaling_compute_single(num_cpus)))
     elif "--scaling-compute" in sys.argv:
         print(json.dumps(run_scaling_compute()))
+    elif "--scaling-weak-compute" in sys.argv:
+        print(json.dumps(run_scaling_weak_compute()))
     elif "--scaling-weak" in sys.argv:
         print(json.dumps(run_scaling_weak()))
     elif "--scaling" in sys.argv:

@@ -19,7 +19,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _BATCH = 1024
-_REPL = 4
+# replication factor of the corpus (weak-scaling harness scales input with
+# worker count through this; must match bench.run_scaling_compute_single)
+_REPL = int(os.environ.get("RA_DOC_REPL", "4"))
 
 
 _TBL_CACHE: dict = {}
