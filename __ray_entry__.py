@@ -620,6 +620,25 @@ def _q_user_dijkstra(sf_dir: str) -> pa.Table:
                      "dist_cents": pa.array(dist[vids], pa.int64())})
 
 
+def _q_user_sssp_delta(sf_dir: str) -> pa.Table:
+    """Distributed delta-stepping SSSP (algorithms/sssp.py, the at-scale
+    path for dijkstra.rs:97-246): same min-cent weights, source and SQL
+    oracle as user_dijkstra_cents, but distances computed via frontier
+    supersteps over hash(src)-owned weighted CSR partitions."""
+    from raphtory_ray.algorithms.sssp import sssp_delta_stepping
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    source = int(gf.edges.min("src"))
+    st = sssp_delta_stepping(
+        gf, source, weight_col="w",
+        weight_map=lambda w: np.floor(w * 100.0 + 0.5), reduce="min")
+    vids = np.flatnonzero(np.isfinite(st.values))
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "dist_cents": pa.array(st.values[vids].astype(np.int64),
+                                            pa.int64())})
+
+
 def _dijkstra_sql(rounds: int = 16) -> str:
     """Unrolled Bellman-Ford over min-cent edge weights (measured ≤9
     relaxation rounds to fixpoint at sf0.001/0.01; 16 gives margin —
@@ -1141,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_seir": _q_user_seir,
         "user_max_weight_matching": _q_user_matching,
         "user_dijkstra_cents": _q_user_dijkstra,
+        "user_sssp_delta_cents": _q_user_sssp_delta,
         "user_fr_layout": _q_user_fr_layout,
         "user_motifs": _q_user_motifs,
         "user_motifs_twonode": _q_user_motifs_twonode,
@@ -1637,6 +1657,7 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
         "user_dijkstra_cents": _dijkstra_sql(),
+        "user_sssp_delta_cents": _dijkstra_sql(),
         "copurchase_density": f"""
 WITH {_PAIRS}, {_DEDUP},
 nn AS (SELECT COUNT(*) AS n FROM (SELECT src AS x FROM dedup
