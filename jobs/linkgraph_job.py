@@ -64,6 +64,9 @@ def main() -> None:
     ap.add_argument("--gather-mode", default="central-tiled",
                     help="sharded-engine all-gather: p2p | p2p-owned | "
                          "central | central-tiled (propagation-blocked)")
+    ap.add_argument("--sssp-source", type=int, default=0,
+                    help="source vid for the 'sssp' algorithm "
+                         "(delta-stepping, unit weights)")
     args = ap.parse_args()
 
     import ray
@@ -124,6 +127,11 @@ def main() -> None:
             total, per_node = g.triangle_counts()
             _write_nodestate(d, ["triangles"], [per_node], g.n)
             metrics["global_triangles"] = int(total)
+        elif algo == "sssp":
+            from raphtory_ray.algorithms.sssp import sssp_delta_stepping
+            st = sssp_delta_stepping(gf, source=args.sssp_source)
+            _write_nodestate(d, ["sssp_dist"], [st.values], g.n)
+            metrics["source"] = args.sssp_source
         else:
             raise SystemExit(f"unknown algorithm {algo!r}")
         metrics["wall_sec"] = time.perf_counter() - t0
