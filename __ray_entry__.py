@@ -1555,6 +1555,89 @@ def _lang_id_sql() -> str:
 _LANG_ID_SQL = _lang_id_sql()
 
 
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                 threshold: float = 0.7) -> str:
+    """Full MinHash+LSH dedup mirror of dedup.minhash_lsh_dedup — the SQL
+    independently recomputes every stage: char-5-gram rolling hashes
+    (text.kgram_hashes base-1000003 fold, natural u64 wraparound), the
+    64 seeded (a·x+b) mod M61 permutation minima (constants from the SAME
+    seeded RNG as dedup.MinHashStage so the oracle can't drift; numpy's
+    uint64 product wraps mod 2^64 BEFORE the Mersenne mod, reproduced
+    bit-for-bit with HUGEINT masking + a Mersenne fold — a plain `%` chain
+    was 8x slower), 16-band FNV-1a bucket keys (dedup._band_rows), in-bucket
+    candidate pairs, exact-Jaccard verify at 0.7 over the same shingle-hash
+    sets, and a min-label closure over verified pairs. Docs shorter than k
+    have no shingle rows -> never duplicates (dedup e87e39c semantics)."""
+    from raphtory_ray.data.dedup import MinHashStage
+
+    st = MinHashStage(num_perm=num_perm, k=k)
+    r = num_perm // bands
+    GOLD, FNV = 0x9E3779B97F4A7C15, 0x100000001B3
+    M64 = "18446744073709551616"
+    MASK64 = "18446744073709551615"
+    M61 = "2305843009213693951"
+
+    def perm_min(i: int) -> str:
+        y = (f"(((((h & {M61}) * {int(st.a[i])}::HUGEINT) & {MASK64})"
+             f" + {int(st.b[i])}) & {MASK64})")
+        fold = f"(({y} & {M61}) + ({y} >> 61))"
+        return (f"min(CASE WHEN {fold} >= {M61} THEN {fold} - {M61} "
+                f"ELSE {fold} END) AS s{i}")
+
+    mins = ",\n  ".join(perm_min(i) for i in range(num_perm))
+
+    def band_expr(bi: int) -> str:
+        acc = f"{(bi * GOLD) % (1 << 64)}::HUGEINT"
+        for c in range(r):
+            acc = (f"((xor(CAST({acc} AS UBIGINT), "
+                   f"CAST(s{bi * r + c} AS UBIGINT))::HUGEINT"
+                   f" * {FNV}) & {MASK64})")
+        return acc
+
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, {band_expr(bi)} AS bkey FROM sigs"
+        for bi in range(bands))
+    return f"""
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text)-{k - 1})) AS p
+  FROM documents WHERE length(text) >= {k}
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    CAST(list_reduce(
+      list_transform(generate_series(0,{k - 1}),
+                     j -> CAST(ord(substr(text, p+j, 1)) AS HUGEINT)),
+      (h, b) -> (h * 1000003 + b) % {M64}
+    ) AS UBIGINT) AS h
+  FROM pos
+), sigs AS MATERIALIZED (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS MATERIALIZED (
+  {band_rows}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+   AND x.doc_id < y.doc_id
+), sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.ca, c.cb, COUNT(*) AS i
+  FROM cand c JOIN sh p ON p.doc_id = c.ca
+              JOIN sh q ON q.doc_id = c.cb AND q.h = p.h
+  GROUP BY c.ca, c.cb
+), dup AS MATERIALIZED (
+  SELECT ca, cb FROM inter
+  JOIN sizes sa ON sa.doc_id = ca JOIN sizes sb ON sb.doc_id = cb
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+),
+und2 AS (SELECT ca AS u, cb AS v FROM dup UNION SELECT cb, ca FROM dup),
+lab AS (
+  SELECT doc_id AS node, doc_id AS l FROM documents
+  UNION
+  SELECT e.v AS node, lab.l FROM lab JOIN und2 e ON e.u = lab.node
+)
+SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -1653,6 +1736,7 @@ lab AS (
 )
 SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """,
+        "doc_minhash_dedup": _minhash_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
