@@ -1638,6 +1638,45 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """
 
 
+def _emb_cosine_dedup_sql(threshold: float = 0.95, nbits: int = 12,
+                          dim: int = 64) -> str:
+    """Faithful mirror of dedup.embedding_dedup: the 12 seeded gaussian
+    hyperplanes (same RNG stream as dedup.HyperplaneLSH so the oracle can't
+    drift) are inlined as literal DOUBLE[] vectors; bucket = little-endian
+    sign-bit pack, candidates = same-bucket pairs, verify = exact cosine
+    >= threshold, then a min-label closure. At the gate's corpus no pair
+    reaches 0.95, so this pins the engine to produce NO false-positive
+    clusters (recall behavior is covered by planted-dup tests)."""
+    rng = __import__("numpy").random.default_rng(11)
+    H = rng.standard_normal((dim, nbits))
+
+    def plane(j: int) -> str:
+        return "[" + ",".join(repr(float(v)) for v in H[:, j]) + "]::DOUBLE[]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j in range(nbits))
+    return f"""
+WITH RECURSIVE emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), sig AS MATERIALIZED (
+  SELECT vec_id, e, {bits} AS bucket FROM emb
+), dup AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.e, y.e) >= {threshold}
+),
+und2 AS (SELECT a AS u, b AS v FROM dup UNION SELECT b, a FROM dup),
+lab AS (
+  SELECT vec_id AS node, vec_id AS l FROM embeddings
+  UNION
+  SELECT e2.v AS node, lab.l FROM lab JOIN und2 e2 ON e2.u = lab.node
+)
+SELECT node AS vec_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -1737,6 +1776,7 @@ lab AS (
 SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """,
         "doc_minhash_dedup": _minhash_sql(),
+        "emb_cosine_dedup": _emb_cosine_dedup_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
