@@ -952,6 +952,18 @@ def _q_knn_ivf(sf_dir: str) -> pa.Table:
     return t.select(["query_id", "neighbor_id", "rank"])
 
 
+def _q_knn_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with nprobe = n_clusters (every bucket probed) — the result must
+    EQUAL exact brute-force top-k, so the same SQL oracle value-checks the
+    whole IVF machinery (k-means training, bucket shuffle, probe routing,
+    per-bucket top-k, driver merge): a vector dropped or double-counted by
+    any bucket would surface as a wrong neighbor set."""
+    from raphtory_ray.data.similarity import knn_ivf
+    t = knn_ivf(_embs(sf_dir), _query_matrix(sf_dir), k=KNN_K,
+                n_clusters=16, nprobe=16)
+    return t.select(["query_id", "neighbor_id", "rank"])
+
+
 def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     from raphtory_ray.data.dedup import embedding_dedup
     return embedding_dedup(_embs(sf_dir))
@@ -1178,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_knn_bruteforce": _q_knn_bruteforce,
         "emb_knn_ivf": _q_knn_ivf,
+        "emb_knn_ivf_full": _q_knn_ivf_full,
         "emb_cosine_dedup": _q_embedding_dedup,
         "corpus_files": _q_corpus_files,
         "corpus_pagerank": _q_corpus_pagerank,
@@ -2244,6 +2257,20 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS score
 FROM tf GROUP BY doc_id HAVING COUNT(*) = 2
 """,
         "emb_knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_KNN_QUERIES}),
+sims AS (SELECT q.qid, e.vec_id AS nid,
+                list_cosine_similarity(q.qe, e.embedding) AS sim
+         FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rank
+           FROM sims)
+SELECT qid AS query_id, nid AS neighbor_id, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+""",
+        # nprobe = n_clusters makes IVF exhaustive -> must equal brute force
+        "emb_knn_ivf_full": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id < {N_KNN_QUERIES}),
 sims AS (SELECT q.qid, e.vec_id AS nid,
