@@ -1651,6 +1651,159 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """
 
 
+def _simhash_sql(max_hamming: int = 3, max_blocks: int = 4) -> str:
+    """Full SimHash dedup mirror of dedup.simhash_dedup. The token hash is
+    pandas' hash_array — SipHash-2-4 (key "0123456789123456") followed by a
+    splitmix64 finalizer — reproduced here as a generated chain of CTE
+    stages (one SipRound per stage, lateral column aliases for the lane
+    temps; HUGEINT masked adds/rotls, split 32-bit multiplies for the
+    mod-2^64 products). Then: per-doc signed bit sums over token
+    occurrences, fingerprint bit i = acc[63-i] > 0 (SimHashStage's packbits
+    layout), 4x16-bit band buckets, in-bucket hamming <= 3 verify, and a
+    min-label closure. ``max_blocks`` bounds supported token length to
+    8*max_blocks+7 bytes (corpus max is 8)."""
+    M64 = "18446744073709551615"
+
+    def _add(x, y):
+        return f"((({x}) + ({y})) & {M64})"
+
+    def _rotl(x, r):
+        return f"(((({x}) << {r}) | (({x}) >> {64 - r})) & {M64})"
+
+    def _xor(x, y):
+        return f"xor(CAST(({x}) AS UBIGINT), CAST(({y}) AS UBIGINT))::HUGEINT"
+
+    def _mulmod(h, c):
+        lo = f"((({h}) & 4294967295) * {c})"
+        hi = f"((((({h}) >> 32) * {c}) & 4294967295) << 32)"
+        return f"((({lo}) + ({hi})) & {M64})"
+
+    def sipround(p, v0, v1, v2, v3):
+        """One SipRound as lateral aliases; returns (fragments, out lanes)."""
+        a = [f"{_add(v0, v1)} AS {p}a0",
+             f"{_xor(_rotl(v1, 13), p + 'a0')} AS {p}b1",
+             f"{_rotl(p + 'a0', 32)} AS {p}b0",
+             f"{_add(v2, v3)} AS {p}a2",
+             f"{_xor(_rotl(v3, 16), p + 'a2')} AS {p}b3",
+             f"{_add(p + 'b0', p + 'b3')} AS {p}c0",
+             f"{_xor(_rotl(p + 'b3', 21), p + 'c0')} AS {p}c3",
+             f"{_add(p + 'a2', p + 'b1')} AS {p}c2",
+             f"{_xor(_rotl(p + 'b1', 17), p + 'c2')} AS {p}c1",
+             f"{_rotl(p + 'c2', 32)} AS {p}d2"]
+        return a, (p + "c0", p + "c1", p + "d2", p + "c3")
+
+    carry = ", ".join(f"m{i}" for i in range(max_blocks)) + ", mf, nb"
+
+    def block_stage(name, prev, k):
+        als = [f"CASE WHEN {k} < nb THEN {_xor('v3', f'm{k}')} ELSE v3 END"
+               f" AS t_v3"]
+        r1, o = sipround("r1", "v0", "v1", "v2", "t_v3")
+        r2, q = sipround("r2", *o)
+        return f"""{name} AS (
+  SELECT tok, {carry},
+    CASE WHEN {k} < nb THEN {_xor(q[0], f'm{k}')} ELSE v0 END AS v0,
+    CASE WHEN {k} < nb THEN {q[1]} ELSE v1 END AS v1,
+    CASE WHEN {k} < nb THEN {q[2]} ELSE v2 END AS v2,
+    CASE WHEN {k} < nb THEN {q[3]} ELSE v3 END AS v3
+  FROM (SELECT *, {', '.join(als + r1 + r2)} FROM {prev}))"""
+
+    key = b"0123456789123456"
+    k0 = int.from_bytes(key[:8], "little")
+    k1 = int.from_bytes(key[8:], "little")
+    iv = [0x736F6D6570736575 ^ k0, 0x646F72616E646F6D ^ k1,
+          0x6C7967656E657261 ^ k0, 0x7465646279746573 ^ k1]
+
+    def byte(pos):
+        return (f"(CASE WHEN {pos} <= l THEN "
+                f"ord(substr(tok, {pos}, 1))::HUGEINT ELSE 0::HUGEINT END)")
+
+    def blk(k):
+        return "(" + " + ".join(f"({byte(8 * k + j + 1)} << {8 * j})"
+                                for j in range(8)) + ")"
+
+    mf = "(" + " + ".join(
+        ["((l % 256)::HUGEINT << 56)"]
+        + [f"(CASE WHEN nb*8 + {j + 1} <= l THEN "
+           f"ord(substr(tok, nb*8 + {j + 1}, 1))::HUGEINT << {8 * j} "
+           f"ELSE 0::HUGEINT END)" for j in range(7)]) + ")"
+
+    stages = [f"""init AS (
+  SELECT tok, length(tok) AS l, length(tok) // 8 AS nb,
+    {', '.join(blk(k) + f' AS m{k}' for k in range(max_blocks))}, {mf} AS mf,
+    {iv[0]}::HUGEINT AS v0, {iv[1]}::HUGEINT AS v1,
+    {iv[2]}::HUGEINT AS v2, {iv[3]}::HUGEINT AS v3
+  FROM (SELECT DISTINCT tok FROM tc))"""]
+    prev = "init"
+    for k in range(max_blocks):
+        stages.append(block_stage(f"blk{k}", prev, k))
+        prev = f"blk{k}"
+    f1, o = sipround("f1", "v0", "v1", "v2", "t_v3")
+    f2, q = sipround("f2", *o)
+    stages.append(f"""fin0 AS (
+  SELECT tok, {_xor(q[0], 'mf')} AS v0, {q[1]} AS v1,
+         {_xor(q[2], '255')} AS v2, {q[3]} AS v3
+  FROM (SELECT *, {', '.join([f"{_xor('v3', 'mf')} AS t_v3"] + f1 + f2)}
+        FROM {prev}))""")
+    prev = "fin0"
+    for i in range(4):
+        r, o = sipround(f"d{i}", "v0", "v1", "v2", "v3")
+        stages.append(f"""fin{i + 1} AS (
+  SELECT tok, {o[0]} AS v0, {o[1]} AS v1, {o[2]} AS v2, {o[3]} AS v3
+  FROM (SELECT *, {', '.join(r)} FROM {prev}))""")
+        prev = f"fin{i + 1}"
+    fm = [f"{_xor(_xor('v0', 'v1'), _xor('v2', 'v3'))} AS h0",
+          f"{_xor('h0', '(h0 >> 30)')} AS h1",
+          f"{_mulmod('h1', 13787848793156543929)} AS h2",
+          f"{_xor('h2', '(h2 >> 27)')} AS h3",
+          f"{_mulmod('h3', 10723151780598845931)} AS h4",
+          f"{_xor('h4', '(h4 >> 31)')} AS h5"]
+    stages.append(f"""thash AS (
+  SELECT tok, CAST(h5 AS UBIGINT) AS th
+  FROM (SELECT *, {', '.join(fm)} FROM {prev}))""")
+    sig_chain = ",\n".join(stages)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(str_split_regex(lower(text), '\\W+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+),
+{sig_chain},
+bitsum AS (
+  SELECT t.doc_id, j,
+         SUM(t.cnt * (CASE WHEN (th.th >> j) & 1 = 1 THEN 1 ELSE -1 END))
+           AS acc
+  FROM tc t JOIN thash th ON th.tok = t.tok
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY t.doc_id, j
+), fp AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN b.acc > 0
+                      THEN (1::HUGEINT << (63 - b.j)) ELSE 0 END), 0)
+              AS UBIGINT) AS simhash
+  FROM documents d LEFT JOIN bitsum b ON b.doc_id = d.doc_id
+  GROUP BY d.doc_id
+), bands AS (
+  SELECT doc_id, simhash,
+         ((simhash >> (16*bi)) & 65535) * 4 + bi AS band_key
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi)
+), dup AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+),
+und2 AS (SELECT a AS u, b AS v FROM dup UNION SELECT b, a FROM dup),
+lab AS (
+  SELECT doc_id AS node, doc_id AS l FROM documents
+  UNION
+  SELECT e2.v AS node, lab.l FROM lab JOIN und2 e2 ON e2.u = lab.node
+)
+SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
+"""
+
+
 def _emb_cosine_dedup_sql(threshold: float = 0.95, nbits: int = 12,
                           dim: int = 64) -> str:
     """Faithful mirror of dedup.embedding_dedup: the 12 seeded gaussian
@@ -1789,6 +1942,7 @@ lab AS (
 SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """,
         "doc_minhash_dedup": _minhash_sql(),
+        "doc_simhash_dedup": _simhash_sql(),
         "emb_cosine_dedup": _emb_cosine_dedup_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),

@@ -574,8 +574,15 @@ def _simhash_bucket_verify(df, max_hamming: int,
         starts, np.diff(np.r_[starts, len(key)]))
     keep = rank < max_bucket
     gidx = (np.cumsum(boundary) - 1)[keep]
-    a, b = _pairs_within_groups(gidx, doc[keep], doc[keep])
-    fa, fb = _pairs_within_groups(gidx, fp[keep], fp[keep])
+    # One pair enumeration over row POSITIONS, then gather both doc ids and
+    # fingerprints from it. Two independent calls (one over doc, one over fp)
+    # sort each group by VALUE, so the fp pairs did not align with the doc
+    # pairs — hamming was checked against the wrong fingerprints (caught by
+    # the doc_simhash_dedup SQL oracle).
+    pos = np.flatnonzero(keep)
+    ia, ib = _pairs_within_groups(gidx, pos, pos)
+    a, b = doc[ia], doc[ib]
+    fa, fb = fp[ia], fp[ib]
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64())})
     if not len(a):

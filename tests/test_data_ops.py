@@ -70,6 +70,34 @@ def test_simhash_dedup_finds_planted(planted_docs):
     assert cl[60] == cl[3]
 
 
+def test_simhash_verify_pairs_aligned():
+    """Regression: _simhash_bucket_verify must check hamming against the
+    PAIRED fingerprints. Two separate _pairs_within_groups calls sorted each
+    group by value (doc ids vs fingerprints), misaligning the fp pairs —
+    random pairs passed the hamming gate and real ones were dropped."""
+    from raphtory_ray.data.dedup import _simhash_bucket_verify, _popcount64
+
+    rng = np.random.default_rng(5)
+    n = 40
+    # one bucket, doc ids shuffled relative to fingerprints so the two
+    # value-sorted orders disagree
+    doc = rng.permutation(n).astype(np.int64) * 7 + 1
+    fp = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    fp[3] = fp[20] ^ np.uint64(0b101)               # one true pair, hamming 2
+    got = _simhash_bucket_verify(
+        {"band_key": np.zeros(n, np.int64), "doc_id": doc, "simhash": fp},
+        max_hamming=3)
+    got_pairs = set(zip(got["a"].to_numpy().tolist(),
+                        got["b"].to_numpy().tolist()))
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if int(_popcount64(fp[i:i + 1] ^ fp[j:j + 1])[0]) <= 3:
+                want.add(tuple(sorted((int(doc[i]), int(doc[j])))))
+    assert got_pairs == want
+    assert tuple(sorted((int(doc[3]), int(doc[20])))) in got_pairs
+
+
 def test_token_and_quality_counts(ray_session):
     from raphtory_ray.data.text import token_counts, quality_stats
     ds = _doc_ds(["Hello, World 42!", "", "   ", "one"])
