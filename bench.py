@@ -141,6 +141,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from raphtory_ray.algorithms.louvain import louvain
     _, queries["louvain"] = best2(lambda: louvain(gf, 1.0, seed=1))
 
+    from raphtory_ray.algorithms.sssp import sssp_delta_stepping
+    _, queries["sssp_delta"] = best2(
+        lambda: sssp_delta_stepping(gf, 0))      # unit weights
+
     from raphtory_ray.algorithms.motifs import global_temporal_three_node_motif
     from raphtory_ray.sources.corpus import T_STEP
     _, queries["temporal_motifs"] = best2(
