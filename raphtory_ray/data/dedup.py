@@ -246,12 +246,13 @@ def _attach_texts(P: int, n_doc: int, *pieces: pa.Table):
                       "text": pa.array([], pa.string())})
     if not doc_pieces or not ep_pieces:
         return (empty,) * P if P > 1 else empty
-    dids = np.concatenate([t["doc_id"].to_numpy(zero_copy_only=False)
-                           for t in doc_pieces])
-    texts = np.concatenate([np.asarray(t["text"].to_pylist(), dtype=object)
-                            for t in doc_pieces])
+    docs = pa.concat_tables(doc_pieces)
+    dids = docs["doc_id"].to_numpy(zero_copy_only=False)
     o = np.argsort(dids, kind="stable")
-    dids, texts = dids[o], texts[o]
+    dids = dids[o]
+    # texts stay an Arrow column end to end (round-3 fix: the previous
+    # to_pylist materialized every partition text as a Python str)
+    texts = docs["text"].take(pa.array(o))
     ep = pa.concat_tables(ep_pieces)
     e_id = ep["doc_id"].to_numpy(zero_copy_only=False)
     pos = np.searchsorted(dids, e_id)
@@ -263,7 +264,7 @@ def _attach_texts(P: int, n_doc: int, *pieces: pa.Table):
         "a": pa.array(a, pa.int64()),
         "b": pa.array(b, pa.int64()),
         "doc_id": pa.array(e_id[ok], pa.int64()),
-        "text": pa.array(texts[pos_c[ok]], pa.string())})
+        "text": texts.take(pa.array(pos_c[ok]))})
     pair_key = a * np.int64(2**31) + b     # doc_ids < 2^31 by contract
     return _route(joined, _hash_bucket(pair_key, P), P)
 
@@ -282,7 +283,8 @@ def _jaccard_verify_part(k: int, threshold: float, *pieces: pa.Table) -> pa.Tabl
     a = t["a"].to_numpy(zero_copy_only=False)
     b = t["b"].to_numpy(zero_copy_only=False)
     did = t["doc_id"].to_numpy(zero_copy_only=False)
-    texts = t["text"].to_pylist()
+    # zero-copy utf8 view — no per-row Python str materialization
+    tbuf, toff = _flat_utf8(t["text"])
     key = a * np.int64(2**31) + b
     order = np.argsort(key, kind="stable")
     key_s = key[order]
@@ -292,7 +294,7 @@ def _jaccard_verify_part(k: int, threshold: float, *pieces: pa.Table) -> pa.Tabl
     def sh(row):
         i = int(did[row])
         if i not in cache:
-            buf = np.frombuffer(texts[row].encode(), dtype=np.uint8)
+            buf = tbuf[toff[row]:toff[row + 1]]
             cache[i] = np.unique(kgram_hashes(buf, k))
         return cache[i]
 
