@@ -371,9 +371,30 @@ def out_component(gf, source: int) -> np.ndarray:
 
 def single_source_shortest_path(gf, source: int, cutoff: int | None = None) -> dict[int, list[int]]:
     """BFS shortest paths over OUT-edges from source
-    (single_source_shortest_path.rs:62-107). Frontier supersteps on the
-    driver over block-partitioned relaxations."""
+    (single_source_shortest_path.rs:62-107). Above the small-n threshold
+    the frontier runs DISTRIBUTED via delta-stepping with unit weights
+    (buckets ≡ BFS levels, sparse frontier broadcast, per-partition CSR —
+    no O(E) driver edge pull); the result paths are driver-resident by
+    contract (the reference materializes them too). Below it, a local
+    vectorized BFS over the pulled edge arrays is faster than task rounds.
+    """
     g = _bsp(gf)
+    from raphtory_ray.algorithms.components import _LOCAL_N
+    if g.n > _LOCAL_N:
+        from raphtory_ray.algorithms.sssp import sssp_delta_stepping
+        st = sssp_delta_stepping(gf, source)          # unit weights = BFS
+        dist_f, parent = st.values, st.pred
+        paths: dict[int, list[int]] = {}
+        for v in np.flatnonzero(np.isfinite(dist_f)).tolist():
+            if cutoff is not None and dist_f[v] > cutoff:
+                continue
+            chain = [v]
+            u = v
+            while u != source:
+                u = int(parent[u])
+                chain.append(u)
+            paths[v] = chain[::-1]
+        return paths
     tbls = ray.get(list(g.refs))
     s = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tbls]) \
         if tbls else np.empty(0, np.int64)

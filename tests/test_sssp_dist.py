@@ -125,3 +125,58 @@ def test_zero_weight_edges_terminate(ray_session):
     got = sssp_delta_stepping(gf, 2, weight_col="w")
     assert got.values[0] == 1.0 and got.values[1] == 1.0
     assert got.values[3] == 2.0
+
+
+def test_sssp_paths_distributed_matches_local(ray_session):
+    """single_source_shortest_path takes the distributed frontier route
+    above components._LOCAL_N; hop distances and path validity must match
+    the local BFS exactly (any shortest path satisfies the contract)."""
+    from raphtory_ray.algorithms import single_source_shortest_path
+    from raphtory_ray.algorithms import components as C
+
+    rng = np.random.default_rng(9)
+    n, m = C._LOCAL_N + 100, 40_000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    gf = _frame(src, dst, np.ones(m), n)
+    paths = single_source_shortest_path(gf, 0)
+
+    # local reference BFS hop distances
+    dist = np.full(n, -1, np.int64)
+    dist[0] = 0
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(a, set()).add(b)
+    frontier = [0]
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if dist[v] < 0:
+                    dist[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+
+    want = set(np.flatnonzero(dist >= 0).tolist())
+    assert set(paths) == want
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for v, chain in paths.items():
+        assert len(chain) - 1 == dist[v]          # shortest hop count
+        assert chain[0] == 0 and chain[-1] == v
+        for a, b in zip(chain, chain[1:]):        # every hop a real edge
+            assert (a, b) in edge_set
+
+
+def test_sssp_paths_cutoff_distributed(ray_session):
+    from raphtory_ray.algorithms import single_source_shortest_path
+    from raphtory_ray.algorithms import components as C
+
+    n = C._LOCAL_N + 10
+    # chain 0->1->2->3->4 plus isolated tail
+    src, dst = [0, 1, 2, 3], [1, 2, 3, 4]
+    gf = _frame(src, dst, [1.0] * 4, n)
+    paths = single_source_shortest_path(gf, 0, cutoff=2)
+    assert set(paths) == {0, 1, 2}
+    assert paths[2] == [0, 1, 2]
