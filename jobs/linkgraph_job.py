@@ -62,8 +62,11 @@ def main() -> None:
                          "(state/actor_engine.ShardedPageRank — CSR pinned "
                          "in actors, the 10^9-edge path)")
     ap.add_argument("--gather-mode", default="central-tiled",
+                    choices=["p2p", "p2p-owned", "p2p-tiled", "central",
+                             "central-tiled"],
                     help="sharded-engine all-gather: p2p | p2p-owned | "
-                         "central | central-tiled (propagation-blocked)")
+                         "p2p-tiled | central | central-tiled "
+                         "(propagation-blocked)")
     ap.add_argument("--sssp-source", type=int, default=0,
                     help="source vid for the 'sssp' algorithm "
                          "(delta-stepping, unit weights)")

@@ -236,6 +236,27 @@ def _triangle_count8(uv, uorv, dirs, times, delta: int) -> np.ndarray:
 
 # --------------------------------------------------------------- star phase
 
+def _grouped_window_starts(gid, t_rel, M, delta):
+    """L[j] = first row i in j's group with t_rel[i] >= t_rel[j] - delta,
+    via one searchsorted over composite keys gid*M + t_rel. When
+    n_groups * M would overflow int64 (ns-resolution spans, huge group
+    counts), re-base gids per chunk so every composite key fits — same
+    result, a few extra searchsorted passes only in that regime."""
+    rows = len(gid)
+    n_groups = int(gid[-1]) + 1
+    gpc = max(1, (1 << 62) // M)  # groups per overflow-safe chunk
+    if n_groups <= gpc:
+        comp = gid * M + t_rel
+        return np.searchsorted(comp, comp - delta, side="left")
+    chunk = gid // gpc
+    starts = np.r_[0, np.flatnonzero(chunk[1:] != chunk[:-1]) + 1, rows]
+    L = np.empty(rows, np.int64)
+    for s, epos in zip(starts[:-1], starts[1:]):
+        comp = (gid[s:epos] - chunk[s] * gpc) * M + t_rel[s:epos]
+        L[s:epos] = s + np.searchsorted(comp, comp - delta, side="left")
+    return L
+
+
 def _two_node_group_counts(node, nbr, dr, t, e, deltas,
                            per_node: bool = False):
     """Vectorized TwoNodeCounter over every (node, nbr) event group.
@@ -280,7 +301,6 @@ def _two_node_group_counts(node, nbr, dr, t, e, deltas,
     # group-offset composite keys: searchsorted stays inside j's group
     t_rel = tt - tt[gs_row]
     M = int(t_rel.max()) + int(max(deltas)) + 2
-    comp = gid * M + t_rel
     # group-relative exclusive pair-prefix per (d1, d2)
     Q = {}
     for d1 in (0, 1):
@@ -299,7 +319,7 @@ def _two_node_group_counts(node, nbr, dr, t, e, deltas,
         out = np.zeros((D, 8), np.int64)
     m1 = d == 1
     for di, delta in enumerate(deltas):
-        L = np.searchsorted(comp, comp - delta, side="left")
+        L = _grouped_window_starts(gid, t_rel, M, int(delta))
         for d1 in (0, 1):
             cbL = c[d1][L]
             for d2 in (0, 1):

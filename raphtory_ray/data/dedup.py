@@ -11,11 +11,14 @@ Five families (training-data pipeline core ops):
                    hyperplane LSH buckets (brute verify within bucket)
 
 Architecture: every family is  map_batches(signature kernel)  →
-groupby(bucket)  →  per-group vectorized verify  →  driver-side union-find
-over surviving duplicate pairs (pairs are assumed sparse — the dup graph,
-not the data, lives on the driver; at 100 TB the pair list is still tiny
-relative to the corpus, and the union-find can fall back to the engine's
-distributed WCC (state/shards.BspGraph.wcc) if it is not).
+groupby(bucket)  →  per-group vectorized verify  →  cluster labels from
+the sparse verified dup pairs (pairs are assumed sparse — the dup GRAPH,
+not the data, may visit the driver for union-find; above
+_DISTRIBUTED_CC_THRESHOLD pairs it falls back to the engine's distributed
+WCC, state/shards.BspGraph.wcc). Cluster ids are then applied to the full
+id column via a broadcast label map inside map_batches
+(``assign_clusters``) — every dedup entrypoint RETURNS a streaming
+ray.data.Dataset(id, cluster_id); no full-column driver pulls.
 """
 
 from __future__ import annotations
@@ -152,14 +155,8 @@ def _route(tbl: pa.Table, bucket: np.ndarray, P: int):
 
 
 def _stage_pool() -> tuple:
-    """Autoscaling actor-pool bounds for compute stages: floor cpus//4 so
-    the ramp doesn't dominate short stages, cap cpus-2 to leave slots for
-    the read/consume operators (round 3 — the previous fixed (1-2, 8) cap
-    left 3/4 of a 32-cpu box idle in the signature stages)."""
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return (max(1, cpus // 4), max(2, cpus - 2))
+    from raphtory_ray.data import stage_pool
+    return stage_pool()
 
 
 def _dedup_parallelism() -> int:
@@ -456,8 +453,8 @@ def assign_clusters(ds, id_col: str, va: np.ndarray, vb: np.ndarray):
 
 def minhash_lsh_dedup(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                       threshold: float = 0.7):
-    """→ pyarrow Table(doc_id, cluster_id): near-dup clusters, cluster_id =
-    min member doc_id; non-dups map to themselves.
+    """→ ray.data.Dataset(doc_id, cluster_id), streaming: near-dup
+    clusters, cluster_id = min member doc_id; non-dups map to themselves.
 
     Pipeline (everything distributed until the sparse verified pairs):
     MinHashStage actor pool → band explode → groupby(band_key) candidate
@@ -602,11 +599,12 @@ def _simhash_bucket_verify(df, max_hamming: int,
 def simhash_dedup(ds, max_hamming: int = 3):
     """Near-dup clusters by simhash: bucket on each of 4 16-bit bands (two
     fingerprints within hamming ≤3 share at least one exact band), hamming
-    verify INSIDE the bucket groupby, clusters via dup_clusters.
+    verify INSIDE the bucket groupby, streaming Dataset(doc_id, cluster_id)
+    out via dup_clusters → assign_clusters.
 
     Round-1 fix: signatures/banding/pairing all ran on the driver after a
     full to_pandas; now banding/pairing/verify run as an explicit two-round
-    task shuffle and the only driver data is verified pairs + doc_ids."""
+    task shuffle and the only driver data is the sparse verified pairs."""
     import ray
     P = _dedup_parallelism()
     band_refs = (simhash_signatures(ds)
@@ -686,7 +684,8 @@ def embedding_dedup(ds, threshold: float = 0.95, nbits: int = 12,
     (vec_id, embedding:list<float>).
 
     Hyperplane-LSH bucket shuffle → within-bucket brute cosine (vectorized
-    matmul) → union-find. With b sign bits, a pair at cosine θ collides with
+    matmul) → sparse dup pairs → streaming Dataset(vec_id, cluster_id) via
+    assign_clusters. With b sign bits, a pair at cosine θ collides with
     prob (1 - θ/π)^b per table; we union candidates from the single table —
     recall is tested against the brute-force oracle on the test corpus."""
     if dim is None:

@@ -171,21 +171,23 @@ class DecodeAudioStage:
                  fake: bool = True):
         self.sr, self.max_s, self.fake = sample_rate, max_seconds, fake
 
-    def _decode(self, buf: bytes) -> np.ndarray:
+    def _decode(self, buf: bytes) -> tuple[np.ndarray, int]:
+        """Returns (samples, native_rate) — the rate is per-ROW, never
+        actor state: a batch may mix sample rates."""
         if not self.fake:
             if buf[:4] == b"RIFF":
-                samples, rate = decode_wav_pcm16(buf)
-                self.sr = rate
-                return samples
+                return decode_wav_pcm16(buf)
             raise NotImplementedError(
                 "compressed audio codec not available; plug "
                 "soundfile.read here")
         rng = np.random.default_rng(_seed_from_bytes(buf))
         n = int(self.sr * self.max_s * (0.25 + 0.75 * rng.random()))
-        return rng.standard_normal(n).astype(np.float32)
+        return rng.standard_normal(n).astype(np.float32), self.sr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        waves = [self._decode(b) for b in _binary_rows(batch["audio"])]
+        decoded = [self._decode(b) for b in _binary_rows(batch["audio"])]
+        waves = [w for w, _ in decoded]
+        rates = np.array([r for _, r in decoded], dtype=np.float64)
         lens = np.array([len(w) for w in waves], dtype=np.int64)
         values = np.concatenate(waves) if waves else np.empty(0, np.float32)
         offsets = np.r_[0, np.cumsum(lens)].astype(np.int32)
@@ -193,7 +195,9 @@ class DecodeAudioStage:
             "item_id": batch["item_id"],
             "samples": pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(values, pa.float32())),
-            "duration_s": pa.array(lens / self.sr, pa.float64()),
+            "duration_s": pa.array(
+                lens / rates if len(lens) else lens.astype(np.float64),
+                pa.float64()),
         })
 
 

@@ -50,10 +50,8 @@ class _BlockTopK:
 
 
 def _knn_pool() -> tuple:
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return (max(1, cpus // 4), max(2, cpus - 2))
+    from raphtory_ray.data import stage_pool
+    return stage_pool()
 
 
 def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,

@@ -150,10 +150,8 @@ def quality_stats(ds, text_col: str = "text"):
 
 
 def _stage_pool() -> tuple:
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return (max(1, cpus // 4), max(2, cpus - 2))
+    from raphtory_ray.data import stage_pool
+    return stage_pool()
 
 
 def language_id(ds, concurrency=None):

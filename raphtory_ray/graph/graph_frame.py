@@ -267,6 +267,7 @@ class GraphFrame:
                        self.node_events.materialize()
                        if self.node_events is not None else None)
         g.start, g.end = self.start, self.end
+        g.graph_events, g.graph_meta = self.graph_events, self.graph_meta
         return g
 
     def cached_view(self) -> "GraphFrame":

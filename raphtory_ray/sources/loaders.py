@@ -261,13 +261,37 @@ def load_nodes_from_parquet(path, time_col: str, id_col: str, **kw):
                       time_col, id_col, **kw)
 
 
+def _with_row_ordinal(ds, col: str = "_ord"):
+    """Append a global input-order row ordinal. Ray Data has no
+    zipWithIndex; groupby/sort give NO intra-group input-order guarantee,
+    so 'last occurrence wins' semantics need an explicit ordinal. Blocks
+    stay in the object store — the driver holds only O(blocks) refs and
+    row counts."""
+    import ray
+    import ray.data as rd
+    mat = ds.materialize()
+    refs = mat.get_internal_block_refs()
+    counts = mat._block_num_rows()
+    offsets = np.r_[0, np.cumsum(counts, dtype=np.int64)]
+
+    @ray.remote
+    def _tag(block: pa.Table, off: int) -> pa.Table:
+        return block.append_column(
+            col, pa.array(np.arange(off, off + block.num_rows), pa.int64()))
+
+    return rd.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
 def load_edge_props(ds, src_col: str, dst_col: str, metadata_cols,
                     layer_col: str | None = None, gf=None):
     """Edge metadata loader (load_edge_metadata_from_parquet,
     parquet_loaders.rs:252-295): constant properties keyed by
     (src, dst[, layer]) — one row per edge, LAST occurrence wins (the
-    reference overwrites on re-add). Returns the metadata Dataset; when
-    ``gf`` is given it is also attached as ``gf_out.edge_meta``."""
+    reference overwrites on re-add; 'last' = input row order, made
+    explicit via a row ordinal because groupby does not preserve it).
+    Returns the metadata Dataset; when ``gf`` is given it is also
+    attached as ``gf_out.edge_meta``."""
     key = [src_col, dst_col] + ([layer_col] if layer_col else [])
 
     def canon(b: pa.Table) -> pa.Table:
@@ -279,13 +303,14 @@ def load_edge_props(ds, src_col: str, dst_col: str, metadata_cols,
             cols[c] = b[c]
         return pa.table(cols)
 
-    canonical = ds.map_batches(canon, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    canonical = _with_row_ordinal(
+        ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True))
 
     gkey = ["src", "dst"] + (["layer"] if layer_col else [])
 
     def last_row(grp: pa.Table) -> pa.Table:
-        return grp.take([grp.num_rows - 1])
+        i = pc.index(pc.equal(grp["_ord"], pc.max(grp["_ord"])), True)
+        return grp.take([i.as_py()]).drop_columns(["_ord"])
 
     meta = canonical.groupby(gkey).map_groups(last_row,
                                               batch_format="pyarrow")

@@ -70,3 +70,16 @@ def test_load_edge_deletions(ray_session, tmp_path):
     assert (0, 1) in alive_before
     assert (0, 1) not in alive_after
     assert (1, 2) in alive_after
+
+
+def test_materialize_carries_graph_props(ray_session):
+    """materialize()/cached_view() must keep graph-level properties and
+    metadata (test_materialize.rs:66 contract covers the whole view)."""
+    gf = _gf().add_properties(10, {"snapshot": "v1"}) \
+              .add_metadata({"name": "g"})
+    mat = gf.window(0, 15).materialize()
+    assert mat.graph_property_history("snapshot")["t"].to_pylist() == [10]
+    assert mat.latest_graph_properties() == {"snapshot": "v1"}
+    assert mat.graph_metadata("name") == "g"
+    cached = gf.cached_view()
+    assert cached.latest_graph_properties() == {"snapshot": "v1"}

@@ -143,3 +143,21 @@ def test_window_composes_with_motifs(ray_session):
     w0 = gf.window(100, 200)
     w0.edges = w0.edges.materialize()
     assert global_temporal_three_node_motif(w0, 10).sum() == 0
+
+
+def test_grouped_window_starts_chunked_matches_direct():
+    """the overflow-safe chunked path (huge M forces gid re-basing) must
+    return the same window starts as the single-composite-key path."""
+    import numpy as np
+    from raphtory_ray.algorithms.motifs import _grouped_window_starts
+    rng = np.random.default_rng(7)
+    gid = np.sort(rng.integers(0, 40, 500)).astype(np.int64)
+    t_rel = np.zeros(500, np.int64)
+    for g in np.unique(gid):
+        m = gid == g
+        t_rel[m] = np.sort(rng.integers(0, 900, int(m.sum())))
+    delta = 100
+    small_m = int(t_rel.max()) + delta + 2
+    direct = _grouped_window_starts(gid, t_rel, small_m, delta)
+    forced = _grouped_window_starts(gid, t_rel, 1 << 61, delta)  # gpc == 2
+    assert np.array_equal(direct, forced)

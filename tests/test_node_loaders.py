@@ -85,3 +85,23 @@ def test_load_edge_props(ray_session, tmp_path):
     rows = {(r["src"], r["dst"]): r["rel"] for r in meta.take_all()}
     # last occurrence wins for (1,2)
     assert rows == {(1, 2): "blocks", (2, 3): "follows", (1, 3): "likes"}
+
+
+def test_load_edge_props_last_wins_across_files(ray_session, tmp_path):
+    """'last occurrence wins' = INPUT order, which groupby does not
+    preserve — the explicit row ordinal makes it deterministic even when
+    duplicates land in different blocks."""
+    from raphtory_ray.sources.loaders import load_edge_props_from_parquet
+    t1 = pa.table({"a": pa.array([1], pa.int64()),
+                   "b": pa.array([2], pa.int64()),
+                   "rel": pa.array(["old"])})
+    t2 = pa.table({"a": pa.array([1], pa.int64()),
+                   "b": pa.array([2], pa.int64()),
+                   "rel": pa.array(["new"])})
+    d = tmp_path / "ep_dir"
+    d.mkdir()
+    pq.write_table(t1, str(d / "part-000.parquet"))
+    pq.write_table(t2, str(d / "part-001.parquet"))
+    meta = load_edge_props_from_parquet(str(d), "a", "b", ["rel"])
+    rows = {(r["src"], r["dst"]): r["rel"] for r in meta.take_all()}
+    assert rows == {(1, 2): "new"}

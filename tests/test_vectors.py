@@ -105,3 +105,27 @@ def test_real_wav_decode(ray_session):
                       "audio": pa.array([_wav_bytes(sig)], pa.binary())})
     out = DecodeAudioStage(fake=False)(batch)
     assert out["duration_s"].to_pylist() == [400 / 8000]
+
+
+def test_wav_mixed_sample_rates_in_one_batch(ray_session):
+    """durations use each row's native rate, not the last row's (the stage
+    must not carry decoded rates as actor state across rows/batches)."""
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.multimodal import DecodeAudioStage
+    sig16 = (np.sin(np.linspace(0, 20, 1600)) * 20000).astype(np.int16)
+    sig8 = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    batch = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "audio": pa.array([_wav_bytes(sig16, rate=16000),
+                           _wav_bytes(sig8, rate=8000)], pa.binary())})
+    st = DecodeAudioStage(fake=False)
+    out = st(batch)
+    assert out["duration_s"].to_pylist() == [1600 / 16000, 400 / 8000]
+    # and a following fake batch still uses the configured rate
+    st2 = DecodeAudioStage(fake=True, sample_rate=16000)
+    fake_batch = pa.table({"item_id": pa.array([0], pa.int64()),
+                           "audio": pa.array([b"xyz"], pa.binary())})
+    o2 = st2(fake_batch)
+    n = len(o2["samples"][0])
+    assert abs(o2["duration_s"][0].as_py() - n / 16000) < 1e-9

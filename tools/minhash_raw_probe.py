@@ -4,7 +4,8 @@ Runs the SAME MinHashStage kernel over the SAME sf0.1 corpus content with
 plain ``multiprocessing`` (no Ray): the engine-vs-raw throughput ratio at
 matched worker counts is the round-2 verdict's bar (engine >= 0.9x raw at
 both levels). Protocol mirrors bench.run_scaling_compute_single: 4x input
-replication, batches of 1024, warm pass then timed pass within the same
+replication, batches of 2048 (bench.run_scaling_compute_single batch_size),
+warm pass then timed pass within the same
 worker pool (startup amortized identically).
 
 Usage: python tools/minhash_raw_probe.py [lo hi]   (default 8 32)
@@ -18,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_BATCH = 1024
+_BATCH = 2048
 # replication factor of the corpus (weak-scaling harness scales input with
 # worker count through this; must match bench.run_scaling_compute_single)
 _REPL = int(os.environ.get("RA_DOC_REPL", "4"))
