@@ -320,6 +320,49 @@ def _q_user_edges(sf_dir: str):
     return user_edges(sf_dir)
 
 
+# -------------------------------------------------------- cypher queries
+# Cypher-subset surface (reference raphtory-cypher: MATCH chains →
+# relational joins over Arrow edge/node tables; our compiler runs them as
+# distributed hash joins, query/cypher.py). vid == user_id on the user
+# graph, so the DuckDB oracle is the literal SQL transpile.
+
+def _user_gf(sf_dir: str):
+    key = ("user_gf", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from raphtory_ray.pipelines.tpch_graph import user_graph
+        _GRAPH_CACHE[key] = user_graph(sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _q_cypher_edge_filter(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE e.w > 90.0 "
+                  "RETURN a AS src, b AS dst, e.t AS t, "
+                  "e.event_id AS event_id")
+
+
+def _q_cypher_two_hop(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e1.t < e2.t "
+                  "RETURN b AS mid, count(*) AS n_paths")
+
+
+def _q_cypher_fanout(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) "
+                  "RETURN a AS src, count(DISTINCT b) AS fanout")
+
+
+def _q_cypher_cycle(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e1]->(b)-[e2]->(a) WHERE a <> b "
+                  "RETURN count(*) AS n_cycles")
+
+
 def _user_window(sf_dir: str) -> tuple[int, int]:
     """Deterministic mid-half window [t0, t1) over the event time range."""
     import pyarrow.parquet as pq
@@ -1156,6 +1199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
+        "cypher_edge_filter": _q_cypher_edge_filter,
+        "cypher_two_hop": _q_cypher_two_hop,
+        "cypher_fanout": _q_cypher_fanout,
+        "cypher_cycle": _q_cypher_cycle,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
         "user_exclude_layer_edges": _q_user_exclude_layer,
@@ -2094,6 +2141,28 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "cypher_edge_filter": f"""
+WITH {_USER_EDGES}
+SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
+""",
+        "cypher_two_hop": f"""
+WITH {_USER_EDGES}
+SELECT e1.dst AS mid, COUNT(*)::BIGINT AS n_paths
+FROM user_edges e1 JOIN user_edges e2 ON e1.dst = e2.src
+WHERE e1.t < e2.t GROUP BY e1.dst
+""",
+        "cypher_fanout": f"""
+WITH {_USER_EDGES}
+SELECT src, COUNT(DISTINCT dst)::BIGINT AS fanout
+FROM user_edges GROUP BY src
+""",
+        "cypher_cycle": f"""
+WITH {_USER_EDGES}
+SELECT COUNT(*)::BIGINT AS n_cycles
+FROM user_edges e1 JOIN user_edges e2
+  ON e1.dst = e2.src AND e2.dst = e1.src
+WHERE e1.src <> e1.dst
 """,
         "user_filtered_out_degree": f"""
 WITH {_USER_EDGES},

@@ -1,0 +1,391 @@
+"""Cypher-subset parser (MATCH / WHERE / RETURN).
+
+Covers the surface the reference's transpiler tests exercise
+(raphtory-cypher/src/transpiler/mod.rs:1216-1687, grammar
+raphtory-cypher/src/parser/cypher.pest): linear MATCH chains with
+direction ``->`` / ``<-`` / undirected, comma-separated patterns sharing
+node variables, ``:LAYER`` edge labels and ``{key: lit}`` inline property
+maps, WHERE with comparisons / arithmetic / CONTAINS / STARTS WITH /
+ENDS WITH / AND / OR / NOT, and RETURN with ``*``, aliases, DISTINCT,
+``type(e)``, aggregates (count/sum/avg/min/max, count(DISTINCT x)),
+ORDER BY and LIMIT. Hand-rolled recursive descent — no parser library in
+the container, and the subset is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ----------------------------------------------------------------- AST
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None = None          # (n:Type) → node_type filter
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    layer: str | None = None          # [e:LAYER]
+    props: dict = field(default_factory=dict)
+    direction: str = "right"          # right | left | undirected
+
+
+@dataclass
+class Chain:
+    """node (edge node)* — one linear MATCH pattern."""
+    nodes: list
+    edges: list                       # len(nodes) == len(edges) + 1
+
+
+@dataclass
+class Prop:
+    var: str
+    name: str
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Func:
+    name: str                         # count | sum | avg | min | max | type
+    arg: object                       # Expr, or None for count(*)
+    distinct: bool = False
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    expr: object
+
+
+@dataclass
+class ReturnItem:
+    expr: object
+    alias: str | None
+
+
+@dataclass
+class Query:
+    chains: list
+    where: object | None
+    items: list                       # [ReturnItem]; empty ⇒ RETURN *
+    star: bool
+    distinct: bool
+    order_by: list                    # [(expr, ascending)]
+    limit: int | None
+
+
+# ------------------------------------------------------------- tokens
+
+_PUNCT = ["<=", ">=", "<>", "->", "<-", "(", ")", "[", "]", "{", "}",
+          ",", ":", ".", "-", "=", "<", ">", "+", "*"]
+_KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
+             "asc", "desc", "limit", "and", "or", "not", "contains",
+             "starts", "ends", "with", "null"}
+_AGGS = {"count", "sum", "avg", "min", "max", "collect"}
+
+
+def _tokenize(src: str) -> list:
+    toks, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "'\"":
+            j = i + 1
+            while j < n and src[j] != c:
+                j += 1
+            if j >= n:
+                raise SyntaxError(f"unterminated string at {i}")
+            toks.append(("str", src[i + 1:j]))
+            i = j + 1
+            continue
+        if c.isdigit():
+            j = i
+            while j < n and (src[j].isdigit() or src[j] == "."):
+                j += 1
+            text = src[i:j]
+            toks.append(("num", float(text) if "." in text else int(text)))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            word = src[i:j]
+            low = word.lower()
+            if low in _KEYWORDS:
+                toks.append(("kw", low))
+            else:
+                toks.append(("ident", word))
+            i = j
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(("punct", p))
+                i += len(p)
+                break
+        else:
+            raise SyntaxError(f"unexpected character {c!r} at {i}")
+    toks.append(("eof", None))
+    return toks
+
+
+# ------------------------------------------------------------- parser
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise SyntaxError(f"expected {val or kind}, got {t}")
+        return t
+
+    def accept(self, kind, val=None):
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    # -- patterns ------------------------------------------------------
+    def parse(self) -> Query:
+        self.expect("kw", "match")
+        chains = [self.chain()]
+        while self.accept("punct", ","):
+            chains.append(self.chain())
+        where = None
+        if self.accept("kw", "where"):
+            where = self.expr()
+        self.expect("kw", "return")
+        distinct = self.accept("kw", "distinct")
+        star, items = False, []
+        if self.accept("punct", "*"):
+            star = True
+        else:
+            items.append(self.ret_item())
+            while self.accept("punct", ","):
+                items.append(self.ret_item())
+        order_by = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order_by.append(self.order_item())
+            while self.accept("punct", ","):
+                order_by.append(self.order_item())
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("num")[1])
+        self.expect("eof")
+        return Query(chains, where, items, star, distinct, order_by, limit)
+
+    def chain(self) -> Chain:
+        nodes = [self.node_pat()]
+        edges = []
+        while self.peek() in (("punct", "-"), ("punct", "<-")):
+            edges.append(self.edge_pat())
+            nodes.append(self.node_pat())
+        return Chain(nodes, edges)
+
+    def node_pat(self) -> NodePat:
+        self.expect("punct", "(")
+        var = label = None
+        props = {}
+        if self.peek()[0] == "ident":
+            var = self.next()[1]
+        if self.accept("punct", ":"):
+            label = self.expect("ident")[1]
+        if self.peek() == ("punct", "{"):
+            props = self.prop_map()
+        self.expect("punct", ")")
+        return NodePat(var, label, props)
+
+    def edge_pat(self) -> EdgePat:
+        left_in = self.accept("punct", "<-")
+        if not left_in:
+            self.expect("punct", "-")
+        var = layer = None
+        props = {}
+        if self.accept("punct", "["):
+            if self.peek()[0] == "ident":
+                var = self.next()[1]
+            if self.accept("punct", ":"):
+                layer = self.expect("ident")[1]
+            if self.peek() == ("punct", "{"):
+                props = self.prop_map()
+            self.expect("punct", "]")
+        if left_in:
+            self.expect("punct", "-")
+            direction = "left"
+        elif self.accept("punct", "->"):
+            direction = "right"
+        else:
+            self.expect("punct", "-")
+            direction = "undirected"
+        return EdgePat(var, layer, props, direction)
+
+    def prop_map(self) -> dict:
+        self.expect("punct", "{")
+        props = {}
+        while True:
+            key = self.expect("ident")[1]
+            self.expect("punct", ":")
+            t = self.next()
+            if t[0] not in ("num", "str"):
+                raise SyntaxError(f"property map literal expected, got {t}")
+            props[key] = t[1]
+            if not self.accept("punct", ","):
+                break
+        self.expect("punct", "}")
+        return props
+
+    # -- expressions ---------------------------------------------------
+    def ret_item(self) -> ReturnItem:
+        e = self.expr()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("ident")[1]
+        return ReturnItem(e, alias)
+
+    def order_item(self):
+        e = self.expr()
+        asc = True
+        if self.accept("kw", "desc"):
+            asc = False
+        else:
+            self.accept("kw", "asc")
+        return (e, asc)
+
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.accept("kw", "or"):
+            e = BinOp("or", e, self.and_expr())
+        return e
+
+    def and_expr(self):
+        e = self.not_expr()
+        while self.accept("kw", "and"):
+            e = BinOp("and", e, self.not_expr())
+        return e
+
+    def not_expr(self):
+        if self.accept("kw", "not"):
+            return Not(self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        t = self.peek()
+        if t[0] == "punct" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            return BinOp(t[1], e, self.add_expr())
+        if t == ("kw", "contains"):
+            self.next()
+            return BinOp("contains", e, self.add_expr())
+        if t == ("kw", "starts"):
+            self.next()
+            self.expect("kw", "with")
+            return BinOp("starts_with", e, self.add_expr())
+        if t == ("kw", "ends"):
+            self.next()
+            self.expect("kw", "with")
+            return BinOp("ends_with", e, self.add_expr())
+        return e
+
+    def add_expr(self):
+        e = self.atom()
+        while True:
+            t = self.peek()
+            if t[0] == "punct" and t[1] in ("+", "-"):
+                self.next()
+                e = BinOp(t[1], e, self.atom())
+            else:
+                return e
+
+    def atom(self):
+        t = self.peek()
+        if t == ("punct", "("):
+            self.next()
+            e = self.expr()
+            self.expect("punct", ")")
+            return e
+        if t[0] in ("num", "str"):
+            self.next()
+            return Lit(t[1])
+        if t == ("kw", "null"):
+            self.next()
+            return Lit(None)
+        if t[0] == "ident":
+            name = self.next()[1]
+            if self.accept("punct", "("):       # function call
+                low = name.lower()
+                distinct = self.accept("kw", "distinct")
+                if self.accept("punct", "*"):
+                    arg = None
+                else:
+                    arg = self.expr()
+                self.expect("punct", ")")
+                if low not in _AGGS and low != "type":
+                    raise SyntaxError(f"unsupported function {name}")
+                return Func(low, arg, distinct)
+            if self.accept("punct", "."):
+                prop = self.expect("ident")[1]
+                return Prop(name, prop)
+            return Var(name)
+        raise SyntaxError(f"unexpected token {t}")
+
+
+def parse_cypher(src: str) -> Query:
+    return _P(_tokenize(src)).parse()
+
+
+def expr_text(e) -> str:
+    """Canonical text of a RETURN expression — the default output column
+    name, like Cypher's own unaliased column naming."""
+    if isinstance(e, Prop):
+        return f"{e.var}.{e.name}"
+    if isinstance(e, Var):
+        return e.name
+    if isinstance(e, Lit):
+        return repr(e.value)
+    if isinstance(e, Func):
+        inner = "*" if e.arg is None else expr_text(e.arg)
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, BinOp):
+        return f"{expr_text(e.left)} {e.op} {expr_text(e.right)}"
+    if isinstance(e, Not):
+        return f"NOT {expr_text(e.expr)}"
+    return str(e)

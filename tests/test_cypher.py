@@ -1,0 +1,260 @@
+"""Cypher-subset parity: parser, hash-join semantics vs DuckDB SQL, and
+the reference transpiler's test query forms
+(raphtory-cypher/src/transpiler/mod.rs:1216-1687)."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _gf(with_layer=False):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    rng = np.random.default_rng(11)
+    n, m = 30, 200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t = rng.integers(0, 100, m)
+    cols = {
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "t": pa.array(t, pa.int64()),
+        "event_id": pa.array(np.arange(m), pa.int64()),
+        "w": pa.array(rng.random(m)),
+    }
+    if with_layer:
+        cols["layer"] = pa.array(
+            [["buys", "views"][i] for i in rng.integers(0, 2, m)])
+    edges = pa.table(cols)
+    verts = pa.table({
+        "vid": pa.array(np.arange(n), pa.int64()),
+        "gid": pa.array([f"u{i:03d}" for i in range(n)]),
+        "node_type": pa.array(
+            [["hub", "leaf", "mid"][i] for i in rng.integers(0, 3, n)]),
+    })
+    return GraphFrame(rd.from_arrow(edges), n, verts), edges, verts
+
+
+def _sql(edges, verts, q):
+    con = duckdb.connect()
+    con.register("e", edges)
+    con.register("v", verts)
+    return con.execute(q).fetch_arrow_table()
+
+
+def _rows(ds_or_tbl):
+    rows = ds_or_tbl.take_all() if hasattr(ds_or_tbl, "take_all") \
+        else ds_or_tbl.to_pylist()
+    return sorted(tuple(r[k] for k in sorted(r)) for r in rows)
+
+
+def _check(gf, edges, verts, cy, sql):
+    from raphtory_ray.query import cypher
+    got = _rows(cypher(gf, cy))
+    want = _rows(_sql(edges, verts, sql))
+    assert got == want, f"{cy}\n{got[:5]} != {want[:5]}"
+
+
+# ------------------------------------------------------------- parser
+
+def test_parser_shapes():
+    from raphtory_ray.query.parser import parse_cypher
+    q = parse_cypher("MATCH (a)-[e:KNOWS {w: 2}]->(b), (b)<-[f]-(c) "
+                     "WHERE a.x > 1 AND NOT b.y CONTAINS 'z' "
+                     "RETURN DISTINCT a.x AS ax, count(*) "
+                     "ORDER BY ax DESC LIMIT 3")
+    assert len(q.chains) == 2
+    assert q.chains[0].edges[0].layer == "KNOWS"
+    assert q.chains[0].edges[0].props == {"w": 2}
+    assert q.chains[1].edges[0].direction == "left"
+    assert q.distinct and q.limit == 3 and not q.order_by[0][1]
+    assert q.items[0].alias == "ax"
+
+
+def test_parser_rejects():
+    from raphtory_ray.query.parser import parse_cypher
+    with pytest.raises(SyntaxError):
+        parse_cypher("MATCH (a) RETURN frobnicate(a)")
+    with pytest.raises(SyntaxError):
+        parse_cypher("MATCH (a RETURN a")
+
+
+# ------------------------------------------------- SQL parity (DuckDB)
+
+def test_edge_filter_projection(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH ()-[e]->() WHERE e.time > 50 "
+           "RETURN e.src AS s, e.dst AS d, e.t AS t",
+           "SELECT src AS s, dst AS d, t FROM e WHERE t > 50")
+
+
+def test_two_hop_join_count(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e1.t < e2.t "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+           "ON e1.dst = e2.src WHERE e1.t < e2.t")
+
+
+def test_three_hop_chain(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH ()-[e1]->()-[e2]->()-[e3]->() RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 "
+           "JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e2.dst = e3.src")
+
+
+def test_left_direction(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (n)<-[e]-(m) RETURN n AS dst_node, count(*) AS c",
+           "SELECT dst AS dst_node, count(*) AS c FROM e GROUP BY dst")
+
+
+def test_node_prop_where_and_return(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE a.node_type = 'hub' AND b.node_type "
+           "= 'leaf' RETURN a.gid AS ag, b.gid AS bg, e.t AS t",
+           "SELECT va.gid AS ag, vb.gid AS bg, e.t FROM e "
+           "JOIN v va ON e.src = va.vid JOIN v vb ON e.dst = vb.vid "
+           "WHERE va.node_type = 'hub' AND vb.node_type = 'leaf'")
+
+
+def test_node_label_shorthand(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a:hub)-[e]->(b) RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e JOIN v ON e.src = v.vid "
+           "WHERE v.node_type = 'hub'")
+
+
+def test_shared_var_cycle(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e1]->(b)-[e2]->(a) RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+           "ON e1.dst = e2.src AND e2.dst = e1.src")
+
+
+def test_multi_pattern_shared_node(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e1]->(b), (c)-[e2]->(b) WHERE a <> c "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+           "ON e1.dst = e2.dst WHERE e1.src <> e2.src")
+
+
+def test_undirected(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]-(b) RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM ("
+           "SELECT src, dst FROM e UNION ALL "
+           "SELECT dst, src FROM e WHERE dst <> src)")
+
+
+def test_layer_label_and_type(ray_session):
+    gf, edges, verts = _gf(with_layer=True)
+    _check(gf, edges, verts,
+           "MATCH ()-[e:buys]->() RETURN e.src AS s, type(e) AS ty, "
+           "e.t AS t",
+           "SELECT src AS s, layer AS ty, t FROM e WHERE layer = 'buys'")
+
+
+def test_prop_map_and_arith(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e1]->(b)-[e2]->(c) "
+           "WHERE e1.t <= e2.t AND e1.t >= (e2.t - 10) "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+           "ON e1.dst = e2.src WHERE e1.t <= e2.t AND e1.t >= e2.t - 10")
+
+
+def test_aggregates_grouped(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a AS src, sum(e.w) AS sw, "
+           "min(e.t) AS lo, max(e.t) AS hi, avg(e.w) AS mw",
+           "SELECT src, sum(w) AS sw, min(t) AS lo, max(t) AS hi, "
+           "avg(w) AS mw FROM e GROUP BY src")
+
+
+def test_count_distinct(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a AS src, "
+           "count(DISTINCT b) AS fanout",
+           "SELECT src, count(DISTINCT dst) AS fanout FROM e GROUP BY src")
+
+
+def test_distinct_rows(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN DISTINCT a AS s, b AS d",
+           "SELECT DISTINCT src AS s, dst AS d FROM e")
+
+
+def test_order_by_limit(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    got = cypher(gf, "MATCH ()-[e]->() RETURN e.event_id AS i, e.t AS t "
+                     "ORDER BY t DESC, i ASC LIMIT 5").take_all()
+    want = _sql(edges, verts,
+                "SELECT event_id AS i, t FROM e "
+                "ORDER BY t DESC, event_id ASC LIMIT 5").to_pylist()
+    assert [(r["i"], r["t"]) for r in got] == \
+        [(r["i"], r["t"]) for r in want]
+
+
+def test_contains_and_not(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->() WHERE NOT a.gid CONTAINS '1' "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e JOIN v ON e.src = v.vid "
+           "WHERE v.gid NOT LIKE '%1%'")
+
+
+def test_starts_ends_with(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->() WHERE a.gid STARTS WITH 'u00' "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e JOIN v ON e.src = v.vid "
+           "WHERE v.gid LIKE 'u00%'")
+
+
+def test_match_all_nodes(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (n) RETURN count(n) AS n_nodes",
+           "SELECT count(*) AS n_nodes FROM v")
+
+
+def test_bare_edge_return_expansion(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    out = cypher(gf, "MATCH ()-[e]->() WHERE e.t = 0 RETURN e")
+    batch = out.take_all()
+    want = _sql(edges, verts, "SELECT * FROM e WHERE t = 0").to_pylist()
+    assert len(batch) == len(want)
+    assert {"e.src", "e.dst", "e.t", "e.event_id", "e.w"} <= \
+        set(batch[0].keys())
+
+
+def test_self_loop_pattern(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query import cypher
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([0, 2, 2], pa.int64()),
+                      "t": pa.array([1, 2, 3], pa.int64()),
+                      "event_id": pa.array([0, 1, 2], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    out = cypher(gf, "MATCH (b)-[e]->(b) RETURN b AS v").take_all()
+    assert sorted(r["v"] for r in out) == [0, 2]
