@@ -334,6 +334,22 @@ def _user_gf(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _q_gql_nodes_page(sf_dir: str) -> pa.Table:
+    """GraphQL nodes page (nodes(offset, limit) { id inDegree outDegree })
+    flattened to a table — exercises the server-less GraphQL read surface
+    (query/graphql.py) end-to-end against a SQL degree oracle."""
+    from raphtory_ray.query.graphql import execute
+    res = execute(_user_gf(sf_dir),
+                  "{ graph { nodes(offset: 0, limit: 50) "
+                  "{ id inDegree outDegree } } }")
+    rows = res["data"]["graph"]["nodes"]
+    return pa.table({
+        "vid": pa.array([r["id"] for r in rows], pa.int64()),
+        "in_degree": pa.array([r["inDegree"] for r in rows], pa.int64()),
+        "out_degree": pa.array([r["outDegree"] for r in rows], pa.int64()),
+    })
+
+
 def _q_cypher_edge_filter(sf_dir: str):
     from raphtory_ray.query import cypher
     return cypher(_user_gf(sf_dir),
@@ -1200,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
         "cypher_edge_filter": _q_cypher_edge_filter,
+        "gql_nodes_page": _q_gql_nodes_page,
         "cypher_two_hop": _q_cypher_two_hop,
         "cypher_fanout": _q_cypher_fanout,
         "cypher_cycle": _q_cypher_cycle,
@@ -2145,6 +2162,21 @@ SELECT src, dst, t, event_id, w FROM user_edges
         "cypher_edge_filter": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
+""",
+        "gql_nodes_page": f"""
+WITH {_USER_EDGES},
+ids AS (
+  SELECT range::BIGINT AS vid FROM range(0, 50)
+  WHERE range <= (SELECT MAX(user_id) FROM events)
+),
+od AS (SELECT src AS vid, COUNT(DISTINCT dst)::BIGINT AS c
+       FROM user_edges GROUP BY src),
+idg AS (SELECT dst AS vid, COUNT(DISTINCT src)::BIGINT AS c
+        FROM user_edges GROUP BY dst)
+SELECT ids.vid, COALESCE(idg.c, 0)::BIGINT AS in_degree,
+       COALESCE(od.c, 0)::BIGINT AS out_degree
+FROM ids LEFT JOIN od ON ids.vid = od.vid
+LEFT JOIN idg ON ids.vid = idg.vid
 """,
         "cypher_two_hop": f"""
 WITH {_USER_EDGES}

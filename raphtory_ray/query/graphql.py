@@ -1,0 +1,387 @@
+"""GraphQL-subset read surface over a GraphFrame — server-less.
+
+The reference fronts its engine with a GraphQL server
+(raphtory-graphql/src/model/graph/graph.rs:107-577: view transforms,
+counts, node/edge pagination; nodes.rs/edges.rs page over sorted lists).
+The sandbox has no network, and SURVEY §2.11 scopes the server itself
+out — but the QUERY surface is pure read API, so this module executes
+GraphQL documents directly against a GraphFrame: ``execute(gf, doc)``
+parses the selection set and resolves each field through the engine's
+existing view algebra / kernels, returning the standard
+``{"data": ...}`` JSON shape.
+
+Supported fields (camelCase, mirroring graph.rs resolver names):
+
+- view transforms, each returning a nested graph context:
+  ``window(start, end)``, ``at(time)``, ``before(time)``,
+  ``after(time)``, ``layer(name)``, ``excludeLayer(name)``,
+  ``subgraph(nodes: [...])``, ``subgraphNodeTypes(nodeTypes: [...])``,
+  ``excludeNodes(nodes: [...])``
+- scalars: ``countNodes``, ``countEdges`` (distinct simple edges),
+  ``countTemporalEdges`` (event rows), ``earliestTime``,
+  ``latestTime``, ``hasNode(name)``, ``hasEdge(src, dst)``
+- ``nodes(offset, limit)`` — vid-ordered page; node fields: ``id``,
+  ``name`` (gid), ``nodeType``, ``degree``, ``inDegree``,
+  ``outDegree``, ``neighbours(limit)``
+- ``node(name)`` — single node by gid (or vid when no vertices table)
+- ``edges(offset, limit)`` — (src, dst, t, eventId)-ordered page; edge
+  fields: ``src``, ``dst``, ``time``, ``eventId``, ``layer``, plus any
+  temporal property column by name
+
+Pagination is deterministic (explicit sort keys) so pages are stable
+across runs and cluster sizes — the Ray mapping SURVEY §2.6 prescribes
+(``ds.sort`` + bounded take of offset+limit rows; only the page reaches
+the driver). Degrees come from the engine's distinct-neighbour kernels
+over the dst/src-grouped edge Dataset, computed once per execution and
+reused across the page.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------- parser
+
+class _Tok:
+    def __init__(self, src: str):
+        self.toks: list = []
+        i, n = 0, len(src)
+        while i < n:
+            c = src[i]
+            if c.isspace() or c == ",":
+                i += 1
+                continue
+            if c == "#":
+                while i < n and src[i] != "\n":
+                    i += 1
+                continue
+            if c in "{}():[]":
+                self.toks.append(("p", c))
+                i += 1
+                continue
+            if c == '"':
+                j = i + 1
+                while j < n and src[j] != '"':
+                    j += 1
+                self.toks.append(("str", src[i + 1:j]))
+                i = j + 1
+                continue
+            if c.isdigit() or c == "-":
+                j = i + 1
+                while j < n and (src[j].isdigit() or src[j] == "."):
+                    j += 1
+                text = src[i:j]
+                self.toks.append(("num",
+                                  float(text) if "." in text else int(text)))
+                i = j
+                continue
+            if c.isalpha() or c == "_":
+                j = i
+                while j < n and (src[j].isalnum() or src[j] == "_"):
+                    j += 1
+                self.toks.append(("name", src[i:j]))
+                i = j
+                continue
+            raise SyntaxError(f"unexpected char {c!r} at {i}")
+        self.toks.append(("eof", None))
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise SyntaxError(f"expected {val or kind}, got {t}")
+        return t
+
+
+class Field:
+    __slots__ = ("name", "alias", "args", "sel")
+
+    def __init__(self, name, alias, args, sel):
+        self.name, self.alias, self.args, self.sel = name, alias, args, sel
+
+    @property
+    def out(self):
+        return self.alias or self.name
+
+
+def _parse_value(tk: _Tok):
+    t = tk.next()
+    if t[0] in ("str", "num"):
+        return t[1]
+    if t == ("name", "true"):
+        return True
+    if t == ("name", "false"):
+        return False
+    if t == ("name", "null"):
+        return None
+    if t == ("p", "["):
+        vals = []
+        while tk.peek() != ("p", "]"):
+            vals.append(_parse_value(tk))
+        tk.next()
+        return vals
+    raise SyntaxError(f"bad value {t}")
+
+
+def _parse_selection(tk: _Tok) -> list:
+    tk.expect("p", "{")
+    fields = []
+    while tk.peek() != ("p", "}"):
+        name = tk.expect("name")[1]
+        alias = None
+        if tk.peek() == ("p", ":"):
+            tk.next()
+            alias, name = name, tk.expect("name")[1]
+        args = {}
+        if tk.peek() == ("p", "("):
+            tk.next()
+            while tk.peek() != ("p", ")"):
+                k = tk.expect("name")[1]
+                tk.expect("p", ":")
+                args[k] = _parse_value(tk)
+            tk.next()
+        sel = None
+        if tk.peek() == ("p", "{"):
+            sel = _parse_selection(tk)
+        fields.append(Field(name, alias, args, sel))
+    tk.next()
+    return fields
+
+
+def parse_graphql(doc: str) -> list:
+    tk = _Tok(doc)
+    if tk.peek() == ("name", "query"):
+        tk.next()
+        if tk.peek()[0] == "name":        # operation name
+            tk.next()
+    return _parse_selection(tk)
+
+
+# ------------------------------------------------------------- executor
+
+_VIEW_FIELDS = {"window", "at", "before", "after", "layer", "excludeLayer",
+                "subgraph", "subgraphNodeTypes", "excludeNodes"}
+
+
+class _GraphCtx:
+    """Per-(view, execution) resolver cache: degrees and the simple-edge
+    count are computed once from the edge Dataset and reused by every
+    field in the selection."""
+
+    def __init__(self, gf):
+        self.gf = gf
+        self._deg = None
+        self._simple = None
+
+    def _degrees(self):
+        if self._deg is None:
+            from raphtory_ray.state.shards import BspGraph
+            g = getattr(self.gf, "_bsp", None)
+            if g is None:
+                g = BspGraph.from_graph(self.gf)
+            self._deg = (g.in_degree, g.out_degree, g.both_degree)
+        return self._deg
+
+    def count_simple_edges(self) -> int:
+        if self._simple is None:
+            self._simple = self.gf.edges.groupby(
+                ["src", "dst"]).count().count()
+        return self._simple
+
+    def _gids(self):
+        vt = self.gf.vertices
+        return vt["gid"] if vt is not None and "gid" in vt.column_names \
+            else None
+
+    def vid_of(self, name) -> int | None:
+        gids = self._gids()
+        if gids is None:
+            v = int(name)
+            return v if 0 <= v < self.gf.n else None
+        idx = pc.index(gids, pa.scalar(str(name))).as_py()
+        if idx < 0:
+            return None
+        return self.gf.vertices["vid"][idx].as_py()
+
+    def name_of(self, vid: int):
+        gids = self._gids()
+        if gids is None:
+            return vid
+        idx = pc.index(self.gf.vertices["vid"],
+                       pa.scalar(vid, pa.int64())).as_py()
+        return gids[idx].as_py() if idx >= 0 else str(vid)
+
+
+def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
+    ideg, odeg, bdeg = ctx._degrees()
+    vt = ctx.gf.vertices
+    out = {}
+    for f in sel:
+        if f.name == "id":
+            out[f.out] = int(vid)
+        elif f.name == "name":
+            out[f.out] = ctx.name_of(vid)
+        elif f.name == "nodeType":
+            if vt is None or "node_type" not in vt.column_names:
+                out[f.out] = None
+            else:
+                idx = pc.index(vt["vid"],
+                               pa.scalar(vid, pa.int64())).as_py()
+                out[f.out] = vt["node_type"][idx].as_py() if idx >= 0 \
+                    else None
+        elif f.name == "degree":
+            out[f.out] = int(bdeg[vid])
+        elif f.name == "inDegree":
+            out[f.out] = int(ideg[vid])
+        elif f.name == "outDegree":
+            out[f.out] = int(odeg[vid])
+        elif f.name == "neighbours":
+            limit = f.args.get("limit", 20)
+            nbrs = _neighbours(ctx, vid, limit)
+            out[f.out] = [_resolve_node(ctx, int(v), f.sel or
+                                        [Field("name", None, {}, None)])
+                          for v in nbrs]
+        else:
+            raise KeyError(f"unknown node field {f.name!r}")
+    return out
+
+
+def _neighbours(ctx: _GraphCtx, vid: int, limit: int) -> np.ndarray:
+    gf = ctx.gf
+
+    def nbr(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        vs = np.unique(np.r_[d[s == vid], s[d == vid]])
+        return pa.table({"v": pa.array(vs, pa.int64())})
+
+    parts = gf.edges.map_batches(nbr, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    vals = np.unique(np.concatenate(
+        [b["v"].to_numpy() for b in
+         parts.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    return vals[:limit]
+
+
+def _resolve_edges_page(ctx: _GraphCtx, args: dict, sel: list):
+    gf = ctx.gf
+    offset = int(args.get("offset", 0))
+    limit = int(args.get("limit", 20))
+    sort_keys = ["src", "dst"]
+    cols = set(gf.edges.schema().names)
+    for k in ("t", "event_id"):
+        if k in cols:
+            sort_keys.append(k)
+    page = gf.edges.sort(sort_keys).limit(offset + limit) \
+        .take_all()[offset:offset + limit]
+    rows = []
+    field_map = {"src": "src", "dst": "dst", "time": "t",
+                 "eventId": "event_id", "layer": "layer"}
+    for r in page:
+        o = {}
+        for f in sel:
+            col = field_map.get(f.name, f.name)
+            if col not in r:
+                raise KeyError(f"unknown edge field {f.name!r}")
+            o[f.out] = r[col]
+        rows.append(o)
+    return rows
+
+
+def _resolve_graph(ctx: _GraphCtx, sel: list):
+    gf = ctx.gf
+    out = {}
+    for f in sel:
+        if f.name in _VIEW_FIELDS:
+            sub = _apply_view(gf, f)
+            out[f.out] = _resolve_graph(_GraphCtx(sub), f.sel or [])
+        elif f.name == "countNodes":
+            out[f.out] = gf.n
+        elif f.name == "countEdges":
+            out[f.out] = ctx.count_simple_edges()
+        elif f.name == "countTemporalEdges":
+            out[f.out] = gf.edges.count()
+        elif f.name in ("earliestTime", "latestTime"):
+            kern = "min" if f.name == "earliestTime" else "max"
+            from ray.data.aggregate import Max, Min
+            agg = Min("t") if kern == "min" else Max("t")
+            res = gf.edges.aggregate(agg)
+            out[f.out] = res.get(f"{kern}(t)")
+        elif f.name == "hasNode":
+            out[f.out] = ctx.vid_of(f.args["name"]) is not None
+        elif f.name == "hasEdge":
+            s, d = ctx.vid_of(f.args["src"]), ctx.vid_of(f.args["dst"])
+            if s is None or d is None:
+                out[f.out] = False
+            else:
+                def probe(b: pa.Table, s=s, d=d) -> pa.Table:
+                    m = pc.and_(pc.equal(b["src"], s),
+                                pc.equal(b["dst"], d))
+                    return b.select(["src"]).filter(
+                        pc.fill_null(m, False))
+                out[f.out] = gf.edges.map_batches(
+                    probe, batch_format="pyarrow",
+                    zero_copy_batch=True).count() > 0
+        elif f.name == "node":
+            vid = ctx.vid_of(f.args["name"])
+            out[f.out] = None if vid is None else \
+                _resolve_node(ctx, vid, f.sel or [])
+        elif f.name == "nodes":
+            offset = int(f.args.get("offset", 0))
+            limit = int(f.args.get("limit", 20))
+            vids = range(offset, min(offset + limit, gf.n))
+            out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
+        elif f.name == "edges":
+            out[f.out] = _resolve_edges_page(ctx, f.args, f.sel or [])
+        else:
+            raise KeyError(f"unknown graph field {f.name!r}")
+    return out
+
+
+def _apply_view(gf, f: Field):
+    a = f.args
+    if f.name == "window":
+        return gf.window(int(a["start"]), int(a["end"]))
+    if f.name == "at":
+        return gf.at(int(a["time"]))
+    if f.name == "before":
+        return gf.before(int(a["time"]))
+    if f.name == "after":
+        return gf.after(int(a["time"]))
+    if f.name == "layer":
+        return gf.layer(a["name"])
+    if f.name == "excludeLayer":
+        return gf.exclude_layer(a["name"])
+    if f.name == "subgraph":
+        return gf.subgraph(np.asarray(a["nodes"], np.int64))
+    if f.name == "excludeNodes":
+        return gf.exclude_nodes(np.asarray(a["nodes"], np.int64))
+    if f.name == "subgraphNodeTypes":
+        return gf.subgraph_node_types(list(a["nodeTypes"]))
+    raise KeyError(f.name)
+
+
+def execute(gf, document: str) -> dict:
+    """Execute a GraphQL document against a GraphFrame. The root
+    selection must contain a single ``graph`` field (the reference's
+    per-graph resolver — server-managed GraphFolders don't apply here).
+    Returns ``{"data": {...}}``."""
+    roots = parse_graphql(document)
+    data = {}
+    for f in roots:
+        if f.name != "graph":
+            raise KeyError("root field must be 'graph'")
+        data[f.out] = _resolve_graph(_GraphCtx(gf), f.sel or [])
+    return {"data": data}

@@ -1,0 +1,99 @@
+"""GraphQL-subset read surface (raphtory-graphql graph.rs resolver
+parity, server-less): parser, scalars, pagination, view nesting."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _gf():
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 2, 3, 3, 0], pa.int64()),
+        "t": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "layer": pa.array(["x", "y", "x", "y", "x", "y"]),
+    })
+    verts = pa.table({
+        "vid": pa.array([0, 1, 2, 3], pa.int64()),
+        "gid": pa.array(["a", "b", "c", "d"]),
+        "node_type": pa.array(["hub", "leaf", "leaf", "hub"]),
+    })
+    return GraphFrame(rd.from_arrow(edges), 4, verts)
+
+
+def test_parser_aliases_args_nesting():
+    from raphtory_ray.query.graphql import parse_graphql
+    sel = parse_graphql('query Q { graph { n: countNodes '
+                        'nodes(limit: 3, offset: 1) { name } } }')
+    assert sel[0].name == "graph"
+    inner = sel[0].sel
+    assert inner[0].alias == "n" and inner[0].name == "countNodes"
+    assert inner[1].args == {"limit": 3, "offset": 1}
+    assert inner[1].sel[0].name == "name"
+
+
+def test_scalars_and_counts(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), "{ graph { countNodes countEdges "
+                       "countTemporalEdges earliestTime latestTime "
+                       "hasNode(name: \"a\") nope: hasNode(name: \"z\") "
+                       "hasEdge(src: \"a\", dst: \"b\") "
+                       "noEdge: hasEdge(src: \"b\", dst: \"a\") } }")
+    got = g["data"]["graph"]
+    assert got == {"countNodes": 4, "countEdges": 6,
+                   "countTemporalEdges": 6, "earliestTime": 1,
+                   "latestTime": 6, "hasNode": True, "nope": False,
+                   "hasEdge": True, "noEdge": False}
+
+
+def test_node_and_neighbours(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), '{ graph { node(name: "a") { id name nodeType '
+                       'degree inDegree outDegree '
+                       'neighbours(limit: 10) { name } } } }')
+    n = g["data"]["graph"]["node"]
+    assert n["id"] == 0 and n["name"] == "a" and n["nodeType"] == "hub"
+    # distinct-neighbour degrees: out {b,c}, in {d}
+    assert (n["degree"], n["inDegree"], n["outDegree"]) == (3, 1, 2)
+    assert sorted(x["name"] for x in n["neighbours"]) == ["b", "c", "d"]
+
+
+def test_pagination_deterministic(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    p1 = execute(gf, "{ graph { edges(limit: 3) { src dst time } } }")
+    p2 = execute(gf, "{ graph { edges(offset: 3, limit: 3) "
+                     "{ src dst time } } }")
+    all_rows = p1["data"]["graph"]["edges"] + p2["data"]["graph"]["edges"]
+    assert [(r["src"], r["dst"]) for r in all_rows] == \
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 0)]
+    nodes = execute(gf, "{ graph { nodes(offset: 2, limit: 5) "
+                        "{ id name } } }")["data"]["graph"]["nodes"]
+    assert [(n["id"], n["name"]) for n in nodes] == [(2, "c"), (3, "d")]
+
+
+def test_view_nesting_matches_direct_views(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { "
+                    "w: window(start: 2, end: 5) { countTemporalEdges } "
+                    "l: layer(name: \"x\") { countTemporalEdges } "
+                    "s: subgraph(nodes: [0, 1, 2]) { countTemporalEdges } "
+                    "ty: subgraphNodeTypes(nodeTypes: [\"hub\"]) "
+                    "{ countTemporalEdges } } }")["data"]["graph"]
+    assert g["w"]["countTemporalEdges"] == gf.window(2, 5).edges.count()
+    assert g["l"]["countTemporalEdges"] == gf.layer("x").edges.count()
+    assert g["s"]["countTemporalEdges"] == \
+        gf.subgraph(np.array([0, 1, 2])).edges.count()
+    assert g["ty"]["countTemporalEdges"] == \
+        gf.subgraph_node_types(["hub"]).edges.count()
+
+
+def test_unknown_field_raises(ray_session):
+    from raphtory_ray.query.graphql import execute
+    with pytest.raises(KeyError):
+        execute(_gf(), "{ graph { frobnicate } }")
+    with pytest.raises(KeyError):
+        execute(_gf(), "{ notgraph { countNodes } }")
