@@ -307,6 +307,25 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
         if f.name in _VIEW_FIELDS:
             sub = _apply_view(gf, f)
             out[f.out] = _resolve_graph(_GraphCtx(sub), f.sel or [])
+        elif f.name in ("rolling", "expanding"):
+            # WindowSet resolvers (graph.rs rolling/expanding): a LIST of
+            # window contexts, each resolving the same graph fields;
+            # ``start``/``end`` surface the window bounds
+            from raphtory_ray.algorithms.extra import expanding, rolling
+            if f.name == "rolling":
+                views = rolling(gf, f.args["window"], f.args.get("step"))
+            else:
+                views = expanding(gf, f.args["step"])
+            items = []
+            for v in views:
+                sub_sel = [s for s in (f.sel or [])
+                           if s.name not in ("start", "end")]
+                o = _resolve_graph(_GraphCtx(v), sub_sel)
+                for s in (f.sel or []):
+                    if s.name in ("start", "end"):
+                        o[s.out] = getattr(v, s.name)
+                items.append(o)
+            out[f.out] = items
         elif f.name == "countNodes":
             out[f.out] = gf.n
         elif f.name == "countEdges":

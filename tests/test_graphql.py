@@ -97,3 +97,18 @@ def test_unknown_field_raises(ray_session):
         execute(_gf(), "{ graph { frobnicate } }")
     with pytest.raises(KeyError):
         execute(_gf(), "{ notgraph { countNodes } }")
+
+
+def test_rolling_expanding_windowsets(ray_session):
+    from raphtory_ray.algorithms.extra import rolling
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { rolling(window: 2, step: 2) "
+                    "{ start end countTemporalEdges } } }")
+    wins = g["data"]["graph"]["rolling"]
+    direct = rolling(gf, 2, 2)
+    assert [(w["start"], w["end"]) for w in wins] == \
+        [(v.start, v.end) for v in direct]
+    assert [w["countTemporalEdges"] for w in wins] == \
+        [v.edges.count() for v in direct]
+    assert sum(w["countTemporalEdges"] for w in wins) == 6
