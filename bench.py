@@ -150,6 +150,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _, queries["temporal_motifs"] = best2(
         lambda: global_temporal_three_node_motif(gf, 24 * T_STEP))
 
+    # Cypher surface: time-respecting two-hop count = two distributed
+    # hash joins + global aggregate over the link graph
+    from raphtory_ray.query import cypher as _cypher
+    _, queries["cypher_two_hop"] = best2(
+        lambda: _cypher(gf, "MATCH (a)-[e1]->(b)-[e2]->(c) "
+                            "WHERE e1.t < e2.t RETURN count(*) AS cnt")
+        .take_all())
+
     # data-pipeline slice over the testdata tables
     import ray.data as rd
     t0 = time.perf_counter()
