@@ -137,6 +137,7 @@ class _Ctx:
         self.node_vars: set = set()
         self.edge_vars: set = set()
         self.anon = 0
+        self.anon_vars: set = set()
         self.edge_schema = gf.edges.schema()
         self.edge_cols = list(self.edge_schema.names)
         vt = gf.vertices
@@ -144,8 +145,12 @@ class _Ctx:
         self.vert_cols = list(vt.column_names) if vt is not None else []
 
     def fresh(self, prefix: str) -> str:
+        # '#' cannot appear in a parsed identifier, so generated names can
+        # never collide with (or capture) user variables like `_n1`
         self.anon += 1
-        return f"_{prefix}{self.anon}"
+        name = f"#{prefix}{self.anon}"
+        self.anon_vars.add(name)
+        return name
 
     def edge_col(self, var: str, name: str) -> str:
         name = _EDGE_ALIASES.get(name, name)
@@ -410,7 +415,7 @@ def cypher(gf, query: str, P: int | None = None):
     if q.star:
         items = []
         for v in sorted(ctx.node_vars):
-            if not v.startswith("_n"):
+            if v not in ctx.anon_vars:
                 items.append(ReturnItem(Var(v), None))
         for v in sorted(ctx.edge_vars):
             items.append(ReturnItem(Var(v), None))
@@ -509,6 +514,12 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx):
             if aggs:
                 raise SyntaxError("ORDER BY on a non-returned expression "
                                   "is not supported with aggregates")
+            if q.distinct:
+                # openCypher: with DISTINCT, ORDER BY may only reference
+                # returned columns — a hidden sort column would silently
+                # leak into the dedup key and break DISTINCT
+                raise SyntaxError("ORDER BY with DISTINCT must reference "
+                                  "returned columns")
             h = f"__ord{i}"
             hidden.append((h, e))
             order_cols.append(h)

@@ -175,29 +175,50 @@ _VIEW_FIELDS = {"window", "at", "before", "after", "layer", "excludeLayer",
 
 
 class _GraphCtx:
-    """Per-(view, execution) resolver cache: degrees and the simple-edge
-    count are computed once from the edge Dataset and reused by every
-    field in the selection."""
+    """Per-(view, execution) resolver cache. ``node_set`` (sorted vids or
+    None = full [0, n)) carries node-restricting views
+    (subgraph/excludeNodes/subgraphNodeTypes) so countNodes / nodes pages
+    / hasNode / node() honor the restriction like the reference's
+    resolvers do. Time/layer views keep the full node universe — the
+    engine's dense-vid model (documented deviation from graph.rs, whose
+    windowed count_nodes counts only event-active nodes). Degrees and the
+    simple-edge count come from the engine's cached BspGraph (one dedup
+    shuffle per frame, shared with every algorithm)."""
 
-    def __init__(self, gf):
+    def __init__(self, gf, node_set: np.ndarray | None = None):
         self.gf = gf
+        self.node_set = node_set
         self._deg = None
-        self._simple = None
+        self._nbr_cache: dict = {}
+
+    def _graph(self):
+        from raphtory_ray.algorithms import _bsp
+        return _bsp(self.gf)
 
     def _degrees(self):
         if self._deg is None:
-            from raphtory_ray.state.shards import BspGraph
-            g = getattr(self.gf, "_bsp", None)
-            if g is None:
-                g = BspGraph.from_graph(self.gf)
+            g = self._graph()
             self._deg = (g.in_degree, g.out_degree, g.both_degree)
         return self._deg
 
+    def count_nodes(self) -> int:
+        return len(self.node_set) if self.node_set is not None else self.gf.n
+
     def count_simple_edges(self) -> int:
-        if self._simple is None:
-            self._simple = self.gf.edges.groupby(
-                ["src", "dst"]).count().count()
-        return self._simple
+        return self._graph().num_edges
+
+    def in_set(self, vid: int) -> bool:
+        if not (0 <= vid < self.gf.n):
+            return False
+        if self.node_set is None:
+            return True
+        i = np.searchsorted(self.node_set, vid)
+        return i < len(self.node_set) and self.node_set[i] == vid
+
+    def page_vids(self, offset: int, limit: int):
+        if self.node_set is not None:
+            return [int(v) for v in self.node_set[offset:offset + limit]]
+        return list(range(offset, min(offset + limit, self.gf.n)))
 
     def _gids(self):
         vt = self.gf.vertices
@@ -207,12 +228,16 @@ class _GraphCtx:
     def vid_of(self, name) -> int | None:
         gids = self._gids()
         if gids is None:
-            v = int(name)
-            return v if 0 <= v < self.gf.n else None
+            try:
+                v = int(name)
+            except (TypeError, ValueError):
+                return None
+            return v if self.in_set(v) else None
         idx = pc.index(gids, pa.scalar(str(name))).as_py()
         if idx < 0:
             return None
-        return self.gf.vertices["vid"][idx].as_py()
+        vid = self.gf.vertices["vid"][idx].as_py()
+        return vid if self.in_set(vid) else None
 
     def name_of(self, vid: int):
         gids = self._gids()
@@ -221,6 +246,35 @@ class _GraphCtx:
         idx = pc.index(self.gf.vertices["vid"],
                        pa.scalar(vid, pa.int64())).as_py()
         return gids[idx].as_py() if idx >= 0 else str(vid)
+
+    def batch_neighbours(self, vids: list) -> dict:
+        """One pass over the edge Dataset for a whole page of nodes —
+        NOT a scan per node."""
+        todo = [v for v in vids if v not in self._nbr_cache]
+        if todo:
+            want = np.array(sorted(todo), dtype=np.int64)
+            gf = self.gf
+
+            def nbr(b: pa.Table) -> pa.Table:
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                ms = np.isin(s, want)
+                md = np.isin(d, want)
+                return pa.table({
+                    "v": pa.array(np.r_[s[ms], d[md]], pa.int64()),
+                    "nb": pa.array(np.r_[d[ms], s[md]], pa.int64())})
+
+            parts = gf.edges.map_batches(nbr, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+            vs, nbs = [], []
+            for b in parts.iter_batches(batch_format="pyarrow"):
+                vs.append(b["v"].to_numpy())
+                nbs.append(b["nb"].to_numpy())
+            v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+            nb_ = np.concatenate(nbs) if nbs else np.empty(0, np.int64)
+            for t in todo:
+                self._nbr_cache[t] = np.unique(nb_[v == t])
+        return {v: self._nbr_cache[v] for v in vids}
 
 
 def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
@@ -248,31 +302,13 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             out[f.out] = int(odeg[vid])
         elif f.name == "neighbours":
             limit = f.args.get("limit", 20)
-            nbrs = _neighbours(ctx, vid, limit)
+            nbrs = ctx.batch_neighbours([vid])[vid][:limit]
             out[f.out] = [_resolve_node(ctx, int(v), f.sel or
                                         [Field("name", None, {}, None)])
                           for v in nbrs]
         else:
             raise KeyError(f"unknown node field {f.name!r}")
     return out
-
-
-def _neighbours(ctx: _GraphCtx, vid: int, limit: int) -> np.ndarray:
-    gf = ctx.gf
-
-    def nbr(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy(zero_copy_only=False)
-        d = b["dst"].to_numpy(zero_copy_only=False)
-        vs = np.unique(np.r_[d[s == vid], s[d == vid]])
-        return pa.table({"v": pa.array(vs, pa.int64())})
-
-    parts = gf.edges.map_batches(nbr, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    vals = np.unique(np.concatenate(
-        [b["v"].to_numpy() for b in
-         parts.iter_batches(batch_format="pyarrow")] or
-        [np.empty(0, np.int64)]))
-    return vals[:limit]
 
 
 def _resolve_edges_page(ctx: _GraphCtx, args: dict, sel: list):
@@ -305,8 +341,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
     out = {}
     for f in sel:
         if f.name in _VIEW_FIELDS:
-            sub = _apply_view(gf, f)
-            out[f.out] = _resolve_graph(_GraphCtx(sub), f.sel or [])
+            sub, node_set = _apply_view(gf, f, ctx.node_set)
+            out[f.out] = _resolve_graph(_GraphCtx(sub, node_set),
+                                        f.sel or [])
         elif f.name in ("rolling", "expanding"):
             # WindowSet resolvers (graph.rs rolling/expanding): a LIST of
             # window contexts, each resolving the same graph fields;
@@ -320,24 +357,22 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             for v in views:
                 sub_sel = [s for s in (f.sel or [])
                            if s.name not in ("start", "end")]
-                o = _resolve_graph(_GraphCtx(v), sub_sel)
+                o = _resolve_graph(_GraphCtx(v, ctx.node_set), sub_sel)
                 for s in (f.sel or []):
                     if s.name in ("start", "end"):
                         o[s.out] = getattr(v, s.name)
                 items.append(o)
             out[f.out] = items
         elif f.name == "countNodes":
-            out[f.out] = gf.n
+            out[f.out] = ctx.count_nodes()
         elif f.name == "countEdges":
             out[f.out] = ctx.count_simple_edges()
         elif f.name == "countTemporalEdges":
             out[f.out] = gf.edges.count()
-        elif f.name in ("earliestTime", "latestTime"):
-            kern = "min" if f.name == "earliestTime" else "max"
-            from ray.data.aggregate import Max, Min
-            agg = Min("t") if kern == "min" else Max("t")
-            res = gf.edges.aggregate(agg)
-            out[f.out] = res.get(f"{kern}(t)")
+        elif f.name == "earliestTime":
+            out[f.out] = gf.earliest_time()
+        elif f.name == "latestTime":
+            out[f.out] = gf.latest_time()
         elif f.name == "hasNode":
             out[f.out] = ctx.vid_of(f.args["name"]) is not None
         elif f.name == "hasEdge":
@@ -360,7 +395,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
         elif f.name == "nodes":
             offset = int(f.args.get("offset", 0))
             limit = int(f.args.get("limit", 20))
-            vids = range(offset, min(offset + limit, gf.n))
+            vids = ctx.page_vids(offset, limit)
+            if any(s.name == "neighbours" for s in (f.sel or [])):
+                ctx.batch_neighbours(vids)      # one scan for the page
             out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
         elif f.name == "edges":
             out[f.out] = _resolve_edges_page(ctx, f.args, f.sel or [])
@@ -369,26 +406,48 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
     return out
 
 
-def _apply_view(gf, f: Field):
+def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
+    """→ (sub_gf, node_set): node-restricting views intersect the parent
+    restriction; time/layer views inherit it unchanged."""
     a = f.args
+
+    def restrict(vids: np.ndarray):
+        vids = np.unique(vids.astype(np.int64))
+        if parent_set is not None:
+            vids = vids[np.isin(vids, parent_set)]
+        return vids
+
     if f.name == "window":
-        return gf.window(int(a["start"]), int(a["end"]))
+        return gf.window(int(a["start"]), int(a["end"])), parent_set
     if f.name == "at":
-        return gf.at(int(a["time"]))
+        return gf.at(int(a["time"])), parent_set
     if f.name == "before":
-        return gf.before(int(a["time"]))
+        return gf.before(int(a["time"])), parent_set
     if f.name == "after":
-        return gf.after(int(a["time"]))
+        return gf.after(int(a["time"])), parent_set
     if f.name == "layer":
-        return gf.layer(a["name"])
+        return gf.layer(a["name"]), parent_set
     if f.name == "excludeLayer":
-        return gf.exclude_layer(a["name"])
+        return gf.exclude_layer(a["name"]), parent_set
     if f.name == "subgraph":
-        return gf.subgraph(np.asarray(a["nodes"], np.int64))
+        keep = restrict(np.asarray(a["nodes"]))
+        return gf.subgraph(keep), keep
     if f.name == "excludeNodes":
-        return gf.exclude_nodes(np.asarray(a["nodes"], np.int64))
+        drop = np.asarray(a["nodes"], np.int64)
+        base = parent_set if parent_set is not None \
+            else np.arange(gf.n, dtype=np.int64)
+        keep = base[~np.isin(base, drop)]
+        return gf.subgraph(keep), keep
     if f.name == "subgraphNodeTypes":
-        return gf.subgraph_node_types(list(a["nodeTypes"]))
+        assert gf.vertices is not None, "no vertex dimension table"
+        types = [a["nodeTypes"]] if isinstance(a["nodeTypes"], str) \
+            else list(a["nodeTypes"])
+        m = pc.fill_null(pc.is_in(
+            gf.vertices["node_type"],
+            value_set=pa.array(types, pa.string())), False)
+        keep = restrict(gf.vertices["vid"].filter(m)
+                        .to_numpy(zero_copy_only=False))
+        return gf.subgraph(keep), keep
     raise KeyError(f.name)
 
 

@@ -336,6 +336,13 @@ class _P:
 
     def atom(self):
         t = self.peek()
+        if t == ("punct", "-"):          # unary minus: -5, -(x + 1)
+            self.next()
+            inner = self.atom()
+            if isinstance(inner, Lit) and isinstance(inner.value,
+                                                     (int, float)):
+                return Lit(-inner.value)
+            return BinOp("-", Lit(0), inner)
         if t == ("punct", "("):
             self.next()
             e = self.expr()

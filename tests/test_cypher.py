@@ -258,3 +258,42 @@ def test_self_loop_pattern(ray_session):
     gf = GraphFrame(rd.from_arrow(edges), 3)
     out = cypher(gf, "MATCH (b)-[e]->(b) RETURN b AS v").take_all()
     assert sorted(r["v"] for r in out) == [0, 2]
+
+
+def test_anon_vars_never_capture_user_vars(ray_session):
+    """generated anonymous names use '#' (unlexable) so a user variable
+    literally named _n1 can't collide with them."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query import cypher
+    edges = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                      "dst": pa.array([1, 1, 2], pa.int64()),
+                      "t": pa.array([1, 2, 3], pa.int64()),
+                      "event_id": pa.array([0, 1, 2], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    out = cypher(gf, "MATCH (_n1)-[e]->(b), ()-[f]->(_n1) "
+                     "RETURN count(*) AS c").take_all()
+    # bindings: e over 3 edges x f edges INTO each e.src:
+    # src=0: none; src=1 (two e rows? no - e.src=1 once): f in {0->1,0->1}
+    # e=(0,1,t1): f into 0: none; e=(0,1,t2): none; e=(1,2): f into 1: 2
+    assert out == [{"c": 2}]
+    # RETURN * keeps the user's _n1 but not generated anon vars
+    star = cypher(gf, "MATCH (_n1)-[e]->() RETURN *").take_all()
+    assert "_n1" in star[0]
+    assert all(not k.startswith("#") for k in star[0])
+
+
+def test_distinct_order_by_hidden_rejected(ray_session):
+    from raphtory_ray.query import cypher
+    gf, _e, _v = _gf()
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN DISTINCT a AS x "
+                   "ORDER BY e.t")
+
+
+def test_unary_minus(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH ()-[e]->() WHERE e.t > -1 AND e.t - 200 < -100 "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e WHERE t > -1 AND t - 200 < -100")

@@ -112,3 +112,54 @@ def test_rolling_expanding_windowsets(ray_session):
     assert [w["countTemporalEdges"] for w in wins] == \
         [v.edges.count() for v in direct]
     assert sum(w["countTemporalEdges"] for w in wins) == 6
+
+
+def test_node_restricting_views(ray_session):
+    """subgraph/excludeNodes/subgraphNodeTypes restrict countNodes,
+    nodes pages, hasNode and node() — not just the edge set."""
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, '{ graph { s: subgraph(nodes: [0, 1]) { '
+                    'countNodes nodes(limit: 10) { id } '
+                    'gone: hasNode(name: "c") kept: hasNode(name: "a") '
+                    'node(name: "c") { id } } '
+                    'x: excludeNodes(nodes: [0]) { countNodes } '
+                    'ty: subgraphNodeTypes(nodeTypes: ["hub"]) { '
+                    'countNodes nodes(limit: 10) { id } } } }')
+    s = g["data"]["graph"]["s"]
+    assert s["countNodes"] == 2
+    assert [n["id"] for n in s["nodes"]] == [0, 1]
+    assert s["gone"] is False and s["kept"] is True
+    assert s["node"] is None
+    assert g["data"]["graph"]["x"]["countNodes"] == 3
+    ty = g["data"]["graph"]["ty"]
+    assert ty["countNodes"] == 2
+    assert [n["id"] for n in ty["nodes"]] == [0, 3]
+
+
+def test_has_node_non_numeric_without_gids(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64()),
+                      "t": pa.array([1], pa.int64()),
+                      "event_id": pa.array([0], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 2)
+    g = execute(gf, '{ graph { hasNode(name: "alice") '
+                    'ok: hasNode(name: "1") node(name: "bob") { id } } }')
+    got = g["data"]["graph"]
+    assert got == {"hasNode": False, "ok": True, "node": None}
+
+
+def test_nodes_page_neighbours_one_pass(ray_session):
+    """a page selecting neighbours resolves them from one batched scan
+    (cache warm for every page vid before per-node resolution)."""
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { nodes(limit: 4) "
+                    "{ id neighbours(limit: 10) { id } } } }")
+    nbrs = {n["id"]: sorted(x["id"] for x in n["neighbours"])
+            for n in g["data"]["graph"]["nodes"]}
+    assert nbrs == {0: [1, 2, 3], 1: [0, 2, 3], 2: [0, 1, 3],
+                    3: [0, 1, 2]}
