@@ -95,22 +95,34 @@ def _join_part(keys: list, nl: int, *parts: pa.Table) -> pa.Table:
                      coalesce_keys=True)
 
 
-def hash_join(left, right, keys: list, P: int | None = None):
+def hash_join(left, right, keys: list, P: int | None = None,
+              lhint: pa.Table | None = None,
+              rhint: pa.Table | None = None):
     """Distributed inner join of two Datasets on identically-named int64
     key columns. Non-key column names must be disjoint (the compiler
-    guarantees it). Returns a Dataset of P joined partitions."""
+    guarantees it). Returns a Dataset of P joined partitions.
+
+    ``lhint``/``rhint``: empty pa.Tables carrying each side's schema.
+    Ray SKIPS map fns on empty blocks, so a fully-empty mapped Dataset
+    has zero-column blocks and schema() is None — the hints let the
+    empty-result path still produce a correctly-schemaed join output."""
     import ray.data as rd
     if P is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         P = max(8, cpus)
-    refs_l = left.materialize().to_arrow_refs()
-    refs_r = right.materialize().to_arrow_refs()
+    mat_l, mat_r = left.materialize(), right.materialize()
+    refs_l = [r for r, c in zip(mat_l.to_arrow_refs(),
+                                mat_l._block_num_rows()) if c]
+    refs_r = [r for r, c in zip(mat_r.to_arrow_refs(),
+                                mat_r._block_num_rows()) if c]
     if not refs_l or not refs_r:
-        # one side has zero blocks: inner join is empty; synthesize the
-        # joined schema (left cols + right non-key cols)
-        lt = _empty_from_schema(left.schema())
-        rt = _empty_from_schema(right.schema())
+        # one side is empty: inner join is empty; synthesize the joined
+        # schema (left cols + right non-key cols) from the hints
+        lt = lhint if lhint is not None else _empty_from_schema(
+            left.schema())
+        rt = rhint if rhint is not None else _empty_from_schema(
+            right.schema())
         return rd.from_arrow(lt.join(rt, keys=keys, join_type="inner",
                                      coalesce_keys=True))
     parts_l = [_route.options(num_returns=P if P > 1 else 1)
@@ -298,7 +310,12 @@ def _edge_scan(gf, epat, src_var: str, dst_var: str, ctx: _Ctx,
     if epat.direction == "undirected":
         rev = EdgeScanReverser(gf, epat, src_var, dst_var, ctx, needed)
         ds = ds.union(rev)
-    return ds
+    # empty-schema hint: Ray skips map fns on empty blocks, so a scan
+    # over zero edges yields zero-column blocks; the hint preserves the
+    # scan's schema for the empty-join / empty-projection paths
+    empty_in = pa.table({n: pa.array([], t) for n, t in
+                         zip(ctx.edge_schema.names, ctx.edge_schema.types)})
+    return ds, scan(empty_in)
 
 
 def EdgeScanReverser(gf, epat, src_var, dst_var, ctx, needed):
@@ -313,8 +330,9 @@ def EdgeScanReverser(gf, epat, src_var, dst_var, ctx, needed):
         m = pc.invert(pc.fill_null(pc.equal(b[src_var], b[dst_var]), True))
         return b.filter(m)
 
-    return _edge_scan(gf, flipped, src_var, dst_var, ctx, needed) \
-        .map_batches(drop_self, batch_format="pyarrow", zero_copy_batch=True)
+    fwd, _hint = _edge_scan(gf, flipped, src_var, dst_var, ctx, needed)
+    return fwd.map_batches(drop_self, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def _needed_columns(q: Query, ctx: _Ctx) -> set:
@@ -443,44 +461,48 @@ def cypher(gf, query: str, P: int | None = None):
             ds = rd.from_arrow(vt)
             bound = {ch.nodes[0].var}
             ds, pending = _apply_where(ds, pending, bound, ctx)
-            chain_results.append((ds, bound))
+            chain_results.append((ds, bound, vt.slice(0, 0)))
             continue
-        ds, bound = None, set()
+        ds, bound, hint = None, set(), None
         for hop, ep in enumerate(ch.edges):
             sv, dv = ch.nodes[hop].var, ch.nodes[hop + 1].var
-            scan = _edge_scan(gf, ep, sv, dv, ctx, needed)
+            scan, scan_hint = _edge_scan(gf, ep, sv, dv, ctx, needed)
             # pushdown: terms over only this scan's vars filter the scan
             # BEFORE it enters the join (shrinks the shuffle)
             scan_vars = {sv, dv} | ({ep.var} if ep.var else set())
             scan, pending = _apply_where(scan, pending, scan_vars, ctx)
             if ds is None:
-                ds, new = scan, set(scan_vars)
+                ds, new, hint = scan, set(scan_vars), scan_hint
             else:
                 shared = sorted(bound & {sv, dv})
                 if not shared:
                     raise NotImplementedError(
                         "disconnected hop within a chain")
                 # joining on a var the scan re-binds: both sides carry it
-                ds = hash_join(ds, scan, shared, P)
+                ds = hash_join(ds, scan, shared, P, hint, scan_hint)
+                hint = hint.join(scan_hint, keys=shared,
+                                 join_type="inner", coalesce_keys=True)
                 new = set(scan_vars)
             bound |= new
             ds, pending = _apply_where(ds, pending, bound, ctx)
-        chain_results.append((ds, bound))
+        chain_results.append((ds, bound, hint))
 
     # ---- join chains on shared node vars
-    ds, bound = chain_results[0]
-    for other, ovars in chain_results[1:]:
+    ds, bound, hint = chain_results[0]
+    for other, ovars, ohint in chain_results[1:]:
         shared = sorted(bound & ovars)
         if not shared:
             raise NotImplementedError("cartesian product across patterns")
-        ds = hash_join(ds, other, shared, P)
+        ds = hash_join(ds, other, shared, P, hint, ohint)
+        hint = hint.join(ohint, keys=shared, join_type="inner",
+                         coalesce_keys=True)
         bound |= ovars
         ds, pending = _apply_where(ds, pending, bound, ctx)
     if pending:
         raise KeyError(f"WHERE references unbound variables: "
                        f"{[expr_text(t) for t, _ in pending]}")
 
-    return _project_and_finish(ds, q, ctx)
+    return _project_and_finish(ds, q, ctx, hint)
 
 
 # ------------------------------------------------- RETURN / aggregation
@@ -493,10 +515,17 @@ def _is_agg(e) -> bool:
     return isinstance(e, Func) and e.name != "type"
 
 
-def _project_and_finish(ds, q: Query, ctx: _Ctx):
+def _project_and_finish(ds, q: Query, ctx: _Ctx,
+                        hint: pa.Table | None = None):
     """RETURN items → final columns; aggregates via Ray partial+final;
     DISTINCT via groupby-first; ORDER BY via ds.sort; LIMIT via
-    ds.limit."""
+    ds.limit. ``hint`` = empty bindings table carrying the schema: when
+    the bindings are fully empty, Ray's skipped-map blocks have no
+    schema, so the projection runs locally over the hint instead."""
+    import ray.data as rd
+    sch = ds.schema(fetch_if_missing=True)
+    if (sch is None or not sch.names) and hint is not None:
+        ds = None                     # signal: project the hint locally
     aggs = [it for it in q.items if _is_agg(it.expr)]
     keys = [it for it in q.items if not _is_agg(it.expr)]
 
@@ -571,8 +600,11 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx):
             cols["__rows"] = pa.array(np.zeros(n, np.int8))
         return pa.table(cols)
 
-    ds = ds.map_batches(project, batch_format="pyarrow",
-                        zero_copy_batch=True)
+    if ds is None:      # empty bindings: project the schema hint locally
+        ds = rd.from_arrow(project(hint))
+    else:
+        ds = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
     key_names = [name for name, _ in proj if not name.startswith("__ord")]
 
     if aggs:

@@ -297,3 +297,48 @@ def test_unary_minus(ray_session):
            "MATCH ()-[e]->() WHERE e.t > -1 AND e.t - 200 < -100 "
            "RETURN count(*) AS cnt",
            "SELECT count(*) AS cnt FROM e WHERE t > -1 AND t - 200 < -100")
+
+
+@pytest.mark.parametrize("seed,n,m,selfloops", [
+    (1, 1, 0, False),       # no edges at all: every scan/join is empty
+    (2, 5, 3, True),        # tiny, self-loop heavy
+    (3, 8, 120, True),      # dup-heavy multigraph (m >> n^2 slots)
+    (4, 40, 40, False),     # sparse
+])
+def test_fuzz_shapes_vs_duckdb(ray_session, seed, n, m, selfloops):
+    """join/pushdown machinery across degenerate graph shapes — empty
+    inputs, self-loops, heavy edge multiplicity."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = src.copy() if (selfloops and m) else rng.integers(0, n, m)
+    if selfloops and m:                      # mix loops and non-loops
+        flip = rng.random(m) < 0.5
+        dst[flip] = rng.integers(0, n, int(flip.sum()))
+    edges = pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "t": pa.array(rng.integers(0, 50, m), pa.int64()),
+        "event_id": pa.array(np.arange(m), pa.int64()),
+        "w": pa.array(rng.random(m)),
+    })
+    verts = pa.table({
+        "vid": pa.array(np.arange(n), pa.int64()),
+        "gid": pa.array([f"u{i}" for i in range(n)]),
+        "node_type": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+    })
+    gf = GraphFrame(rd.from_arrow(edges), n, verts)
+    _check(gf, edges, verts,
+           "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e1.t < e2.t "
+           "RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+           "ON e1.dst = e2.src WHERE e1.t < e2.t")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(a) RETURN count(*) AS loops",
+           "SELECT count(*) AS loops FROM e WHERE src = dst")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE a.node_type = 'a' "
+           "RETURN DISTINCT a AS s, b AS d",
+           "SELECT DISTINCT e.src AS s, e.dst AS d FROM e "
+           "JOIN v ON e.src = v.vid WHERE v.node_type = 'a'")
