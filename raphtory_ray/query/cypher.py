@@ -87,12 +87,45 @@ def _route(tbl: pa.Table, keys: list, P: int):
 
 
 @ray.remote
-def _join_part(keys: list, nl: int, *parts: pa.Table) -> pa.Table:
-    """One hash partition: concat each side's pieces, Acero inner join."""
+def _part_counts(tbl: pa.Table, keys: list, P: int) -> np.ndarray:
+    """Per-partition row counts for one block — the cheap first pass of
+    the skew-aware route (hash only, no data movement)."""
+    if tbl.num_rows == 0:
+        return np.zeros(P, np.int64)
+    h = np.zeros(tbl.num_rows, np.uint64)
+    for k in keys:
+        col = tbl[k].combine_chunks().cast(pa.int64())
+        h = h * _GOLD ^ _splitmix(col.to_numpy(zero_copy_only=False)
+                                  .astype(np.int64))
+    return np.bincount((h % np.uint64(P)).astype(np.int64),
+                       minlength=P).astype(np.int64)
+
+
+@ray.remote
+def _join_part(keys: list, nl: int, j: int, k: int, split_left: bool,
+               *parts: pa.Table) -> pa.Table:
+    """One hash partition (sub-task j of k): concat each side's pieces,
+    slice the split side into its j-th contiguous chunk — valid for an
+    inner join because any partition of one side's rows partitions the
+    output — then Acero inner join."""
     left = pa.concat_tables(parts[:nl], promote_options="default")
     right = pa.concat_tables(parts[nl:], promote_options="default")
+    if k > 1:
+        side = left if split_left else right
+        n = side.num_rows
+        lo, hi = (n * j) // k, (n * (j + 1)) // k
+        if split_left:
+            left = side.slice(lo, hi - lo)
+        else:
+            right = side.slice(lo, hi - lo)
     return left.join(right, keys=keys, join_type="inner",
                      coalesce_keys=True)
+
+
+# rows of ONE side of one partition above which the join fans out into
+# sub-tasks (a hub key routes its whole neighbourhood to one partition;
+# the north rule calls for explicit skew valves at 10^12 scale)
+_JOIN_SPLIT_ROWS = 2_000_000
 
 
 def hash_join(left, right, keys: list, P: int | None = None,
@@ -125,6 +158,14 @@ def hash_join(left, right, keys: list, P: int | None = None,
             right.schema())
         return rd.from_arrow(lt.join(rt, keys=keys, join_type="inner",
                                      coalesce_keys=True))
+    # skew plan: cheap count pass (hash + bincount per block, no data
+    # movement) → per-partition sub-task fan-out for hub-heavy keys
+    import os
+    cl = sum(ray.get([_part_counts.remote(r, keys, P) for r in refs_l]))
+    cr = sum(ray.get([_part_counts.remote(r, keys, P) for r in refs_r]))
+    split_rows = int(os.environ.get("RA_JOIN_SPLIT_ROWS",
+                                    _JOIN_SPLIT_ROWS))
+
     parts_l = [_route.options(num_returns=P if P > 1 else 1)
                .remote(r, keys, P) for r in refs_l]
     parts_r = [_route.options(num_returns=P if P > 1 else 1)
@@ -132,10 +173,16 @@ def hash_join(left, right, keys: list, P: int | None = None,
     if P == 1:
         parts_l = [[p] for p in parts_l]
         parts_r = [[p] for p in parts_r]
-    joined = [_join_part.remote(keys, len(parts_l),
-                                *[pl[p] for pl in parts_l],
-                                *[pr[p] for pr in parts_r])
-              for p in range(P)]
+    joined = []
+    for p in range(P):
+        big = max(int(cl[p]), int(cr[p]))
+        k = max(1, -(-big // split_rows))          # ceil
+        split_left = cl[p] >= cr[p]
+        for j in range(k):
+            joined.append(_join_part.remote(
+                keys, len(parts_l), j, k, split_left,
+                *[pl[p] for pl in parts_l],
+                *[pr[p] for pr in parts_r]))
     return rd.from_arrow_refs(joined)
 
 

@@ -342,3 +342,31 @@ def test_fuzz_shapes_vs_duckdb(ray_session, seed, n, m, selfloops):
            "RETURN DISTINCT a AS s, b AS d",
            "SELECT DISTINCT e.src AS s, e.dst AS d FROM e "
            "JOIN v ON e.src = v.vid WHERE v.node_type = 'a'")
+
+
+def test_skewed_join_subtask_fanout(ray_session, monkeypatch):
+    """a hub key routes its whole neighbourhood into one hash partition;
+    with a tiny split threshold the join fans out into sub-tasks and
+    still returns exactly the same rows."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query import cypher
+    monkeypatch.setenv("RA_JOIN_SPLIT_ROWS", "10")
+    rng = np.random.default_rng(5)
+    m = 300
+    src = rng.integers(0, 20, m)
+    dst = np.zeros(m, np.int64)          # vertex 0 is the hub: all edges
+    dst[: m // 2] = 0                    # half point AT the hub,
+    dst[m // 2:] = rng.integers(0, 20, m - m // 2)   # half random
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "t": pa.array(rng.integers(0, 50, m), pa.int64()),
+                      "event_id": pa.array(np.arange(m), pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 20)
+    got = cypher(gf, "MATCH (a)-[e1]->(b)-[e2]->(c) "
+                     "RETURN count(*) AS cnt").take_all()
+    con = duckdb.connect()
+    con.register("e", edges)
+    want = con.execute("SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
+                       "ON e1.dst = e2.src").fetchone()[0]
+    assert got == [{"cnt": want}]
