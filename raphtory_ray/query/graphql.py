@@ -179,17 +179,54 @@ class _GraphCtx:
     None = full [0, n)) carries node-restricting views
     (subgraph/excludeNodes/subgraphNodeTypes) so countNodes / nodes pages
     / hasNode / node() honor the restriction like the reference's
-    resolvers do. Time/layer views keep the full node universe — the
-    engine's dense-vid model (documented deviation from graph.rs, whose
-    windowed count_nodes counts only event-active nodes). Degrees and the
-    simple-edge count come from the engine's cached BspGraph (one dedup
-    shuffle per frame, shared with every algorithm)."""
+    resolvers do; TIME views additionally narrow the universe to
+    event-active nodes (graph.rs windowed count_nodes semantics), via
+    the ``node_set`` property's cached one-pass active-set scan. Layer
+    views keep the full universe (a node exists regardless of which
+    layers its events are on). Degrees and the simple-edge count come
+    from the engine's cached BspGraph (one dedup shuffle per frame,
+    shared with every algorithm)."""
 
     def __init__(self, gf, node_set: np.ndarray | None = None):
         self.gf = gf
-        self.node_set = node_set
+        self._node_set = node_set
+        self._active = None
         self._deg = None
         self._nbr_cache: dict = {}
+
+    @property
+    def node_set(self) -> np.ndarray | None:
+        """Effective node universe. Under a TIME view the reference
+        counts/pages only event-active nodes (graph.rs count_nodes on a
+        windowed graph), so windowed contexts compute the active set
+        (one edge-Dataset pass, cached) and intersect it with any
+        explicit node restriction."""
+        gf = self.gf
+        if gf.start is None and gf.end is None:
+            return self._node_set
+        if self._active is None:
+            def ends(b: pa.Table) -> pa.Table:
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                return pa.table({"v": pa.array(
+                    np.unique(np.r_[s, d]), pa.int64())})
+
+            parts = gf.edges.map_batches(ends, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+            chunks = [b["v"].to_numpy() for b in
+                      parts.iter_batches(batch_format="pyarrow")]
+            if gf.node_events is not None:
+                # node_events is already window-filtered inside the view
+                nv = gf.node_events.select_columns(["vid"])
+                chunks += [b["vid"].to_numpy(zero_copy_only=False)
+                           for b in
+                           nv.iter_batches(batch_format="pyarrow")]
+            act = np.unique(np.concatenate(chunks)) if chunks \
+                else np.empty(0, np.int64)
+            if self._node_set is not None:
+                act = act[np.isin(act, self._node_set)]
+            self._active = act
+        return self._active
 
     def _graph(self):
         from raphtory_ray.algorithms import _bsp

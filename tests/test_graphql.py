@@ -163,3 +163,26 @@ def test_nodes_page_neighbours_one_pass(ray_session):
             for n in g["data"]["graph"]["nodes"]}
     assert nbrs == {0: [1, 2, 3], 1: [0, 2, 3], 2: [0, 1, 3],
                     3: [0, 1, 2]}
+
+
+def test_windowed_node_universe_is_active_nodes(ray_session):
+    """under a time view, countNodes / nodes pages / hasNode cover only
+    event-active nodes (graph.rs windowed count_nodes semantics)."""
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    # window [2, 5): events (0->2 t2), (1->2 t3), (1->3 t4)
+    g = execute(gf, '{ graph { w: window(start: 2, end: 5) { '
+                    'countNodes nodes(limit: 10) { id } '
+                    'inactive: hasNode(name: "a") '
+                    'active: hasNode(name: "c") } } }')["data"]["graph"]
+    w = g["w"]
+    assert w["countNodes"] == 4          # {0,1,2,3} all touched
+    g2 = execute(gf, '{ graph { w: window(start: 5, end: 7) { '
+                     'countNodes nodes(limit: 10) { id } '
+                     'a0: hasNode(name: "a") '
+                     'b1: hasNode(name: "b") } } }')["data"]["graph"]
+    # events in [5,7): (2->3 t5), (3->0 t6) -> active {0, 2, 3}
+    w2 = g2["w"]
+    assert w2["countNodes"] == 3
+    assert [n["id"] for n in w2["nodes"]] == [0, 2, 3]
+    assert w2["a0"] is True and w2["b1"] is False
