@@ -370,3 +370,16 @@ def test_skewed_join_subtask_fanout(ray_session, monkeypatch):
     want = con.execute("SELECT count(*) AS cnt FROM e e1 JOIN e e2 "
                        "ON e1.dst = e2.src").fetchone()[0]
     assert got == [{"cnt": want}]
+
+
+def test_cypher_composes_with_views(ray_session):
+    """cypher() over a windowed/layered GraphFrame sees only the view's
+    events — the scan inherits the view's filter stages."""
+    gf, edges, verts = _gf(with_layer=True)
+    win = gf.window(20, 60).layer("buys")
+    from raphtory_ray.query import cypher
+    got = cypher(win, "MATCH ()-[e]->() RETURN count(*) AS cnt").take_all()
+    want = _sql(edges, verts,
+                "SELECT count(*) AS cnt FROM e "
+                "WHERE t >= 20 AND t < 60 AND layer = 'buys'").to_pylist()
+    assert got[0]["cnt"] == want[0]["cnt"] > 0
