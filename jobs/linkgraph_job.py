@@ -70,6 +70,11 @@ def main() -> None:
     ap.add_argument("--sssp-source", type=int, default=0,
                     help="source vid for the 'sssp' algorithm "
                          "(delta-stepping, unit weights)")
+    ap.add_argument("--cypher", default=None, metavar="QUERY",
+                    help="run a Cypher query over the ingested graph "
+                         "(query/cypher.py subset) and write the result "
+                         "under <output>/cypher/ as partitioned parquet; "
+                         "runs after --algorithms (which may be '')")
     args = ap.parse_args()
 
     import ray
@@ -83,8 +88,11 @@ def main() -> None:
     algos = [a.strip() for a in args.algorithms.split(",") if a.strip()]
     todo = [a for a in algos if not os.path.exists(
         os.path.join(args.output, a, "_SUCCESS"))]
-    print(f"[job] algorithms: {algos}; pending: {todo}", flush=True)
-    if not todo:
+    cypher_todo = args.cypher is not None and not os.path.exists(
+        os.path.join(args.output, "cypher", "_SUCCESS"))
+    print(f"[job] algorithms: {algos}; pending: {todo}"
+          f"{' + cypher' if cypher_todo else ''}", flush=True)
+    if not todo and not cypher_todo:
         ray.shutdown()
         return
 
@@ -142,6 +150,19 @@ def main() -> None:
             json.dump(metrics, f)
         open(os.path.join(d, "_SUCCESS"), "w").write("ok")
         print(f"[job] {algo} done in {metrics['wall_sec']:.1f}s", flush=True)
+
+    if cypher_todo:
+        from raphtory_ray.query import cypher
+        d = os.path.join(args.output, "cypher")
+        os.makedirs(d, exist_ok=True)
+        t0 = time.perf_counter()
+        res = cypher(gf, args.cypher)
+        res.write_parquet(d)           # partitioned, resumable layout
+        with open(os.path.join(d, "METRICS.json"), "w") as f:
+            json.dump({"query": args.cypher,
+                       "wall_sec": time.perf_counter() - t0}, f)
+        open(os.path.join(d, "_SUCCESS"), "w").write("ok")
+        print(f"[job] cypher done", flush=True)
     ray.shutdown()
 
 

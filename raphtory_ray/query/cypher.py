@@ -314,6 +314,10 @@ def _edge_scan(gf, epat, src_var: str, dst_var: str, ctx: _Ctx,
     (src_var, dst_var, evar__*): rename + layer/prop-map filter +
     column prune, all in one vectorized map_batches pass."""
     evar = epat.var
+    if epat.layer is not None and "layer" not in ctx.edge_cols:
+        raise KeyError(
+            f"relationship type :{epat.layer} used but the graph has no "
+            f"'layer' column (columns: {ctx.edge_cols})")
     keep = [] if evar is None else \
         [c for c in ctx.edge_cols if f"{evar}__{c}" in needed]
     emit_src = evar is not None and f"{evar}__src" in needed
