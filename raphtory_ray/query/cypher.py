@@ -159,12 +159,21 @@ def hash_join(left, right, keys: list, P: int | None = None,
         return rd.from_arrow(lt.join(rt, keys=keys, join_type="inner",
                                      coalesce_keys=True))
     # skew plan: cheap count pass (hash + bincount per block, no data
-    # movement) → per-partition sub-task fan-out for hub-heavy keys
+    # movement) → per-partition sub-task fan-out for hub-heavy keys.
+    # Skipped entirely (k=1 everywhere) when block metadata already
+    # proves no partition can exceed the threshold.
     import os
-    cl = sum(ray.get([_part_counts.remote(r, keys, P) for r in refs_l]))
-    cr = sum(ray.get([_part_counts.remote(r, keys, P) for r in refs_r]))
     split_rows = int(os.environ.get("RA_JOIN_SPLIT_ROWS",
                                     _JOIN_SPLIT_ROWS))
+    tot_l = sum(c for c in mat_l._block_num_rows() if c)
+    tot_r = sum(c for c in mat_r._block_num_rows() if c)
+    if max(tot_l, tot_r) <= split_rows:
+        cl = cr = np.zeros(P, np.int64)
+    else:
+        cl = sum(ray.get([_part_counts.remote(r, keys, P)
+                          for r in refs_l]))
+        cr = sum(ray.get([_part_counts.remote(r, keys, P)
+                          for r in refs_r]))
 
     parts_l = [_route.options(num_returns=P if P > 1 else 1)
                .remote(r, keys, P) for r in refs_l]
