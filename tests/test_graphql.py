@@ -186,3 +186,17 @@ def test_windowed_node_universe_is_active_nodes(ray_session):
     assert w2["countNodes"] == 3
     assert [n["id"] for n in w2["nodes"]] == [0, 2, 3]
     assert w2["a0"] is True and w2["b1"] is False
+
+
+def test_expanding_windowset(ray_session):
+    from raphtory_ray.algorithms.extra import expanding
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { expanding(step: 2) "
+                    "{ end countTemporalEdges } } }")
+    wins = g["data"]["graph"]["expanding"]
+    direct = expanding(gf, 2)
+    assert [w["end"] for w in wins] == [v.end for v in direct]
+    assert [w["countTemporalEdges"] for w in wins] == \
+        [v.edges.count() for v in direct]
+    assert wins[-1]["countTemporalEdges"] == 6    # expanding reaches all
