@@ -88,8 +88,8 @@ def main() -> None:
     algos = [a.strip() for a in args.algorithms.split(",") if a.strip()]
     todo = [a for a in algos if not os.path.exists(
         os.path.join(args.output, a, "_SUCCESS"))]
-    cypher_todo = args.cypher is not None and not os.path.exists(
-        os.path.join(args.output, "cypher", "_SUCCESS"))
+    cypher_todo = args.cypher is not None and not _cypher_done(
+        os.path.join(args.output, "cypher"), args.cypher)
     print(f"[job] algorithms: {algos}; pending: {todo}"
           f"{' + cypher' if cypher_todo else ''}", flush=True)
     if not todo and not cypher_todo:
@@ -98,10 +98,14 @@ def main() -> None:
 
     t0 = time.perf_counter()
     gf, files_ds = load_graph(args.input)
-    g = BspGraph.from_graph(gf, num_blocks=args.num_blocks)
+    # the dedup shuffle into CSR blocks only serves the algorithm loop —
+    # a cypher-only job must not pay it
+    g = BspGraph.from_graph(gf, num_blocks=args.num_blocks) if todo \
+        else None
     ingest_s = time.perf_counter() - t0
-    print(f"[job] ingest+build {ingest_s:.1f}s  n={g.n} "
-          f"edges={g.num_edges}", flush=True)
+    print(f"[job] ingest+build {ingest_s:.1f}s  n={gf.n}"
+          + (f" edges={g.num_edges}" if g is not None else ""),
+          flush=True)
 
     for algo in todo:
         d = os.path.join(args.output, algo)
@@ -152,18 +156,36 @@ def main() -> None:
         print(f"[job] {algo} done in {metrics['wall_sec']:.1f}s", flush=True)
 
     if cypher_todo:
+        import shutil
         from raphtory_ray.query import cypher
         d = os.path.join(args.output, "cypher")
+        # a crashed or different-query previous attempt leaves files
+        # write_parquet would APPEND to (fresh UUID names) — start clean
+        # so the _SUCCESS marker always describes exactly one attempt
+        shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         t0 = time.perf_counter()
         res = cypher(gf, args.cypher)
-        res.write_parquet(d)           # partitioned, resumable layout
+        res.write_parquet(d)
         with open(os.path.join(d, "METRICS.json"), "w") as f:
             json.dump({"query": args.cypher,
                        "wall_sec": time.perf_counter() - t0}, f)
         open(os.path.join(d, "_SUCCESS"), "w").write("ok")
         print(f"[job] cypher done", flush=True)
     ray.shutdown()
+
+
+def _cypher_done(d: str, query: str) -> bool:
+    """The cypher resume marker is only valid for the SAME query — a
+    rerun with a different --cypher must recompute, not silently skip."""
+    import json as _json
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(d, "METRICS.json")) as f:
+            return _json.load(f).get("query") == query
+    except (OSError, ValueError):
+        return False
 
 
 if __name__ == "__main__":

@@ -66,17 +66,23 @@ def _empty_from_schema(schema) -> pa.Table:
                      zip(schema.names, schema.types)})
 
 
-@ray.remote
-def _route(tbl: pa.Table, keys: list, P: int):
-    """One block → P hash partitions on the int64 key columns."""
-    if tbl.num_rows == 0:
-        return tuple(tbl for _ in range(P)) if P > 1 else tbl
+def _partition_ids(tbl: pa.Table, keys: list, P: int) -> np.ndarray:
+    """Partition id per row — the ONE hash both the route and the skew
+    count pass use (they must agree or the valve miscounts)."""
     h = np.zeros(tbl.num_rows, np.uint64)
     for k in keys:
         col = tbl[k].combine_chunks().cast(pa.int64())
         h = h * _GOLD ^ _splitmix(col.to_numpy(zero_copy_only=False)
                                   .astype(np.int64))
-    bk = (h % np.uint64(P)).astype(np.int64)
+    return (h % np.uint64(P)).astype(np.int64)
+
+
+@ray.remote
+def _route(tbl: pa.Table, keys: list, P: int):
+    """One block → P hash partitions on the int64 key columns."""
+    if tbl.num_rows == 0:
+        return tuple(tbl for _ in range(P)) if P > 1 else tbl
+    bk = _partition_ids(tbl, keys, P)
     order = np.argsort(bk, kind="stable")
     b = bk[order]
     bounds = np.searchsorted(b, np.arange(P + 1))
@@ -92,12 +98,7 @@ def _part_counts(tbl: pa.Table, keys: list, P: int) -> np.ndarray:
     the skew-aware route (hash only, no data movement)."""
     if tbl.num_rows == 0:
         return np.zeros(P, np.int64)
-    h = np.zeros(tbl.num_rows, np.uint64)
-    for k in keys:
-        col = tbl[k].combine_chunks().cast(pa.int64())
-        h = h * _GOLD ^ _splitmix(col.to_numpy(zero_copy_only=False)
-                                  .astype(np.int64))
-    return np.bincount((h % np.uint64(P)).astype(np.int64),
+    return np.bincount(_partition_ids(tbl, keys, P),
                        minlength=P).astype(np.int64)
 
 
@@ -145,10 +146,9 @@ def hash_join(left, right, keys: list, P: int | None = None,
             if ray.is_initialized() else 8
         P = max(8, cpus)
     mat_l, mat_r = left.materialize(), right.materialize()
-    refs_l = [r for r, c in zip(mat_l.to_arrow_refs(),
-                                mat_l._block_num_rows()) if c]
-    refs_r = [r for r, c in zip(mat_r.to_arrow_refs(),
-                                mat_r._block_num_rows()) if c]
+    rows_l, rows_r = mat_l._block_num_rows(), mat_r._block_num_rows()
+    refs_l = [r for r, c in zip(mat_l.to_arrow_refs(), rows_l) if c]
+    refs_r = [r for r, c in zip(mat_r.to_arrow_refs(), rows_r) if c]
     if not refs_l or not refs_r:
         # one side is empty: inner join is empty; synthesize the joined
         # schema (left cols + right non-key cols) from the hints
@@ -161,24 +161,26 @@ def hash_join(left, right, keys: list, P: int | None = None,
     # skew plan: cheap count pass (hash + bincount per block, no data
     # movement) → per-partition sub-task fan-out for hub-heavy keys.
     # Skipped entirely (k=1 everywhere) when block metadata already
-    # proves no partition can exceed the threshold.
+    # proves no partition can exceed the threshold. Count tasks are
+    # submitted AFTER the route tasks so the two waves overlap (routes
+    # don't depend on counts — only the join-task plan does).
     import os
     split_rows = int(os.environ.get("RA_JOIN_SPLIT_ROWS",
                                     _JOIN_SPLIT_ROWS))
-    tot_l = sum(c for c in mat_l._block_num_rows() if c)
-    tot_r = sum(c for c in mat_r._block_num_rows() if c)
-    if max(tot_l, tot_r) <= split_rows:
-        cl = cr = np.zeros(P, np.int64)
-    else:
-        cl = sum(ray.get([_part_counts.remote(r, keys, P)
-                          for r in refs_l]))
-        cr = sum(ray.get([_part_counts.remote(r, keys, P)
-                          for r in refs_r]))
+    need_counts = max(sum(rows_l), sum(rows_r)) > split_rows
 
     parts_l = [_route.options(num_returns=P if P > 1 else 1)
                .remote(r, keys, P) for r in refs_l]
     parts_r = [_route.options(num_returns=P if P > 1 else 1)
                .remote(r, keys, P) for r in refs_r]
+    if need_counts:
+        count_refs = [_part_counts.remote(r, keys, P)
+                      for r in refs_l + refs_r]
+        counts = ray.get(count_refs)
+        cl = sum(counts[:len(refs_l)])
+        cr = sum(counts[len(refs_l):])
+    else:
+        cl = cr = np.zeros(P, np.int64)
     if P == 1:
         parts_l = [[p] for p in parts_l]
         parts_r = [[p] for p in parts_r]
@@ -373,9 +375,7 @@ def _edge_scan(gf, epat, src_var: str, dst_var: str, ctx: _Ctx,
     # empty-schema hint: Ray skips map fns on empty blocks, so a scan
     # over zero edges yields zero-column blocks; the hint preserves the
     # scan's schema for the empty-join / empty-projection paths
-    empty_in = pa.table({n: pa.array([], t) for n, t in
-                         zip(ctx.edge_schema.names, ctx.edge_schema.types)})
-    return ds, scan(empty_in)
+    return ds, scan(_empty_from_schema(ctx.edge_schema))
 
 
 def EdgeScanReverser(gf, epat, src_var, dst_var, ctx, needed):
@@ -579,13 +579,12 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
                         hint: pa.Table | None = None):
     """RETURN items → final columns; aggregates via Ray partial+final;
     DISTINCT via groupby-first; ORDER BY via ds.sort; LIMIT via
-    ds.limit. ``hint`` = empty bindings table carrying the schema: when
-    the bindings are fully empty, Ray's skipped-map blocks have no
-    schema, so the projection runs locally over the hint instead."""
+    ds.limit. ``hint`` = empty bindings table carrying the schema: Ray
+    skips map fns on empty blocks, so a fully-empty binding set reaches
+    here schemaless — unioning one locally-projected empty block
+    guarantees the output schema without probing (a schema fetch would
+    pre-execute the plan)."""
     import ray.data as rd
-    sch = ds.schema(fetch_if_missing=True)
-    if (sch is None or not sch.names) and hint is not None:
-        ds = None                     # signal: project the hint locally
     aggs = [it for it in q.items if _is_agg(it.expr)]
     keys = [it for it in q.items if not _is_agg(it.expr)]
 
@@ -660,11 +659,10 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
             cols["__rows"] = pa.array(np.zeros(n, np.int8))
         return pa.table(cols)
 
-    if ds is None:      # empty bindings: project the schema hint locally
-        ds = rd.from_arrow(project(hint))
-    else:
-        ds = ds.map_batches(project, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    ds = ds.map_batches(project, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    if hint is not None:
+        ds = ds.union(rd.from_arrow(project(hint)))
     key_names = [name for name, _ in proj if not name.startswith("__ord")]
 
     if aggs:

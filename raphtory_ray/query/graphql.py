@@ -378,7 +378,12 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
     out = {}
     for f in sel:
         if f.name in _VIEW_FIELDS:
-            sub, node_set = _apply_view(gf, f, ctx.node_set)
+            # pass the RAW explicit restriction, not the resolved active
+            # set: the child context re-derives activity from its own
+            # (already narrower) view, so resolving it here would force
+            # the parent's full active-set scan even when no child field
+            # needs a node universe
+            sub, node_set = _apply_view(gf, f, ctx._node_set)
             out[f.out] = _resolve_graph(_GraphCtx(sub, node_set),
                                         f.sel or [])
         elif f.name in ("rolling", "expanding"):
@@ -394,7 +399,7 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             for v in views:
                 sub_sel = [s for s in (f.sel or [])
                            if s.name not in ("start", "end")]
-                o = _resolve_graph(_GraphCtx(v, ctx.node_set), sub_sel)
+                o = _resolve_graph(_GraphCtx(v, ctx._node_set), sub_sel)
                 for s in (f.sel or []):
                     if s.name in ("start", "end"):
                         o[s.out] = getattr(v, s.name)
