@@ -343,6 +343,25 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             out[f.out] = [_resolve_node(ctx, int(v), f.sel or
                                         [Field("name", None, {}, None)])
                           for v in nbrs]
+        elif f.name == "metadata":
+            # constant node metadata = the vertices-table row
+            # (node.rs metadata resolver); key filters to one entry
+            if vt is None:
+                out[f.out] = {}
+            else:
+                idx = pc.index(vt["vid"],
+                               pa.scalar(vid, pa.int64())).as_py()
+                row = {c: vt[c][idx].as_py() for c in vt.column_names
+                       if c != "vid"} if idx >= 0 else {}
+                key = f.args.get("key")
+                out[f.out] = {key: row.get(key)} if key else row
+        elif f.name == "propertyHistory":
+            # temporal node property history (node.rs properties()
+            # .temporal() resolver) → [{time, value}]
+            hist = ctx.gf.node_property_history(f.args["key"], vid)
+            out[f.out] = [{"time": t, "value": v} for t, v in
+                          zip(hist["t"].to_pylist(),
+                              hist[f.args["key"]].to_pylist())]
         else:
             raise KeyError(f"unknown node field {f.name!r}")
     return out

@@ -200,3 +200,31 @@ def test_expanding_windowset(ray_session):
     assert [w["countTemporalEdges"] for w in wins] == \
         [v.edges.count() for v in direct]
     assert wins[-1]["countTemporalEdges"] == 6    # expanding reaches all
+
+
+def test_node_metadata_and_property_history(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({"src": pa.array([0, 1], pa.int64()),
+                      "dst": pa.array([1, 0], pa.int64()),
+                      "t": pa.array([1, 2], pa.int64()),
+                      "event_id": pa.array([0, 1], pa.int64())})
+    verts = pa.table({"vid": pa.array([0, 1], pa.int64()),
+                      "gid": pa.array(["a", "b"]),
+                      "node_type": pa.array(["hub", "leaf"]),
+                      "region": pa.array(["eu", "us"])})
+    nev = pa.table({"vid": pa.array([0, 0, 1], pa.int64()),
+                    "t": pa.array([5, 9, 7], pa.int64()),
+                    "event_id": pa.array([0, 1, 2], pa.int64()),
+                    "status": pa.array(["new", "active", "new"])})
+    gf = GraphFrame(rd.from_arrow(edges), 2, verts, rd.from_arrow(nev))
+    g = execute(gf, '{ graph { node(name: "a") { '
+                    'metadata region: metadata(key: "region") '
+                    'propertyHistory(key: "status") } } }')
+    n = g["data"]["graph"]["node"]
+    assert n["metadata"] == {"gid": "a", "node_type": "hub",
+                             "region": "eu"}
+    assert n["region"] == {"region": "eu"}
+    assert n["propertyHistory"] == [{"time": 5, "value": "new"},
+                                    {"time": 9, "value": "active"}]
