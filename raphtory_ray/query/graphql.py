@@ -187,8 +187,10 @@ class _GraphCtx:
     from the engine's cached BspGraph (one dedup shuffle per frame,
     shared with every algorithm)."""
 
-    def __init__(self, gf, node_set: np.ndarray | None = None):
+    def __init__(self, gf, node_set: np.ndarray | None = None,
+                 vectors=None):
         self.gf = gf
+        self.vectors = vectors
         self._node_set = node_set
         self._active = None
         self._deg = None
@@ -460,6 +462,21 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             if any(s.name == "neighbours" for s in (f.sel or [])):
                 ctx.batch_neighbours(vids)      # one scan for the page
             out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
+        elif f.name == "vectorSearchNodes":
+            # reference GraphQL exposes vector similarity search over the
+            # vectorised graph (raphtory-graphql vector search surface);
+            # here the VectorisedGraph is passed to execute(vectors=...)
+            if ctx.vectors is None:
+                raise KeyError("vectorSearchNodes needs execute("
+                               "..., vectors=VectorisedGraph)")
+            top = ctx.vectors.nodes_by_similarity(
+                f.args["query"], int(f.args.get("limit", 10)))
+            out[f.out] = [
+                {"id": int(v), "name": ctx.name_of(int(v)),
+                 "cosine": float(c), "rank": int(r)}
+                for v, c, r in zip(top["vec_id"].to_pylist(),
+                                   top["cosine"].to_pylist(),
+                                   top["rank"].to_pylist())]
         elif f.name == "edges":
             out[f.out] = _resolve_edges_page(ctx, f.args, f.sel or [])
         else:
@@ -512,15 +529,18 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
     raise KeyError(f.name)
 
 
-def execute(gf, document: str) -> dict:
+def execute(gf, document: str, vectors=None) -> dict:
     """Execute a GraphQL document against a GraphFrame. The root
     selection must contain a single ``graph`` field (the reference's
     per-graph resolver — server-managed GraphFolders don't apply here).
-    Returns ``{"data": {...}}``."""
+    ``vectors``: an optional ``data.vectors.VectorisedGraph`` enabling
+    the ``vectorSearchNodes(query, limit)`` field. Returns
+    ``{"data": {...}}``."""
     roots = parse_graphql(document)
     data = {}
     for f in roots:
         if f.name != "graph":
             raise KeyError("root field must be 'graph'")
-        data[f.out] = _resolve_graph(_GraphCtx(gf), f.sel or [])
+        data[f.out] = _resolve_graph(_GraphCtx(gf, vectors=vectors),
+                                     f.sel or [])
     return {"data": data}

@@ -228,3 +228,21 @@ def test_node_metadata_and_property_history(ray_session):
     assert n["region"] == {"region": "eu"}
     assert n["propertyHistory"] == [{"time": 5, "value": "new"},
                                     {"time": 9, "value": "active"}]
+
+
+def test_vector_search_nodes(ray_session):
+    from raphtory_ray.data.vectors import vectorise
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    vg = vectorise(gf)
+    g = execute(gf, '{ graph { vectorSearchNodes(query: "a", limit: 3) '
+                    '} }', vectors=vg)
+    hits = g["data"]["graph"]["vectorSearchNodes"]
+    assert len(hits) == 3
+    assert [h["rank"] for h in hits] == [1, 2, 3]
+    assert all(set(h) == {"id", "name", "cosine", "rank"} for h in hits)
+    # parity with the direct API
+    direct = vg.nodes_by_similarity("a", 3)
+    assert [h["id"] for h in hits] == direct["vec_id"].to_pylist()
+    with pytest.raises(KeyError):
+        execute(gf, '{ graph { vectorSearchNodes(query: "a") } }')
