@@ -14,19 +14,25 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
 
 - view transforms, each returning a nested graph context:
   ``window(start, end)``, ``at(time)``, ``before(time)``,
-  ``after(time)``, ``layer(name)``, ``excludeLayer(name)``,
-  ``subgraph(nodes: [...])``, ``subgraphNodeTypes(nodeTypes: [...])``,
-  ``excludeNodes(nodes: [...])``
-- scalars: ``countNodes``, ``countEdges`` (distinct simple edges),
-  ``countTemporalEdges`` (event rows), ``earliestTime``,
+  ``after(time)``, ``snapshotAt(time)``, ``snapshotLatest``,
+  ``layer(name)``, ``excludeLayer(name)``, ``subgraph(nodes: [...])``,
+  ``subgraphNodeTypes(nodeTypes: [...])``, ``excludeNodes(nodes:
+  [...])``; plus ``rolling(window, step)`` / ``expanding(step)``
+  WindowSets returning LISTS of window contexts with ``start``/``end``
+- scalars: ``countNodes`` (under a time view: event-active nodes only,
+  graph.rs windowed semantics), ``countEdges`` (distinct simple
+  edges), ``countTemporalEdges`` (event rows), ``earliestTime``,
   ``latestTime``, ``hasNode(name)``, ``hasEdge(src, dst)``
 - ``nodes(offset, limit)`` — vid-ordered page; node fields: ``id``,
   ``name`` (gid), ``nodeType``, ``degree``, ``inDegree``,
-  ``outDegree``, ``neighbours(limit)``
+  ``outDegree``, ``neighbours(limit)``, ``metadata(key?)``,
+  ``propertyHistory(key)``
 - ``node(name)`` — single node by gid (or vid when no vertices table)
 - ``edges(offset, limit)`` — (src, dst, t, eventId)-ordered page; edge
   fields: ``src``, ``dst``, ``time``, ``eventId``, ``layer``, plus any
   temporal property column by name
+- ``vectorSearchNodes(query, limit)`` — semantic top-k over a
+  ``VectorisedGraph`` passed to ``execute(..., vectors=vg)``
 
 Pagination is deterministic (explicit sort keys) so pages are stable
 across runs and cluster sizes — the Ray mapping SURVEY §2.6 prescribes
@@ -170,7 +176,8 @@ def parse_graphql(doc: str) -> list:
 
 # ------------------------------------------------------------- executor
 
-_VIEW_FIELDS = {"window", "at", "before", "after", "layer", "excludeLayer",
+_VIEW_FIELDS = {"window", "at", "before", "after", "snapshotAt",
+                "snapshotLatest", "layer", "excludeLayer",
                 "subgraph", "subgraphNodeTypes", "excludeNodes"}
 
 
@@ -499,6 +506,10 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
         return gf.window(int(a["start"]), int(a["end"])), parent_set
     if f.name == "at":
         return gf.at(int(a["time"])), parent_set
+    if f.name == "snapshotAt":
+        return gf.snapshot_at(int(a["time"])), parent_set
+    if f.name == "snapshotLatest":
+        return gf.snapshot_latest(), parent_set
     if f.name == "before":
         return gf.before(int(a["time"])), parent_set
     if f.name == "after":

@@ -246,3 +246,16 @@ def test_vector_search_nodes(ray_session):
     assert [h["id"] for h in hits] == direct["vec_id"].to_pylist()
     with pytest.raises(KeyError):
         execute(gf, '{ graph { vectorSearchNodes(query: "a") } }')
+
+
+def test_snapshot_views(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { s: snapshotAt(time: 3) "
+                    "{ countTemporalEdges } "
+                    "l: snapshotLatest { countTemporalEdges } } }")
+    got = g["data"]["graph"]
+    assert got["s"]["countTemporalEdges"] == \
+        gf.snapshot_at(3).edges.count()
+    assert got["l"]["countTemporalEdges"] == \
+        gf.snapshot_latest().edges.count()
