@@ -385,8 +385,24 @@ def _resolve_edges_page(ctx: _GraphCtx, args: dict, sel: list):
     for k in ("t", "event_id"):
         if k in cols:
             sort_keys.append(k)
-    page = gf.edges.sort(sort_keys).limit(offset + limit) \
-        .take_all()[offset:offset + limit]
+    # top-(offset+limit) per block + driver merge — a page never needs
+    # the full all-to-all sort a Dataset.sort would run; the driver holds
+    # at most blocks × (offset+limit) rows
+    need = offset + limit
+    order = [(k, "ascending") for k in sort_keys]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= need:
+            return b
+        return b.sort_by(order).slice(0, need)
+
+    parts = [t for t in gf.edges.map_batches(
+        local_top, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        return []
+    merged = pa.concat_tables(parts, promote_options="default")
+    page = merged.sort_by(order).slice(offset, limit).to_pylist()
     rows = []
     field_map = {"src": "src", "dst": "dst", "time": "t",
                  "eventId": "event_id", "layer": "layer"}
