@@ -19,6 +19,10 @@ Query families:
   near-dup).
 - ``corpus_*`` — the source-repo corpus pipeline per BASELINE.json
   input_hint (synthesized deterministically; no DuckDB view → rows-only).
+- ``cypher_*`` / ``gql_nodes_page`` — the §2.11 query surfaces
+  (query/cypher.py distributed-hash-join compiler, query/graphql.py
+  server-less executor) run over the user graph; the DuckDB oracle is
+  the literal SQL transpile (vid == user_id).
 """
 
 from __future__ import annotations
