@@ -35,11 +35,12 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
   ``VectorisedGraph`` passed to ``execute(..., vectors=vg)``
 
 Pagination is deterministic (explicit sort keys) so pages are stable
-across runs and cluster sizes — the Ray mapping SURVEY §2.6 prescribes
-(``ds.sort`` + bounded take of offset+limit rows; only the page reaches
-the driver). Degrees come from the engine's distinct-neighbour kernels
-over the dst/src-grouped edge Dataset, computed once per execution and
-reused across the page.
+across runs and cluster sizes; the edges page runs a per-block
+top-(offset+limit) selection and merges only blocks × (offset+limit)
+rows on the driver — never a full all-to-all sort. Degrees come from
+the engine's cached BspGraph; per-node lookups (names, metadata,
+neighbours, property histories) are batched one pass per page, not one
+scan per node.
 """
 
 from __future__ import annotations
@@ -201,7 +202,9 @@ class _GraphCtx:
         self._node_set = node_set
         self._active = None
         self._deg = None
+        self._vidx: dict | None = None
         self._nbr_cache: dict = {}
+        self._hist_cache: dict = {}
 
     @property
     def node_set(self) -> np.ndarray | None:
@@ -271,6 +274,20 @@ class _GraphCtx:
         return vt["gid"] if vt is not None and "gid" in vt.column_names \
             else None
 
+    def _vid_index(self) -> dict:
+        """vid → vertices-table row index, built ONCE per context —
+        name_of / nodeType / metadata / vid_of all read it instead of
+        running an O(V) pc.index scan per node."""
+        if self._vidx is None:
+            vt = self.gf.vertices
+            self._vidx = {} if vt is None else {
+                int(v): i for i, v in enumerate(
+                    vt["vid"].to_numpy(zero_copy_only=False))}
+        return self._vidx
+
+    def row_of(self, vid: int) -> int | None:
+        return self._vid_index().get(int(vid))
+
     def vid_of(self, name) -> int | None:
         gids = self._gids()
         if gids is None:
@@ -289,9 +306,37 @@ class _GraphCtx:
         gids = self._gids()
         if gids is None:
             return vid
-        idx = pc.index(self.gf.vertices["vid"],
-                       pa.scalar(vid, pa.int64())).as_py()
-        return gids[idx].as_py() if idx >= 0 else str(vid)
+        idx = self.row_of(vid)
+        return gids[idx].as_py() if idx is not None else str(vid)
+
+    def batch_property_history(self, vids: list, key: str) -> dict:
+        """One pass over node_events for a whole page — NOT a scan per
+        node. Missing node_events → empty histories (clean, no assert)."""
+        ck = (key,)
+        cache = self._hist_cache.setdefault(ck, {})
+        todo = [v for v in vids if v not in cache]
+        if todo:
+            for v in todo:
+                cache[v] = []
+            ne = self.gf.node_events
+            if ne is not None:
+                want = np.array(sorted(todo), dtype=np.int64)
+
+                def filt(b: pa.Table) -> pa.Table:
+                    v = b["vid"].to_numpy(zero_copy_only=False)
+                    return b.select(["vid", "t", key]).filter(
+                        pa.array(np.isin(v, want)))
+
+                parts = [t for t in ne.map_batches(
+                    filt, batch_format="pyarrow", zero_copy_batch=True)
+                    .iter_batches(batch_format="pyarrow") if t.num_rows]
+                if parts:
+                    tbl = pa.concat_tables(parts).sort_by("t")
+                    for v, t, val in zip(tbl["vid"].to_pylist(),
+                                         tbl["t"].to_pylist(),
+                                         tbl[key].to_pylist()):
+                        cache[v].append({"time": t, "value": val})
+        return {v: cache[v] for v in vids}
 
     def batch_neighbours(self, vids: list) -> dict:
         """One pass over the edge Dataset for a whole page of nodes —
@@ -336,10 +381,9 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             if vt is None or "node_type" not in vt.column_names:
                 out[f.out] = None
             else:
-                idx = pc.index(vt["vid"],
-                               pa.scalar(vid, pa.int64())).as_py()
-                out[f.out] = vt["node_type"][idx].as_py() if idx >= 0 \
-                    else None
+                idx = ctx.row_of(vid)
+                out[f.out] = vt["node_type"][idx].as_py() \
+                    if idx is not None else None
         elif f.name == "degree":
             out[f.out] = int(bdeg[vid])
         elif f.name == "inDegree":
@@ -354,23 +398,21 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
                           for v in nbrs]
         elif f.name == "metadata":
             # constant node metadata = the vertices-table row
-            # (node.rs metadata resolver); key filters to one entry
+            # (node.rs metadata resolver); key filters to one entry —
+            # same {key: None} shape whether the table or row is missing
+            key = f.args.get("key")
             if vt is None:
-                out[f.out] = {}
+                row = {}
             else:
-                idx = pc.index(vt["vid"],
-                               pa.scalar(vid, pa.int64())).as_py()
+                idx = ctx.row_of(vid)
                 row = {c: vt[c][idx].as_py() for c in vt.column_names
-                       if c != "vid"} if idx >= 0 else {}
-                key = f.args.get("key")
-                out[f.out] = {key: row.get(key)} if key else row
+                       if c != "vid"} if idx is not None else {}
+            out[f.out] = {key: row.get(key)} if key else row
         elif f.name == "propertyHistory":
             # temporal node property history (node.rs properties()
-            # .temporal() resolver) → [{time, value}]
-            hist = ctx.gf.node_property_history(f.args["key"], vid)
-            out[f.out] = [{"time": t, "value": v} for t, v in
-                          zip(hist["t"].to_pylist(),
-                              hist[f.args["key"]].to_pylist())]
+            # .temporal() resolver) → [{time, value}]; batched page-wide
+            out[f.out] = ctx.batch_property_history(
+                [vid], f.args["key"])[vid]
         else:
             raise KeyError(f"unknown node field {f.name!r}")
     return out
@@ -428,8 +470,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             # the parent's full active-set scan even when no child field
             # needs a node universe
             sub, node_set = _apply_view(gf, f, ctx._node_set)
-            out[f.out] = _resolve_graph(_GraphCtx(sub, node_set),
-                                        f.sel or [])
+            out[f.out] = _resolve_graph(
+                _GraphCtx(sub, node_set, vectors=ctx.vectors),
+                f.sel or [])
         elif f.name in ("rolling", "expanding"):
             # WindowSet resolvers (graph.rs rolling/expanding): a LIST of
             # window contexts, each resolving the same graph fields;
@@ -443,7 +486,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             for v in views:
                 sub_sel = [s for s in (f.sel or [])
                            if s.name not in ("start", "end")]
-                o = _resolve_graph(_GraphCtx(v, ctx._node_set), sub_sel)
+                o = _resolve_graph(
+                    _GraphCtx(v, ctx._node_set, vectors=ctx.vectors),
+                    sub_sel)
                 for s in (f.sel or []):
                     if s.name in ("start", "end"):
                         o[s.out] = getattr(v, s.name)
@@ -484,6 +529,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             vids = ctx.page_vids(offset, limit)
             if any(s.name == "neighbours" for s in (f.sel or [])):
                 ctx.batch_neighbours(vids)      # one scan for the page
+            for s in (f.sel or []):             # same for histories
+                if s.name == "propertyHistory":
+                    ctx.batch_property_history(vids, s.args["key"])
             out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
         elif f.name == "vectorSearchNodes":
             # reference GraphQL exposes vector similarity search over the

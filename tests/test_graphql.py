@@ -259,3 +259,36 @@ def test_snapshot_views(ray_session):
         gf.snapshot_at(3).edges.count()
     assert got["l"]["countTemporalEdges"] == \
         gf.snapshot_latest().edges.count()
+
+
+def test_vector_search_under_view_and_batched_history(ray_session):
+    import ray.data as rd
+    from raphtory_ray.data.vectors import vectorise
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    vg = vectorise(gf)
+    g = execute(gf, '{ graph { layer(name: "x") { '
+                    'vectorSearchNodes(query: "a", limit: 2) } } }',
+                vectors=vg)
+    assert len(g["data"]["graph"]["layer"]["vectorSearchNodes"]) == 2
+    # propertyHistory without node_events -> clean empty list, no crash
+    g2 = execute(gf, '{ graph { node(name: "a") '
+                     '{ propertyHistory(key: "status") } } }')
+    assert g2["data"]["graph"]["node"]["propertyHistory"] == []
+    # page-wide batched histories
+    nev = pa.table({"vid": pa.array([0, 1, 0], pa.int64()),
+                    "t": pa.array([3, 4, 8], pa.int64()),
+                    "event_id": pa.array([0, 1, 2], pa.int64()),
+                    "status": pa.array(["x", "y", "z"])})
+    edges = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64()),
+                      "t": pa.array([1], pa.int64()),
+                      "event_id": pa.array([0], pa.int64())})
+    gf2 = GraphFrame(rd.from_arrow(edges), 2, None, rd.from_arrow(nev))
+    g3 = execute(gf2, '{ graph { nodes(limit: 2) '
+                      '{ id propertyHistory(key: "status") } } }')
+    nodes = g3["data"]["graph"]["nodes"]
+    assert nodes[0]["propertyHistory"] == [
+        {"time": 3, "value": "x"}, {"time": 8, "value": "z"}]
+    assert nodes[1]["propertyHistory"] == [{"time": 4, "value": "y"}]
