@@ -354,6 +354,33 @@ def _q_gql_nodes_page(sf_dir: str) -> pa.Table:
     })
 
 
+def _layered_user_gf(sf_dir: str):
+    """User graph with layer = source event's type (for :TYPE patterns)."""
+    key = ("user_gf_layered", sf_dir)
+    if key not in _GRAPH_CACHE:
+        import ray.data as rd  # noqa: F401
+        from raphtory_ray.graph.graph_frame import GraphFrame
+        from raphtory_ray.pipelines.tpch_graph import (user_edges,
+                                                       user_vertex_count)
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["layer" if c == "etype" else c for c in b.column_names])
+
+        edges = user_edges(sf_dir, keep_type=True).map_batches(
+            rename, batch_format="pyarrow", zero_copy_batch=True)
+        _GRAPH_CACHE[key] = GraphFrame(edges, n=user_vertex_count(sf_dir))
+    return _GRAPH_CACHE[key]
+
+
+def _q_cypher_layer_filter(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_layered_user_gf(sf_dir),
+                  "MATCH (a)-[e:purchase]->(b) WHERE e.w > 50.0 "
+                  "RETURN a AS src, b AS dst, type(e) AS etype, "
+                  "e.t AS t, e.event_id AS event_id")
+
+
 def _q_cypher_edge_filter(sf_dir: str):
     from raphtory_ray.query import cypher
     return cypher(_user_gf(sf_dir),
@@ -1220,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
         "cypher_edge_filter": _q_cypher_edge_filter,
+        "cypher_layer_filter": _q_cypher_layer_filter,
         "gql_nodes_page": _q_gql_nodes_page,
         "cypher_two_hop": _q_cypher_two_hop,
         "cypher_fanout": _q_cypher_fanout,
@@ -2166,6 +2194,18 @@ SELECT src, dst, t, event_id, w FROM user_edges
         "cypher_edge_filter": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
+""",
+        "cypher_layer_filter": """
+WITH typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
+         epoch_ms(ts) AS t, event_id, value AS w,
+         event_type AS etype
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL
+)
+SELECT src, dst, etype, t, event_id FROM typed
+WHERE etype = 'purchase' AND w > 50.0
 """,
         "gql_nodes_page": f"""
 WITH {_USER_EDGES},
