@@ -381,6 +381,22 @@ def _q_cypher_layer_filter(sf_dir: str):
                   "e.t AS t, e.event_id AS event_id")
 
 
+def _q_gql_window_counts(sf_dir: str) -> pa.Table:
+    """Windowed GraphQL scalars: countNodes = event-ACTIVE nodes in the
+    window (graph.rs windowed count_nodes semantics, round-3), plus the
+    event count — gated against SQL over the same half-open window."""
+    from raphtory_ray.query.graphql import execute
+    t0, t1 = _user_window(sf_dir)
+    res = execute(_user_gf(sf_dir),
+                  f"{{ graph {{ w: window(start: {t0}, end: {t1}) "
+                  f"{{ countNodes countTemporalEdges }} }} }}")
+    w = res["data"]["graph"]["w"]
+    return pa.table({
+        "active_nodes": pa.array([w["countNodes"]], pa.int64()),
+        "events": pa.array([w["countTemporalEdges"]], pa.int64()),
+    })
+
+
 def _q_cypher_edge_filter(sf_dir: str):
     from raphtory_ray.query import cypher
     return cypher(_user_gf(sf_dir),
@@ -1249,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_layer_filter": _q_cypher_layer_filter,
         "gql_nodes_page": _q_gql_nodes_page,
+        "gql_window_counts": _q_gql_window_counts,
         "cypher_two_hop": _q_cypher_two_hop,
         "cypher_fanout": _q_cypher_fanout,
         "cypher_cycle": _q_cypher_cycle,
@@ -2206,6 +2223,23 @@ WITH typed AS (
 )
 SELECT src, dst, etype, t, event_id FROM typed
 WHERE etype = 'purchase' AND w > 50.0
+""",
+        "gql_window_counts": f"""
+WITH {_USER_EDGES},
+bounds AS (
+  SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
+),
+win AS (
+  SELECT tmin + (tmax - tmin) // 4 AS t0,
+         tmin + (3 * (tmax - tmin)) // 4 AS t1 FROM bounds
+),
+inwin AS (
+  SELECT src, dst FROM user_edges, win WHERE t >= t0 AND t < t1
+)
+SELECT (SELECT COUNT(DISTINCT v)::BIGINT FROM (
+          SELECT src AS v FROM inwin UNION SELECT dst FROM inwin))
+         AS active_nodes,
+       (SELECT COUNT(*)::BIGINT FROM inwin) AS events
 """,
         "gql_nodes_page": f"""
 WITH {_USER_EDGES},
