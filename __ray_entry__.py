@@ -405,6 +405,12 @@ def _q_cypher_edge_filter(sf_dir: str):
                   "e.event_id AS event_id")
 
 
+def _q_cypher_undirected(sf_dir: str):
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]-(b) RETURN a AS v, count(*) AS touches")
+
+
 def _q_cypher_two_hop(sf_dir: str):
     from raphtory_ray.query import cypher
     return cypher(_user_gf(sf_dir),
@@ -1264,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_graph_edges": _q_user_edges,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_layer_filter": _q_cypher_layer_filter,
+        "cypher_undirected": _q_cypher_undirected,
         "gql_nodes_page": _q_gql_nodes_page,
         "gql_window_counts": _q_gql_window_counts,
         "cypher_two_hop": _q_cypher_two_hop,
@@ -2223,6 +2230,15 @@ WITH typed AS (
 )
 SELECT src, dst, etype, t, event_id FROM typed
 WHERE etype = 'purchase' AND w > 50.0
+""",
+        "cypher_undirected": f"""
+WITH {_USER_EDGES},
+und AS (
+  SELECT src AS a, dst AS b FROM user_edges
+  UNION ALL
+  SELECT dst, src FROM user_edges WHERE dst <> src
+)
+SELECT a AS v, COUNT(*)::BIGINT AS touches FROM und GROUP BY a
 """,
         "gql_window_counts": f"""
 WITH {_USER_EDGES},
