@@ -157,6 +157,20 @@ class GraphFrame:
         g.start, g.end = lo, hi
         return g
 
+    def shrink_window(self, start: int, end: int) -> "GraphFrame":
+        """Narrow both view bounds (GqlGraph::shrink_window,
+        graph.rs:336-348) — identical to window(): nested bounds
+        intersect, never widen."""
+        return self.window(start, end)
+
+    def shrink_start(self, t: int) -> "GraphFrame":
+        """Narrow only the start bound (graph.rs:350-361)."""
+        return self.window(t, None)
+
+    def shrink_end(self, t: int) -> "GraphFrame":
+        """Narrow only the end bound (graph.rs:363-374)."""
+        return self.window(None, t)
+
     def at(self, t: int) -> "GraphFrame":
         return self.window(t, t + 1)
 

@@ -15,7 +15,8 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
 - view transforms, each returning a nested graph context:
   ``window(start, end)``, ``at(time)``, ``before(time)``,
   ``after(time)``, ``snapshotAt(time)``, ``snapshotLatest``,
-  ``layer(name)``, ``excludeLayer(name)``, ``subgraph(nodes: [...])``,
+  ``shrinkWindow(start, end)``, ``shrinkStart(time)``,
+  ``shrinkEnd(time)``, ``layer(name)``, ``excludeLayer(name)``, ``subgraph(nodes: [...])``,
   ``subgraphNodeTypes(nodeTypes: [...])``, ``excludeNodes(nodes:
   [...])``; plus ``rolling(window, step)`` / ``expanding(step)``
   WindowSets returning LISTS of window contexts with ``start``/``end``
@@ -178,7 +179,8 @@ def parse_graphql(doc: str) -> list:
 # ------------------------------------------------------------- executor
 
 _VIEW_FIELDS = {"window", "at", "before", "after", "snapshotAt",
-                "snapshotLatest", "layer", "excludeLayer",
+                "snapshotLatest", "shrinkWindow", "shrinkStart",
+                "shrinkEnd", "layer", "excludeLayer",
                 "subgraph", "subgraphNodeTypes", "excludeNodes"}
 
 
@@ -574,6 +576,12 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
         return gf.snapshot_at(int(a["time"])), parent_set
     if f.name == "snapshotLatest":
         return gf.snapshot_latest(), parent_set
+    if f.name == "shrinkWindow":
+        return gf.shrink_window(int(a["start"]), int(a["end"])), parent_set
+    if f.name == "shrinkStart":
+        return gf.shrink_start(int(a["time"])), parent_set
+    if f.name == "shrinkEnd":
+        return gf.shrink_end(int(a["time"])), parent_set
     if f.name == "before":
         return gf.before(int(a["time"])), parent_set
     if f.name == "after":

@@ -292,3 +292,16 @@ def test_vector_search_under_view_and_batched_history(ray_session):
     assert nodes[0]["propertyHistory"] == [
         {"time": 3, "value": "x"}, {"time": 8, "value": "z"}]
     assert nodes[1]["propertyHistory"] == [{"time": 4, "value": "y"}]
+
+
+def test_shrink_view_fields(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { a: shrinkStart(time: 3) "
+                    "{ countTemporalEdges } "
+                    "b: shrinkEnd(time: 4) { countTemporalEdges } "
+                    "c: shrinkWindow(start: 2, end: 5) "
+                    "{ countTemporalEdges } } }")["data"]["graph"]
+    assert g["a"]["countTemporalEdges"] == 4   # t in {3,4,5,6}
+    assert g["b"]["countTemporalEdges"] == 3   # t in {1,2,3}
+    assert g["c"]["countTemporalEdges"] == 3   # t in {2,3,4}

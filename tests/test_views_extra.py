@@ -150,3 +150,23 @@ def test_balance_direction_variants(ray_session):
     np.testing.assert_allclose(balance(gf, "w", "in").values, [0, 2, 3])
     np.testing.assert_allclose(balance(gf, "w", "out").values, [-2, -3, 0])
     np.testing.assert_allclose(balance(gf, "w", "both").values, [-2, -1, 3])
+
+
+def test_shrink_window_aliases(ray_session):
+    """shrink_window/start/end (graph.rs:336-374) = one-sided window
+    narrowing; nested bounds intersect, never widen."""
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0], pa.int64()),
+                      "t": pa.array([1, 5, 9], pa.int64()),
+                      "event_id": pa.array([0, 1, 2], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    assert gf.shrink_start(3).edges.count() == 2
+    assert gf.shrink_end(6).edges.count() == 2
+    assert gf.shrink_window(3, 6).edges.count() == 1
+    # narrowing never widens an existing window
+    w = gf.window(4, 8)
+    assert w.shrink_start(0).start == 4
+    assert w.shrink_end(100).end == 8
