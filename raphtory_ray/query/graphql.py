@@ -16,7 +16,9 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
   ``window(start, end)``, ``at(time)``, ``before(time)``,
   ``after(time)``, ``snapshotAt(time)``, ``snapshotLatest``,
   ``shrinkWindow(start, end)``, ``shrinkStart(time)``,
-  ``shrinkEnd(time)``, ``layer(name)``, ``excludeLayer(name)``, ``subgraph(nodes: [...])``,
+  ``shrinkEnd(time)``, ``layer(name)`` / ``layers(names: [...])``,
+  ``excludeLayer(name)`` / ``excludeLayers(names: [...])``,
+  ``defaultLayer``, ``subgraph(nodes: [...])``,
   ``subgraphNodeTypes(nodeTypes: [...])``, ``excludeNodes(nodes:
   [...])``; plus ``rolling(window, step)`` / ``expanding(step)``
   WindowSets returning LISTS of window contexts with ``start``/``end``
@@ -180,7 +182,8 @@ def parse_graphql(doc: str) -> list:
 
 _VIEW_FIELDS = {"window", "at", "before", "after", "snapshotAt",
                 "snapshotLatest", "shrinkWindow", "shrinkStart",
-                "shrinkEnd", "layer", "excludeLayer",
+                "shrinkEnd", "layer", "layers", "excludeLayer",
+                "excludeLayers", "defaultLayer",
                 "subgraph", "subgraphNodeTypes", "excludeNodes"}
 
 
@@ -588,8 +591,14 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
         return gf.after(int(a["time"])), parent_set
     if f.name == "layer":
         return gf.layer(a["name"]), parent_set
+    if f.name == "layers":
+        return gf.layer(list(a["names"])), parent_set
     if f.name == "excludeLayer":
         return gf.exclude_layer(a["name"]), parent_set
+    if f.name == "excludeLayers":
+        return gf.exclude_layer(list(a["names"])), parent_set
+    if f.name == "defaultLayer":
+        return gf.default_layer(), parent_set
     if f.name == "subgraph":
         keep = restrict(np.asarray(a["nodes"]))
         return gf.subgraph(keep), keep

@@ -305,3 +305,19 @@ def test_shrink_view_fields(ray_session):
     assert g["a"]["countTemporalEdges"] == 4   # t in {3,4,5,6}
     assert g["b"]["countTemporalEdges"] == 3   # t in {1,2,3}
     assert g["c"]["countTemporalEdges"] == 3   # t in {2,3,4}
+
+
+def test_layer_plural_and_default(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, '{ graph { '
+                    'ls: layers(names: ["x", "y"]) { countTemporalEdges } '
+                    'ex: excludeLayers(names: ["x"]) '
+                    '{ countTemporalEdges } '
+                    'dl: defaultLayer { countTemporalEdges } } }')
+    got = g["data"]["graph"]
+    assert got["ls"]["countTemporalEdges"] == 6
+    assert got["ex"]["countTemporalEdges"] == \
+        gf.exclude_layer("x").edges.count() == 3
+    assert got["dl"]["countTemporalEdges"] == \
+        gf.default_layer().edges.count()
