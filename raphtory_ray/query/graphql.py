@@ -499,6 +499,19 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
                         o[s.out] = getattr(v, s.name)
                 items.append(o)
             out[f.out] = items
+        elif f.name == "uniqueLayers":
+            # graph.rs unique_layers: distinct layer names in the view
+            cols = gf.edges.schema().names if gf.edges.schema() else []
+            if "layer" not in (cols or []):
+                out[f.out] = ["_default"]
+            else:
+                vals = gf.edges.unique("layer")
+                out[f.out] = sorted("_default" if v is None else v
+                                    for v in vals)
+        elif f.name == "start":
+            out[f.out] = gf.start
+        elif f.name == "end":
+            out[f.out] = gf.end
         elif f.name == "countNodes":
             out[f.out] = ctx.count_nodes()
         elif f.name == "countEdges":

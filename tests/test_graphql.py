@@ -321,3 +321,14 @@ def test_layer_plural_and_default(ray_session):
         gf.exclude_layer("x").edges.count() == 3
     assert got["dl"]["countTemporalEdges"] == \
         gf.default_layer().edges.count()
+
+
+def test_unique_layers_and_bounds(ray_session):
+    from raphtory_ray.query.graphql import execute
+    gf = _gf()
+    g = execute(gf, "{ graph { uniqueLayers "
+                    "w: window(start: 2, end: 5) { start end "
+                    "uniqueLayers } } }")["data"]["graph"]
+    assert g["uniqueLayers"] == ["x", "y"]
+    assert g["w"]["start"] == 2 and g["w"]["end"] == 5
+    assert set(g["w"]["uniqueLayers"]) <= {"x", "y"}
