@@ -75,6 +75,10 @@ def main() -> None:
                          "(query/cypher.py subset) and write the result "
                          "under <output>/cypher/ as partitioned parquet; "
                          "runs after --algorithms (which may be '')")
+    ap.add_argument("--graphql", default=None, metavar="DOC",
+                    help="execute a GraphQL document over the ingested "
+                         "graph (query/graphql.py) and write the JSON "
+                         "response under <output>/graphql/")
     args = ap.parse_args()
 
     import ray
@@ -88,11 +92,14 @@ def main() -> None:
     algos = [a.strip() for a in args.algorithms.split(",") if a.strip()]
     todo = [a for a in algos if not os.path.exists(
         os.path.join(args.output, a, "_SUCCESS"))]
-    cypher_todo = args.cypher is not None and not _cypher_done(
+    cypher_todo = args.cypher is not None and not _query_done(
         os.path.join(args.output, "cypher"), args.cypher)
+    gql_todo = args.graphql is not None and not _query_done(
+        os.path.join(args.output, "graphql"), args.graphql)
     print(f"[job] algorithms: {algos}; pending: {todo}"
-          f"{' + cypher' if cypher_todo else ''}", flush=True)
-    if not todo and not cypher_todo:
+          f"{' + cypher' if cypher_todo else ''}"
+          f"{' + graphql' if gql_todo else ''}", flush=True)
+    if not todo and not cypher_todo and not gql_todo:
         ray.shutdown()
         return
 
@@ -172,12 +179,28 @@ def main() -> None:
                        "wall_sec": time.perf_counter() - t0}, f)
         open(os.path.join(d, "_SUCCESS"), "w").write("ok")
         print(f"[job] cypher done", flush=True)
+
+    if gql_todo:
+        import shutil
+        from raphtory_ray.query.graphql import execute
+        d = os.path.join(args.output, "graphql")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        t0 = time.perf_counter()
+        res = execute(gf, args.graphql)
+        with open(os.path.join(d, "response.json"), "w") as f:
+            json.dump(res, f)
+        with open(os.path.join(d, "METRICS.json"), "w") as f:
+            json.dump({"query": args.graphql,
+                       "wall_sec": time.perf_counter() - t0}, f)
+        open(os.path.join(d, "_SUCCESS"), "w").write("ok")
+        print(f"[job] graphql done", flush=True)
     ray.shutdown()
 
 
-def _cypher_done(d: str, query: str) -> bool:
-    """The cypher resume marker is only valid for the SAME query — a
-    rerun with a different --cypher must recompute, not silently skip."""
+def _query_done(d: str, query: str) -> bool:
+    """The cypher/graphql resume marker is only valid for the SAME query
+    — a rerun with a different query must recompute, not silently skip."""
     import json as _json
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         return False
