@@ -605,11 +605,15 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
     if f.name == "layer":
         return gf.layer(a["name"]), parent_set
     if f.name == "layers":
-        return gf.layer(list(a["names"])), parent_set
+        ns = a["names"]
+        return gf.layer([ns] if isinstance(ns, str) else list(ns)), \
+            parent_set
     if f.name == "excludeLayer":
         return gf.exclude_layer(a["name"]), parent_set
     if f.name == "excludeLayers":
-        return gf.exclude_layer(list(a["names"])), parent_set
+        ns = a["names"]
+        return gf.exclude_layer(
+            [ns] if isinstance(ns, str) else list(ns)), parent_set
     if f.name == "defaultLayer":
         return gf.default_layer(), parent_set
     if f.name == "subgraph":
