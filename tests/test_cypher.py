@@ -383,3 +383,18 @@ def test_cypher_composes_with_views(ray_session):
                 "SELECT count(*) AS cnt FROM e "
                 "WHERE t >= 20 AND t < 60 AND layer = 'buys'").to_pylist()
     assert got[0]["cnt"] == want[0]["cnt"] > 0
+
+
+def test_reference_netflow_shape(ray_session):
+    """the reference transpiler's most complex test form
+    (transpiler/mod.rs:1552-1586): three comma-joined patterns sharing
+    node vars, one a self-loop, left-direction arrows, count(*)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (E)<-[nf1]-(B)<-[login1]-(A), (B)<-[prog1]-(B) "
+           "WHERE A <> B RETURN count(*) AS cnt",
+           "SELECT count(*) AS cnt "
+           "FROM e nf1 JOIN e login1 ON nf1.src = login1.dst "
+           "JOIN (SELECT * FROM e WHERE src = dst) prog1 "
+           "ON prog1.dst = nf1.src "
+           "WHERE login1.src <> nf1.src")
