@@ -45,6 +45,31 @@ def _host_cal_ms() -> float:
     return (time.perf_counter() - t0) * 1000
 
 
+def _wait_healthy(max_wait_sec: float | None = None,
+                  threshold_ms: float = 120.0) -> dict:
+    """Gate a benchmark on host health. The sandbox VM suffers hypervisor
+    degradation bursts (cal 4,000-30,000 ms vs ~55 healthy) that poisoned
+    the committed round-3 bench record; poll the in-band probe until it
+    reads < threshold, then proceed. If no healthy window appears within
+    max_wait the bench runs anyway — degraded numbers with an honest
+    host_cal annotation beat no numbers. Returns the gate telemetry so the
+    emitted JSON carries the evidence either way."""
+    if max_wait_sec is None:
+        max_wait_sec = float(os.environ.get("RA_GATE_MAX_SEC", "600"))
+    t0 = time.perf_counter()
+    samples = []
+    while True:
+        cal = _host_cal_ms()
+        samples.append(round(cal, 1))
+        waited = time.perf_counter() - t0
+        if cal < threshold_ms or waited >= max_wait_sec:
+            return {"gate_cal_ms": round(cal, 1),
+                    "gate_waited_sec": round(waited, 1),
+                    "gate_healthy": cal < threshold_ms,
+                    "gate_samples": samples[-20:]}
+        time.sleep(min(10.0, max(2.0, cal / 1000.0)))
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -599,17 +624,31 @@ def main():
     elif "--scaling-compute-single" in sys.argv:
         print(json.dumps(run_scaling_compute_single(num_cpus)))
     elif "--scaling-compute" in sys.argv:
-        print(json.dumps(run_scaling_compute()))
+        gate = _wait_healthy()
+        res = run_scaling_compute()
+        res["health_gate"] = gate
+        print(json.dumps(res))
     elif "--scaling-weak-compute" in sys.argv:
-        print(json.dumps(run_scaling_weak_compute()))
+        gate = _wait_healthy()
+        res = run_scaling_weak_compute()
+        res["health_gate"] = gate
+        print(json.dumps(res))
     elif "--scaling-weak" in sys.argv:
-        print(json.dumps(run_scaling_weak()))
+        gate = _wait_healthy()
+        res = run_scaling_weak()
+        res["health_gate"] = gate
+        print(json.dumps(res))
     elif "--scaling" in sys.argv:
+        gate = _wait_healthy()
         res = run_scaling(sf_dir)
         res["compute_bound"] = run_scaling_compute()
+        res["health_gate"] = gate
         print(json.dumps(res))
     else:
-        print(json.dumps(run_bench(sf_dir, num_cpus)))
+        gate = _wait_healthy()
+        res = run_bench(sf_dir, num_cpus)
+        res["health_gate"] = gate
+        print(json.dumps(res))
     import ray
     if ray.is_initialized():
         ray.shutdown()
