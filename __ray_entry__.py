@@ -432,6 +432,53 @@ def _q_cypher_cycle(sf_dir: str):
                   "RETURN count(*) AS n_cycles")
 
 
+def _q_cypher_varlen(sf_dir: str):
+    """Bounded variable-length path (round 4): distinct 1..3-hop
+    reachability pairs per start node — iterated distributed hash-join
+    expansion with per-level frontier dedup (query/cypher.py
+    _varlen_hop), gated against a bounded recursive CTE."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[*1..3]->(b) "
+                  "RETURN a AS src, count(*) AS n_reach")
+
+
+def _q_cypher_with_hubs(sf_dir: str):
+    """WITH pipeline (round 4): implicit-group aggregate, HAVING-like
+    WHERE, then a second MATCH joined on the carried node variable."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WITH b, count(*) AS indeg "
+                  "WHERE indeg >= 3 MATCH (b)-[e2]->(c) "
+                  "RETURN b AS mid, indeg, count(*) AS out_paths")
+
+
+def _q_cypher_optional(sf_dir: str):
+    """OPTIONAL MATCH (round 4): left-outer pattern — high-value edges
+    keep a row even when the destination has no high-value follow-up."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE e.w > 90.0 "
+                  "OPTIONAL MATCH (b)-[e2]->(c) WHERE e2.w > 90.0 "
+                  "RETURN a AS src, b AS dst, count(e2.t) AS n_next")
+
+
+def _q_user_windowed_wcc(sf_dir: str) -> pa.Table:
+    """Windowed WCC (round 4, closing the windowed-algorithm oracle gap:
+    reference components.rs:107-196 tests WCC on windowed views): connected
+    components over the mid-half window's edge set, reported for nodes
+    active in the window."""
+    from raphtory_ray.state.shards import BspGraph
+    t0, t1 = _user_window(sf_dir)
+    gf = _user_gf(sf_dir).window(t0, t1)
+    g = BspGraph.from_graph(gf)
+    labels = g.wcc()
+    vids = np.arange(gf.n, dtype=np.int64)
+    keep = (g.out_degree + g.in_degree) > 0
+    return _nodestate_table(vids, vids[labels], "component", pa.int64(),
+                            keep=keep)
+
+
 def _user_window(sf_dir: str) -> tuple[int, int]:
     """Deterministic mid-half window [t0, t1) over the event time range."""
     import pyarrow.parquet as pq
@@ -1276,6 +1323,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_two_hop": _q_cypher_two_hop,
         "cypher_fanout": _q_cypher_fanout,
         "cypher_cycle": _q_cypher_cycle,
+        "cypher_varlen_reach": _q_cypher_varlen,
+        "cypher_with_hubs": _q_cypher_with_hubs,
+        "cypher_optional_followup": _q_cypher_optional,
+        "user_windowed_wcc": _q_user_windowed_wcc,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
         "user_exclude_layer_edges": _q_user_exclude_layer,
@@ -2289,6 +2340,60 @@ SELECT COUNT(*)::BIGINT AS n_cycles
 FROM user_edges e1 JOIN user_edges e2
   ON e1.dst = e2.src AND e2.dst = e1.src
 WHERE e1.src <> e1.dst
+""",
+        "cypher_varlen_reach": f"""
+WITH RECURSIVE {_USER_EDGES},
+base AS (SELECT DISTINCT src, dst FROM user_edges),
+r AS (
+  SELECT src AS a, dst AS b, 1 AS k FROM base
+  UNION
+  SELECT r.a, x.dst, r.k + 1 FROM r JOIN base x ON r.b = x.src
+  WHERE r.k < 3
+),
+pairs AS (SELECT DISTINCT a, b FROM r)
+SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
+""",
+        "cypher_with_hubs": f"""
+WITH {_USER_EDGES},
+ind AS (
+  SELECT dst AS b, COUNT(*)::BIGINT AS indeg FROM user_edges
+  GROUP BY dst HAVING COUNT(*) >= 3
+)
+SELECT i.b AS mid, i.indeg AS indeg, COUNT(*)::BIGINT AS out_paths
+FROM ind i JOIN user_edges e ON e.src = i.b
+GROUP BY i.b, i.indeg
+""",
+        "cypher_optional_followup": f"""
+WITH {_USER_EDGES},
+hi AS (SELECT * FROM user_edges WHERE w > 90.0)
+SELECT e.src AS src, e.dst AS dst, COUNT(o.t)::BIGINT AS n_next
+FROM hi e LEFT JOIN hi o ON o.src = e.dst
+GROUP BY e.src, e.dst
+""",
+        "user_windowed_wcc": f"""
+WITH RECURSIVE {_USER_EDGES},
+bounds AS (
+  SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
+),
+win AS (
+  SELECT tmin + (tmax - tmin) // 4 AS t0,
+         tmin + (3 * (tmax - tmin)) // 4 AS t1 FROM bounds
+),
+wdedup AS (
+  SELECT DISTINCT src, dst FROM user_edges, win WHERE t >= t0 AND t < t1
+),
+wund AS (
+  SELECT src AS u, dst AS v FROM wdedup
+  UNION
+  SELECT dst AS u, src AS v FROM wdedup
+),
+wlab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM wund GROUP BY u
+  UNION
+  SELECT wund.u, wlab.label FROM wlab JOIN wund ON wlab.node = wund.v
+),
+wcomp AS (SELECT node AS vid, MIN(label) AS component FROM wlab GROUP BY node)
+SELECT vid, component FROM wcomp
 """,
         "user_filtered_out_degree": f"""
 WITH {_USER_EDGES},

@@ -8,8 +8,11 @@ node variables, ``:LAYER`` edge labels and ``{key: lit}`` inline property
 maps, WHERE with comparisons / arithmetic / CONTAINS / STARTS WITH /
 ENDS WITH / AND / OR / NOT, and RETURN with ``*``, aliases, DISTINCT,
 ``type(e)``, aggregates (count/sum/avg/min/max, count(DISTINCT x)),
-ORDER BY and LIMIT. Hand-rolled recursive descent — no parser library in
-the container, and the subset is small.
+ORDER BY and LIMIT. Round 4 adds ``WITH`` pipeline stages (projection /
+aggregation / DISTINCT with a post-WHERE), ``OPTIONAL MATCH`` clauses,
+and variable-length relationship ranges ``[*lo..hi]`` (the reference
+grammar's RangeLiteral, cypher.pest:204). Hand-rolled recursive descent
+— no parser library in the container, and the subset is small.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ class EdgePat:
     layer: str | None = None          # [e:LAYER]
     props: dict = field(default_factory=dict)
     direction: str = "right"          # right | left | undirected
+    var_length: tuple | None = None   # [*lo..hi] → (lo, hi); hi may be None
 
 
 @dataclass
@@ -83,6 +87,25 @@ class ReturnItem:
 
 
 @dataclass
+class WithClause:
+    """WITH [DISTINCT] items [WHERE expr] — Cypher's pipeline stage.
+    ``where`` filters AFTER the projection/aggregation (HAVING-like),
+    matching openCypher's WITH ... WHERE semantics."""
+    items: list                       # [ReturnItem]
+    distinct: bool
+    where: object | None
+
+
+@dataclass
+class Segment:
+    """One MATCH [WHERE] stage feeding a WITH clause, plus any trailing
+    OPTIONAL MATCH [WHERE] clauses (left-outer patterns)."""
+    chains: list
+    where: object | None
+    optional: list = field(default_factory=list)  # [(chains, where)]
+
+
+@dataclass
 class Query:
     chains: list
     where: object | None
@@ -91,15 +114,17 @@ class Query:
     distinct: bool
     order_by: list                    # [(expr, ascending)]
     limit: int | None
+    pre: list = field(default_factory=list)   # [(Segment, WithClause)]
+    optional: list = field(default_factory=list)  # final [(chains, where)]
 
 
 # ------------------------------------------------------------- tokens
 
-_PUNCT = ["<=", ">=", "<>", "->", "<-", "(", ")", "[", "]", "{", "}",
+_PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
           ",", ":", ".", "-", "=", "<", ">", "+", "*"]
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
-             "starts", "ends", "with", "null"}
+             "starts", "ends", "with", "null", "optional"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 
 
@@ -120,11 +145,23 @@ def _tokenize(src: str) -> list:
             i = j + 1
             continue
         if c.isdigit():
-            j = i
-            while j < n and (src[j].isdigit() or src[j] == "."):
+            # consume digits + at most ONE decimal point, and never a
+            # ".." (range operator in [*1..3]); "1.2.3" stops after "1.2"
+            # and the dangling ".3" fails downstream as a SyntaxError
+            j, seen_dot = i, False
+            while j < n and (src[j].isdigit()
+                             or (src[j] == "." and not seen_dot
+                                 and not src.startswith("..", j)
+                                 and j + 1 < n and src[j + 1].isdigit())):
+                if src[j] == ".":
+                    seen_dot = True
                 j += 1
             text = src[i:j]
-            toks.append(("num", float(text) if "." in text else int(text)))
+            try:
+                toks.append(("num",
+                             float(text) if "." in text else int(text)))
+            except ValueError:
+                raise SyntaxError(f"bad numeric literal {text!r} at {i}")
             i = j
             continue
         if c.isalpha() or c == "_":
@@ -179,7 +216,7 @@ class _P:
         return False
 
     # -- patterns ------------------------------------------------------
-    def parse(self) -> Query:
+    def _match_where(self):
         self.expect("kw", "match")
         chains = [self.chain()]
         while self.accept("punct", ","):
@@ -187,6 +224,38 @@ class _P:
         where = None
         if self.accept("kw", "where"):
             where = self.expr()
+        return chains, where
+
+    def _with_clause(self) -> WithClause:
+        distinct = self.accept("kw", "distinct")
+        items = [self.ret_item()]
+        while self.accept("punct", ","):
+            items.append(self.ret_item())
+        where = None
+        if self.accept("kw", "where"):
+            where = self.expr()
+        return WithClause(items, distinct, where)
+
+    def _optional_matches(self) -> list:
+        optional = []
+        while self.peek() == ("kw", "optional"):
+            self.next()
+            ochains, owhere = self._match_where()
+            optional.append((ochains, owhere))
+        return optional
+
+    def parse(self) -> Query:
+        pre = []
+        chains, where = self._match_where()
+        optional = self._optional_matches()
+        while self.accept("kw", "with"):
+            pre.append((Segment(chains, where, optional),
+                        self._with_clause()))
+            if self.peek() == ("kw", "match"):
+                chains, where = self._match_where()
+                optional = self._optional_matches()
+            else:
+                chains, where, optional = [], None, []
         self.expect("kw", "return")
         distinct = self.accept("kw", "distinct")
         star, items = False, []
@@ -206,7 +275,8 @@ class _P:
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
         self.expect("eof")
-        return Query(chains, where, items, star, distinct, order_by, limit)
+        return Query(chains, where, items, star, distinct, order_by, limit,
+                     pre, optional)
 
     def chain(self) -> Chain:
         nodes = [self.node_pat()]
@@ -235,11 +305,23 @@ class _P:
             self.expect("punct", "-")
         var = layer = None
         props = {}
+        var_length = None
         if self.accept("punct", "["):
             if self.peek()[0] == "ident":
                 var = self.next()[1]
             if self.accept("punct", ":"):
                 layer = self.expect("ident")[1]
+            if self.accept("punct", "*"):
+                # [*] | [*k] | [*lo..hi] | [*..hi] | [*lo..]
+                lo, hi = 1, None
+                if self.peek()[0] == "num":
+                    lo = int(self.next()[1])
+                    hi = lo
+                if self.accept("punct", ".."):
+                    hi = None
+                    if self.peek()[0] == "num":
+                        hi = int(self.next()[1])
+                var_length = (lo, hi)
             if self.peek() == ("punct", "{"):
                 props = self.prop_map()
             self.expect("punct", "]")
@@ -251,7 +333,7 @@ class _P:
         else:
             self.expect("punct", "-")
             direction = "undirected"
-        return EdgePat(var, layer, props, direction)
+        return EdgePat(var, layer, props, direction, var_length)
 
     def prop_map(self) -> dict:
         self.expect("punct", "{")
@@ -308,6 +390,15 @@ class _P:
     def cmp_expr(self):
         e = self.add_expr()
         t = self.peek()
+        if t == ("punct", "<-"):
+            # the tokenizer lexes 'e.w<-5' (no space) as an arrow; in
+            # comparison position it is really '<' followed by a negative
+            # operand — re-split here
+            self.next()
+            rhs = self.add_expr()
+            if isinstance(rhs, Lit) and isinstance(rhs.value, (int, float)):
+                return BinOp("<", e, Lit(-rhs.value))
+            return BinOp("<", e, BinOp("-", Lit(0), rhs))
         if t[0] == "punct" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
             return BinOp(t[1], e, self.add_expr())

@@ -398,3 +398,158 @@ def test_reference_netflow_shape(ray_session):
            "JOIN (SELECT * FROM e WHERE src = dst) prog1 "
            "ON prog1.dst = nf1.src "
            "WHERE login1.src <> nf1.src")
+
+
+# --------------------------------------- round 4: WITH / var-length / OPTIONAL
+
+def test_with_aggregate_having(ray_session):
+    """WITH groups by its non-aggregate items and the trailing WHERE
+    filters the PROJECTED rows (openCypher's HAVING equivalent)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH a, count(*) AS deg WHERE deg >= 8 "
+           "RETURN a, deg",
+           "SELECT src AS a, count(*) AS deg FROM e GROUP BY src "
+           "HAVING count(*) >= 8")
+
+
+def test_with_then_match_joins_carry(ray_session):
+    """the WITH output joins the next MATCH segment on shared node vars."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH b, count(*) AS indeg WHERE indeg >= 6 "
+           "MATCH (b)-[e2]->(c) RETURN b, indeg, count(*) AS outp",
+           "WITH ind AS (SELECT dst AS b, count(*) AS indeg FROM e "
+           "             GROUP BY dst HAVING count(*) >= 6) "
+           "SELECT i.b AS b, i.indeg AS indeg, count(*) AS outp "
+           "FROM ind i JOIN e ON e.src = i.b GROUP BY i.b, i.indeg")
+
+
+def test_with_distinct_alias_passthrough(ray_session):
+    """WITH DISTINCT a AS x renames a node variable; the next segment's
+    pattern (x)->() binds against the carried ids."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.w > 0.8 WITH DISTINCT a AS x "
+           "MATCH (x)-[e2]->(c) RETURN x, count(*) AS n2",
+           "WITH xs AS (SELECT DISTINCT src AS x FROM e WHERE w > 0.8) "
+           "SELECT xs.x AS x, count(*) AS n2 FROM xs "
+           "JOIN e ON e.src = xs.x GROUP BY xs.x")
+
+
+def test_with_scalar_in_final_where_and_order(ray_session):
+    """a WITH-projected scalar is usable in RETURN / ORDER BY."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH a, max(e.w) AS topw "
+           "RETURN a, topw ORDER BY topw DESC LIMIT 5",
+           "SELECT src AS a, max(w) AS topw FROM e GROUP BY src "
+           "ORDER BY topw DESC LIMIT 5")
+
+
+def test_varlen_reachability_vs_recursive_cte(ray_session):
+    """[*1..3] = distinct pairs connected by a path of length 1-3 over
+    the distinct edge set — exactly a bounded recursive CTE with UNION."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*1..3]->(b) RETURN a, count(*) AS n_reach",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT src AS a, dst AS b, 1 AS k FROM base "
+           "      UNION SELECT r.a, x.dst, r.k+1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 3), "
+           "pairs AS (SELECT DISTINCT a, b FROM r) "
+           "SELECT a, count(*) AS n_reach FROM pairs GROUP BY a")
+
+
+def test_varlen_exact_length_with_start_filter(ray_session):
+    """[*2..2] with a path-START restriction (WHERE a < k consumed by the
+    frontier, never restricting intermediate hops)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*2..2]->(b) WHERE a < 10 RETURN a, b",
+           "WITH base AS (SELECT DISTINCT src, dst FROM e), "
+           "p2 AS (SELECT DISTINCT b1.src AS a, b2.dst AS b FROM base b1 "
+           "       JOIN base b2 ON b1.dst = b2.src) "
+           "SELECT a, b FROM p2 WHERE a < 10")
+
+
+def test_varlen_cycle_closure(ray_session):
+    """(a)-[*1..2]->(a) keeps only pairs that close back on the start."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*1..2]->(a) RETURN count(*) AS n_cyc",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT src AS a, dst AS b, 1 AS k FROM base "
+           "      UNION SELECT r.a, x.dst, r.k+1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 2) "
+           "SELECT count(*) AS n_cyc FROM "
+           "(SELECT DISTINCT a, b FROM r WHERE a = b)")
+
+
+def test_varlen_layer_filter(ray_session):
+    """[:L*1..2] filters EVERY edge on the path to the layer."""
+    gf, edges, verts = _gf(with_layer=True)
+    _check(gf, edges, verts,
+           "MATCH (a)-[:buys*1..2]->(b) RETURN a, b",
+           "WITH base AS (SELECT DISTINCT src, dst FROM e "
+           "              WHERE layer = 'buys'), "
+           "p AS (SELECT src AS a, dst AS b FROM base "
+           "      UNION SELECT b1.src, b2.dst FROM base b1 "
+           "      JOIN base b2 ON b1.dst = b2.src) "
+           "SELECT DISTINCT a, b FROM p")
+
+
+def test_varlen_requires_bounds(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    with pytest.raises(NotImplementedError):
+        cypher(gf, "MATCH (a)-[*1..]->(b) RETURN a, b")
+    with pytest.raises(NotImplementedError):
+        cypher(gf, "MATCH (a)-[*0..2]->(b) RETURN a, b")
+    with pytest.raises(NotImplementedError):
+        cypher(gf, "MATCH (a)-[e*1..2]->(b) RETURN a, b")
+
+
+def test_optional_match_preserves_unmatched(ray_session):
+    """rows without an optional match survive with nulls; count(x.prop)
+    over them is 0 like SQL count over a LEFT JOIN."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) OPTIONAL MATCH (b)-[e2]->(c) "
+           "WHERE e2.w > 0.9 RETURN b, count(e2.t) AS n_hi",
+           "SELECT e.dst AS b, count(o.t) AS n_hi FROM e "
+           "LEFT JOIN (SELECT * FROM e WHERE w > 0.9) o ON o.src = e.dst "
+           "GROUP BY e.dst")
+
+
+def test_optional_match_null_columns(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.w > 0.95 "
+           "OPTIONAL MATCH (b)-[e2]->(c) WHERE e2.w > 0.97 "
+           "RETURN a, b, e2.t AS ot, c",
+           "SELECT e.src AS a, e.dst AS b, o.t AS ot, o.dst AS c "
+           "FROM (SELECT * FROM e WHERE w > 0.95) e "
+           "LEFT JOIN (SELECT * FROM e WHERE w > 0.97) o ON o.src = e.dst")
+
+
+def test_optional_then_with_pipeline(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) OPTIONAL MATCH (b)-[e2]->(c) "
+           "WITH b, count(e2.t) AS fan WHERE fan = 0 "
+           "RETURN count(*) AS n_dead",
+           "SELECT count(*) AS n_dead FROM ("
+           "  SELECT e.dst AS b, count(o.t) AS fan FROM e "
+           "  LEFT JOIN e o ON o.src = e.dst GROUP BY e.dst) WHERE fan = 0")
+
+
+def test_lexer_regressions(ray_session):
+    """round-3 advice: 'e.w<-5' must parse as a comparison, and '1.2.3'
+    must raise SyntaxError (not ValueError)."""
+    from raphtory_ray.query.parser import parse_cypher, BinOp, Lit
+    q = parse_cypher("MATCH (a)-[e]->(b) WHERE e.w<-5 RETURN a")
+    assert isinstance(q.where, BinOp) and q.where.op == "<"
+    assert q.where.right == Lit(-5)
+    with pytest.raises(SyntaxError):
+        parse_cypher("MATCH (a)-[e]->(b) WHERE e.w = 1.2.3 RETURN a")
