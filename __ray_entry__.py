@@ -463,6 +463,24 @@ def _q_cypher_optional(sf_dir: str):
                   "RETURN a AS src, b AS dst, count(e2.t) AS n_next")
 
 
+def _q_gql_pagerank(sf_dir: str) -> pa.Table:
+    """GraphQL algorithm-plugin field (round 4; reference
+    raphtory-graphql/src/model/plugins/algorithms.rs + graph.rs:641-645):
+    pagerank(iterCount: 5, tol: 0) resolved through the server-less
+    executor on the user graph, value-checked against the unrolled SQL
+    recurrence (1e-9 quantized like copurchase_pagerank_5iter)."""
+    from raphtory_ray.query.graphql import execute
+    res = execute(_user_gf(sf_dir),
+                  "{ graph { algorithms { "
+                  "pr: pagerank(iterCount: 5, tol: 0.0) { id rank } "
+                  "} } }")
+    rows = res["data"]["graph"]["algorithms"]["pr"]
+    ranks = np.array([r["rank"] for r in rows])
+    q = np.floor(ranks * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array([r["id"] for r in rows], pa.int64()),
+                     "pr_q": pa.array(q, pa.int64())})
+
+
 def _q_user_windowed_wcc(sf_dir: str) -> pa.Table:
     """Windowed WCC (round 4, closing the windowed-algorithm oracle gap:
     reference components.rs:107-196 tests WCC on windowed views): connected
@@ -1327,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "user_windowed_wcc": _q_user_windowed_wcc,
+        "gql_pagerank": _q_gql_pagerank,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
         "user_exclude_layer_edges": _q_user_exclude_layer,
@@ -2341,6 +2360,11 @@ FROM user_edges e1 JOIN user_edges e2
   ON e1.dst = e2.src AND e2.dst = e1.src
 WHERE e1.src <> e1.dst
 """,
+        "gql_pagerank": _pagerank5_sql(base=f"""{_USER_EDGES},
+dedup AS (SELECT DISTINCT src, dst FROM user_edges),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+)"""),
         "cypher_varlen_reach": f"""
 WITH RECURSIVE {_USER_EDGES},
 base AS (SELECT DISTINCT src, dst FROM user_edges),

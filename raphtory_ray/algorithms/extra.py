@@ -293,12 +293,14 @@ def _calendar_windows(gf, window, step, alignment_unit, expanding_mode,
         if e >= _interval_add(hi, sm, sms, 1):
             break
         if expanding_mode:
-            views.append(gf.window(None, e))
+            views.append(gf.window(None, e,
+                                   _report_requested=False))
         else:
             s = _interval_sub(e, wm, wms)
             if s >= hi:
                 break
-            views.append(gf.window(s, e))
+            views.append(gf.window(s, e,
+                                   _report_requested=False))
         k += 1
     return views
 
@@ -319,7 +321,8 @@ def expanding(gf: GraphFrame, step: int, start: int | None = None,
     b = lo + step
     views = []
     while b < hi + step:
-        views.append(gf.window(None, b))
+        views.append(gf.window(None, b,
+                                _report_requested=False))
         b += step
     return views
 
@@ -347,7 +350,8 @@ def rolling(gf: GraphFrame, window: int, step: int | None = None,
     while b < hi + step:
         if b - window >= hi:
             break
-        views.append(gf.window(b - window, b))
+        views.append(gf.window(b - window, b,
+                                _report_requested=False))
         b += step
     return views
 

@@ -125,10 +125,14 @@ class GraphFrame:
         return dict(zip(ge["name"].to_pylist(), ge["value"].to_pylist()))
 
     # ------------------------------------------------------------------ views
-    def window(self, start: int | None, end: int | None) -> "GraphFrame":
+    def window(self, start: int | None, end: int | None,
+               _report_requested: bool = True) -> "GraphFrame":
         """Events with start <= t < end (half-open, time.rs:113-117).
-        Nested windows INTERSECT with the parent's bounds (reference nested
-        views never widen)."""
+        Nested windows INTERSECT with the parent's bounds for event
+        visibility (reference nested views never widen), but the REPORTED
+        start/end are the requested bounds — the reference's window()
+        replaces them (time.rs:245); only the shrink_* variants report
+        the intersection."""
         lo = start if self.start is None else \
             (self.start if start is None else max(start, self.start))
         hi = end if self.end is None else \
@@ -153,23 +157,29 @@ class GraphFrame:
                                               zero_copy_batch=True),
                        self.n, self.vertices, ne)
         g.graph_events, g.graph_meta = self.graph_events, self.graph_meta
-        # reference views expose their bounds (GraphView.start/end, time.rs)
-        g.start, g.end = lo, hi
+        # reference views expose their bounds (GraphView.start/end,
+        # time.rs): window() REPORTS the requested bounds (falling back to
+        # the parent's where unspecified), shrink_* the intersection
+        if _report_requested:
+            g.start = self.start if start is None else start
+            g.end = self.end if end is None else end
+        else:
+            g.start, g.end = lo, hi
         return g
 
     def shrink_window(self, start: int, end: int) -> "GraphFrame":
         """Narrow both view bounds (GqlGraph::shrink_window,
-        graph.rs:336-348) — identical to window(): nested bounds
-        intersect, never widen."""
-        return self.window(start, end)
+        graph.rs:336-348) — like window() for event visibility, but the
+        reported bounds are the INTERSECTION."""
+        return self.window(start, end, _report_requested=False)
 
     def shrink_start(self, t: int) -> "GraphFrame":
         """Narrow only the start bound (graph.rs:350-361)."""
-        return self.window(t, None)
+        return self.window(t, None, _report_requested=False)
 
     def shrink_end(self, t: int) -> "GraphFrame":
         """Narrow only the end bound (graph.rs:363-374)."""
-        return self.window(None, t)
+        return self.window(None, t, _report_requested=False)
 
     def at(self, t: int) -> "GraphFrame":
         return self.window(t, t + 1)

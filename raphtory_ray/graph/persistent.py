@@ -199,7 +199,11 @@ class PersistentGraphFrame:
             _times=self._times)
         return g
 
-    def window(self, start, end) -> "PersistentGraphFrame":
+    def window(self, start, end,
+               _report_requested: bool = True) -> "PersistentGraphFrame":
+        # persistent windows intersect for visibility; the persistent
+        # view's bounds drive deletion-interval clipping, so the reported
+        # bounds stay the intersection regardless (valid_window semantics)
         lo = start if self.start is None else \
             (self.start if start is None else max(start, self.start))
         hi = end if self.end is None else \

@@ -76,6 +76,8 @@ class _Tok:
                 j = i + 1
                 while j < n and src[j] != '"':
                     j += 1
+                if j >= n:
+                    raise SyntaxError(f"unterminated string literal at {i}")
                 self.toks.append(("str", src[i + 1:j]))
                 i = j + 1
                 continue
@@ -307,10 +309,13 @@ class _GraphCtx:
         vid = self.gf.vertices["vid"][idx].as_py()
         return vid if self.in_set(vid) else None
 
-    def name_of(self, vid: int):
+    def name_of(self, vid: int) -> str:
+        """Node display name — ALWAYS a string, like the reference's
+        String-typed name resolver (vid-only graphs and missing vertices
+        rows both fall back to str(vid))."""
         gids = self._gids()
         if gids is None:
-            return vid
+            return str(vid)
         idx = self.row_of(vid)
         return gids[idx].as_py() if idx is not None else str(vid)
 
@@ -458,6 +463,11 @@ def _resolve_edges_page(ctx: _GraphCtx, args: dict, sel: list):
         for f in sel:
             col = field_map.get(f.name, f.name)
             if col not in r:
+                if f.name == "layer":
+                    # no layer column ⇒ every edge is on the default
+                    # layer, like the reference's layer resolver
+                    o[f.out] = "_default"
+                    continue
                 raise KeyError(f"unknown edge field {f.name!r}")
             o[f.out] = r[col]
         rows.append(o)
@@ -568,8 +578,85 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
                                    top["rank"].to_pylist())]
         elif f.name == "edges":
             out[f.out] = _resolve_edges_page(ctx, f.args, f.sel or [])
+        elif f.name == "algorithms":
+            # graph algorithm plugin surface (graph.rs:641-645 →
+            # plugins/graph_algorithm_plugin.rs): pagerank + shortestPath
+            # run the engine's distributed algorithms on THIS view's
+            # GraphFrame and resolve through the same node-name mapping
+            out[f.out] = _resolve_algorithms(ctx, f.sel or [])
         else:
             raise KeyError(f"unknown graph field {f.name!r}")
+    return out
+
+
+def _resolve_algorithms(ctx: _GraphCtx, sel: list):
+    """The reference's GraphAlgorithmPlugin fields
+    (raphtory-graphql/src/model/plugins/algorithms.rs):
+
+    - ``pagerank(iterCount!, tol, dampingFactor) { name rank }`` →
+      unweighted_page_rank over the view, one output row per node,
+    - ``shortestPath(source!, targets!, direction) { target nodes }`` →
+      hop-count shortest paths (the reference passes weight=None to
+      dijkstra, i.e. unit weights) over OUT-edges; only direction "out"
+      is supported, matching the engine's BFS orientation.
+
+    Algorithms run on ctx.gf, so nesting under window/layer views scopes
+    them exactly like every other resolver."""
+    gf = ctx.gf
+    out = {}
+    for f in sel:
+        if f.name == "pagerank":
+            from raphtory_ray.state.shards import BspGraph
+            g = BspGraph.from_graph(gf)
+            iters = int(f.args["iterCount"])
+            tol = float(f.args.get("tol", 1e-7))
+            damping = float(f.args.get("dampingFactor", 0.85))
+            scores, _iters, _secs = g.pagerank(
+                damping=damping, iter_count=iters, tol=tol)
+            rows = []
+            for v in range(gf.n):
+                row = {}
+                for s in (f.sel or []):
+                    if s.name == "name":
+                        row[s.out] = ctx.name_of(v)
+                    elif s.name == "id":
+                        row[s.out] = v
+                    elif s.name == "rank":
+                        row[s.out] = float(scores[v])
+                    else:
+                        raise KeyError(
+                            f"unknown pagerank field {s.name!r}")
+                rows.append(row)
+            out[f.out] = rows
+        elif f.name == "shortestPath":
+            from raphtory_ray.algorithms import single_source_shortest_path
+            direction = f.args.get("direction", "out")
+            if direction != "out":
+                raise NotImplementedError(
+                    "shortestPath: only direction \"out\" is supported")
+            src = ctx.vid_of(f.args["source"])
+            if src is None:
+                raise KeyError(f"unknown source node "
+                               f"{f.args['source']!r}")
+            paths = single_source_shortest_path(gf, src)
+            rows = []
+            for tname in f.args["targets"]:
+                tv = ctx.vid_of(tname)
+                if tv is None or tv not in paths:
+                    continue                  # unreachable: no output row
+                row = {}
+                for s in (f.sel or []):
+                    if s.name == "target":
+                        row[s.out] = ctx.name_of(tv)
+                    elif s.name == "nodes":
+                        row[s.out] = [ctx.name_of(v) for v in paths[tv]]
+                    else:
+                        raise KeyError(
+                            f"unknown shortestPath field {s.name!r}")
+                rows.append(row)
+            out[f.out] = rows
+        else:
+            raise KeyError(f"unknown algorithms field {f.name!r}")
     return out
 
 

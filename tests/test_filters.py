@@ -150,7 +150,10 @@ def test_accessors_history_times(ray_session):
 
 
 def test_window_bounds_intersect(ray_session):
-    """ADVICE fix: nested windows intersect parent bounds."""
+    """Nested windows intersect parent bounds for EVENT VISIBILITY, while
+    window() REPORTS the requested bounds (reference time.rs:245 — the
+    round-3 advice superseding round 2's intersect-everything reading;
+    shrink_* report the intersection, see test_views_extra)."""
     s = np.array([0, 1])
     d = np.array([1, 2])
     t = np.array([3, 8])
@@ -158,7 +161,8 @@ def test_window_bounds_intersect(ray_session):
     w = gf.window(0, 10).window(None, 5)
     assert w.start == 0 and w.end == 5
     w2 = gf.window(2, 6).window(0, 10)
-    assert w2.start == 2 and w2.end == 6
+    assert w2.start == 0 and w2.end == 10     # reported: as requested
+    assert len(_events(w2)) == 1              # visible: the intersection
     assert len(_events(w)) == 1
 
 

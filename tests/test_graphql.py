@@ -332,3 +332,70 @@ def test_unique_layers_and_bounds(ray_session):
     assert g["uniqueLayers"] == ["x", "y"]
     assert g["w"]["start"] == 2 and g["w"]["end"] == 5
     assert set(g["w"]["uniqueLayers"]) <= {"x", "y"}
+
+
+# ------------------------------------------- round 4: algorithm plugin
+
+def test_algorithms_pagerank_field(ray_session):
+    """graph { algorithms { pagerank } } (plugins/algorithms.rs): one
+    {name, rank} row per node, ranks summing to ~1, scoped to the view."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), "{ graph { algorithms { "
+                       "pagerank(iterCount: 20) { id name rank } } } }")
+    rows = g["data"]["graph"]["algorithms"]["pagerank"]
+    assert len(rows) == 4
+    assert {r["name"] for r in rows} == {"a", "b", "c", "d"}
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+    # parity with the engine's own pagerank on the same graph
+    from raphtory_ray.state.shards import BspGraph
+    scores, _i, _s = BspGraph.from_graph(_gf()).pagerank(iter_count=20)
+    for r in rows:
+        assert abs(r["rank"] - scores[r["id"]]) < 1e-12
+
+
+def test_algorithms_shortest_path_field(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), '{ graph { algorithms { '
+                       'shortestPath(source: "a", targets: ["d", "c"]) '
+                       '{ target nodes } } } }')
+    rows = g["data"]["graph"]["algorithms"]["shortestPath"]
+    by = {r["target"]: r["nodes"] for r in rows}
+    assert by["c"] == ["a", "c"]
+    assert by["d"][0] == "a" and by["d"][-1] == "d" and len(by["d"]) == 3
+
+
+def test_algorithms_scope_to_window(ray_session):
+    """nesting algorithms under window() scopes the graph it runs on."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), "{ graph { w: window(start: 1, end: 3) "
+                       "{ algorithms { pagerank(iterCount: 5) "
+                       "{ name rank } } } } }")
+    rows = g["data"]["graph"]["w"]["algorithms"]["pagerank"]
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_lexer_unterminated_string_raises(ray_session):
+    from raphtory_ray.query.graphql import execute
+    with pytest.raises(SyntaxError):
+        execute(_gf(), '{ graph { node(name: "a) { id } } }')
+
+
+def test_edges_page_layer_default(ray_session):
+    """edges { layer } on a graph with no layer column returns _default
+    (reference resolver behavior), not a KeyError."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+        "t": pa.array([1, 2], pa.int64()),
+        "event_id": pa.array([0, 1], pa.int64()),
+    })
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    g = execute(gf, "{ graph { edges(limit: 2) { src dst layer } } }")
+    assert [e["layer"] for e in g["data"]["graph"]["edges"]] == \
+        ["_default", "_default"]
+    # name field is a string even on a vid-only graph
+    g2 = execute(gf, "{ graph { nodes(limit: 1) { name } } }")
+    assert g2["data"]["graph"]["nodes"][0]["name"] == "0"

@@ -170,3 +170,23 @@ def test_shrink_window_aliases(ray_session):
     w = gf.window(4, 8)
     assert w.shrink_start(0).start == 4
     assert w.shrink_end(100).end == 8
+
+
+def test_window_reports_requested_bounds(ray_session):
+    """round-4 advice: window() REPLACES the reported bounds (reference
+    time.rs:245 — only shrink_* report the intersection); event
+    visibility still intersects with the parent."""
+    from tests.test_views_extra import _gf as _mk  # same module helper
+    g = _gf([(0, 1, t) for t in range(0, 9)], n=2)
+    w = g.window(1, 6)
+    # a nested WIDER window reports ITS OWN bounds...
+    w2 = w.window(0, 8)
+    assert (w2.start, w2.end) == (0, 8)
+    # ...but sees only the intersection's events
+    assert w2.edges.count() == 5
+    # shrink_window reports the intersection
+    s2 = w.shrink_window(0, 8)
+    assert (s2.start, s2.end) == (1, 6)
+    assert s2.edges.count() == 5
+    s3 = w.shrink_start(3)
+    assert (s3.start, s3.end) == (3, 6)
