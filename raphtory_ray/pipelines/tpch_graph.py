@@ -15,11 +15,14 @@ Two deterministic, SQL-checkable graphs (the oracle side lives in
   (ts, event_id) order (SQL LEAD window). ``t`` = epoch millis of the
   source event — feeds the temporal window views.
 
-Partitioning note (scale): both deriveations shuffle once on a salt/key
-column; the pair kernel is O(rows) per partition with bounded per-key group
-size (lineitems per order ≤ 7; LEAD needs whole-key ordering, so event_type
-keys are salted only if a single type outgrows a partition — documented
-trade-off, acceptable because message generation is linear).
+Partitioning note (scale): the co-purchase derivation shuffles once on a
+salt column with a bounded per-key group size (lineitems per order ≤ 7).
+The LEAD derivation (r4, closes VERDICT r3 #7) is a distributed RANGE SORT
+on (event_type, ts, event_id) — Ray Data's range-partitioned shuffle, no
+unbounded low-cardinality group ever lands in one task — followed by a
+vectorized per-block lead kernel with an O(P) boundary-row exchange (each
+block also pairs its last row with the first row of the next block when
+the type matches).
 """
 
 from __future__ import annotations
@@ -105,6 +108,53 @@ def copurchase_graph(sf_dir: str):
     return GraphFrame(copurchase_edges(sf_dir), n=part_vertex_count(sf_dir))
 
 
+def _lead_schema(keep_type: bool, keep_props: bool) -> pa.Table:
+    z = pa.array([], pa.int64())
+    out = {"src": z, "dst": z, "t": z, "event_id": z,
+           "w": pa.array([], pa.float64())}
+    if keep_type:
+        out["etype"] = pa.array([], pa.string())
+    if keep_props:
+        out["pk"] = z
+    return pa.table(out)
+
+
+def _lead_block(blk: pa.Table, nxt_first: dict | None,
+                keep_type: bool, keep_props: bool) -> pa.Table:
+    """LEAD within one globally-range-sorted block: consecutive rows of
+    the same event_type pair up; ``nxt_first`` (the first row of the next
+    non-empty block) closes the pair that crosses the block boundary."""
+    import pyarrow.compute as pc
+    if blk.num_rows == 0:
+        return _lead_schema(keep_type, keep_props)
+    et = blk["event_type"].to_pylist()
+    u = blk["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = np.asarray(blk["ts"].combine_chunks()
+                   .cast(pa.timestamp("ms"), safe=False)   # truncate sub-ms
+                   .cast(pa.int64()))
+    eid = blk["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = blk["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if nxt_first is not None:
+        et = et + [nxt_first["event_type"]]
+        u = np.append(u, nxt_first["user_id"])
+    typ = np.asarray(et)
+    link = typ[:-1] == typ[1:]            # consecutive same-type rows pair
+    idx = np.flatnonzero(link)
+    out = {"src": pa.array(u[idx], pa.int64()),
+           "dst": pa.array(u[idx + 1], pa.int64()),
+           "t": pa.array(t[idx], pa.int64()),
+           "event_id": pa.array(eid[idx], pa.int64()),
+           "w": pa.array(w[idx], pa.float64())}
+    if keep_type:
+        out["etype"] = pa.array(typ[idx], pa.string())
+    if keep_props:
+        m = pc.extract_regex(
+            blk["props"].combine_chunks().take(pa.array(idx, pa.int64())),
+            r'"k": (?P<k>-?\d+)')
+        out["pk"] = pc.struct_field(m, "k").cast(pa.int64())
+    return pa.table(out)
+
+
 def user_edges(sf_dir: str, keep_type: bool = False,
                keep_props: bool = False) -> rd.Dataset:
     """Temporal user→user edges: LEAD(user_id) within event_type in
@@ -113,42 +163,44 @@ def user_edges(sf_dir: str, keep_type: bool = False,
     property column ``etype``; with ``keep_props`` the source event's
     props.k integer is extracted (vectorized regex over the JSON string)
     into column ``pk`` (Prop-system parity: properties are just extra
-    event columns)."""
+    event columns).
+
+    Scale shape: a distributed range sort on (event_type, ts, event_id)
+    — NOT a groupby on the handful-of-values event_type key, which would
+    funnel a whole type's events into one task — then a vectorized lead
+    kernel per sorted block with an O(num_blocks) boundary-row exchange
+    (the first row of each block is shipped to its predecessor so the
+    cross-block pair isn't lost)."""
+    import ray
+
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     if keep_props:
         cols.append("props")
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    refs = (ev.sort(["event_type", "ts", "event_id"])
+              .materialize().to_arrow_refs())
 
-    def lead(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["ts", "event_id"], kind="stable")
-        u = df["user_id"].to_numpy()
-        t = df["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-        eid = df["event_id"].to_numpy()
-        w = df["value"].to_numpy().astype(np.float64)
-        if len(u) < 2:
-            z = pa.array([], pa.int64())
-            out = {"src": z, "dst": z, "t": z, "event_id": z,
-                   "w": pa.array([], pa.float64())}
-            if keep_type:
-                out["etype"] = pa.array([], pa.string())
-            if keep_props:
-                out["pk"] = z
-            return pa.table(out)
-        out = {"src": pa.array(u[:-1]), "dst": pa.array(u[1:]),
-               "t": pa.array(t[:-1]), "event_id": pa.array(eid[:-1]),
-               "w": pa.array(w[:-1], pa.float64())}
-        if keep_type:
-            out["etype"] = pa.array(df["event_type"].to_numpy()[:-1],
-                                    pa.string())
-        if keep_props:
-            import pyarrow.compute as pc
-            m = pc.extract_regex(pa.array(df["props"].to_numpy()[:-1],
-                                          pa.string()),
-                                 r'"k": (?P<k>-?\d+)')
-            out["pk"] = pc.struct_field(m, "k").cast(pa.int64())
-        return pa.table(out)
+    @ray.remote
+    def first_row(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        return {c: blk[c][0].as_py() for c in ("event_type", "user_id")}
 
-    return ev.groupby("event_type").map_groups(lead, batch_format="pandas")
+    @ray.remote
+    def lead(blk: pa.Table, nxt_first, kt: bool, kp: bool) -> pa.Table:
+        return _lead_block(blk, nxt_first, kt, kp)
+
+    firsts = ray.get([first_row.remote(r) for r in refs])
+    # first row of the NEXT non-empty block, per block (O(P) driver work)
+    nxt: list = [None] * len(refs)
+    later = None
+    for i in range(len(refs) - 1, -1, -1):
+        nxt[i] = later
+        if firsts[i] is not None:
+            later = firsts[i]
+    out = [lead.remote(refs[i], nxt[i], keep_type, keep_props)
+           for i in range(len(refs))]
+    return rd.from_arrow_refs(out)
 
 
 def user_vertex_count(sf_dir: str) -> int:
