@@ -217,10 +217,66 @@ def test_multimodal_pipeline(ray_session):
         "video": pa.array(payloads[:2], pa.binary())}))
     fr = sample_frames(vids, every_n=10).to_pandas()
     assert len(fr) == 2 * 3                  # 30 frames, every 10th
-    # non-fake mode marks the codec seam
+    # non-fake mode marks the codec seam (only when no codec lib exists)
+    from raphtory_ray.data.multimodal import DecodeImageStage, _try_import
+    if _try_import("PIL.Image") is None:
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(fake=False)._decode(b"payload")
+
+
+def test_multimodal_real_codec_image():
+    """Real-decode branch through PIL — runs only where pillow is
+    installed (skipped, not faked, otherwise)."""
+    pytest.importorskip("PIL.Image")
+    import io
+    from PIL import Image
     from raphtory_ray.data.multimodal import DecodeImageStage
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)._decode(b"payload")
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    out = DecodeImageStage(height=4, width=6, fake=False)._decode(
+        buf.getvalue())
+    assert out.shape == (4, 6, 3)
+    np.testing.assert_array_equal(out, img)      # PNG is lossless
+
+
+def test_multimodal_real_codec_audio():
+    """Real-decode branch through soundfile — runs only where it is
+    installed (skipped, not faked, otherwise). FLAC exercises a payload
+    the pure-numpy WAV path can't parse."""
+    sf = pytest.importorskip("soundfile")
+    import io
+    from raphtory_ray.data.multimodal import DecodeAudioStage
+    sig = np.sin(np.linspace(0, 20, 800)).astype(np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, sig, 8000, format="FLAC")
+    samples, rate = DecodeAudioStage(fake=False)._decode(buf.getvalue())
+    assert rate == 8000
+    np.testing.assert_allclose(samples, sig, atol=1e-3)
+
+
+def test_multimodal_real_codec_video():
+    """Real frame sampling through PyAV — runs only where av is
+    installed (skipped, not faked, otherwise)."""
+    av = pytest.importorskip("av")
+    import io
+    import ray.data as rd
+    from raphtory_ray.data.multimodal import sample_frames
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = 32, 32
+        stream.pix_fmt = "yuv420p"
+        for i in range(10):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((32, 32, 3), i * 20, np.uint8), format="rgb24")
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode())
+    vids = rd.from_arrow(pa.table({
+        "item_id": pa.array([0], pa.int64()),
+        "video": pa.array([buf.getvalue()], pa.binary())}))
+    fr = sample_frames(vids, every_n=5, fake=False).to_pandas()
+    assert list(fr["frame_idx"]) == [0, 5]
 
 
 def test_minhash_short_docs_never_duplicate(ray_session):
