@@ -171,13 +171,22 @@ def _parse_selection(tk: _Tok) -> list:
     return fields
 
 
-def parse_graphql(doc: str) -> list:
+def parse_document(doc: str) -> tuple[str, list]:
+    """(operation, root fields) — operation is 'query' or 'mutation'."""
     tk = _Tok(doc)
-    if tk.peek() == ("name", "query"):
-        tk.next()
+    op = "query"
+    if tk.peek() in (("name", "query"), ("name", "mutation")):
+        op = tk.next()[1]
         if tk.peek()[0] == "name":        # operation name
             tk.next()
-    return _parse_selection(tk)
+    return op, _parse_selection(tk)
+
+
+def parse_graphql(doc: str) -> list:
+    op, roots = parse_document(doc)
+    if op != "query":
+        raise SyntaxError("per-graph executor takes query documents only")
+    return roots
 
 
 # ------------------------------------------------------------- executor
