@@ -79,6 +79,12 @@ def main() -> None:
                     help="execute a GraphQL document over the ingested "
                          "graph (query/graphql.py) and write the JSON "
                          "response under <output>/graphql/")
+    ap.add_argument("--workdir", default=None, metavar="DIR",
+                    help="with --graphql: execute the document against a "
+                         "graph-server work dir (query/server.py) instead "
+                         "of the ingested graph — enables the management "
+                         "mutations (newGraph/copyGraph/...) and "
+                         "namespace/graph(path) queries via ray job submit")
     args = ap.parse_args()
 
     import ray
@@ -187,7 +193,11 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         t0 = time.perf_counter()
-        res = execute(gf, args.graphql)
+        if args.workdir is not None:
+            from raphtory_ray.query.server import execute_server
+            res = execute_server(args.workdir, args.graphql)
+        else:
+            res = execute(gf, args.graphql)
         with open(os.path.join(d, "response.json"), "w") as f:
             json.dump(res, f)
         with open(os.path.join(d, "METRICS.json"), "w") as f:
