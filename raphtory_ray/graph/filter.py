@@ -100,6 +100,10 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
 
 def _eval_leaf(leaf, tbl: pa.Table):
     op, name, value, extra = leaf
+    if op == "selfloop":
+        # structural edge predicate (GqlEdgeFilter::IsSelfLoop,
+        # raphtory-graphql filtering.rs): src == dst on the edge table
+        return pc.equal(_col(tbl, "src"), _col(tbl, "dst"))
     col = _col(tbl, name)
     if op == "is_none":
         return pc.is_null(col)

@@ -22,6 +22,19 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
   ``subgraphNodeTypes(nodeTypes: [...])``, ``excludeNodes(nodes:
   [...])``; plus ``rolling(window, step)`` / ``expanding(step)``
   WindowSets returning LISTS of window contexts with ``start``/``end``
+- composable filter views (filtering.rs input objects):
+  ``filterNodes(expr: NodeFilter)`` — node field/property conditions
+  (eq/ne/gt/ge/lt/le/contains/startsWith/endsWith/isIn/isNotIn/
+  isSome/isNone/fuzzySearch) combined with and/or/not; edges survive
+  only when both endpoints match. ``filterEdges(expr: EdgeFilter)`` —
+  property (latest-event), temporalProperty (any-event), metadata,
+  src/dst endpoint NodeFilters, layers, isSelfLoop, and/or/not; nodes
+  remain in the view. ``applyViews(views: [...])`` folds an ordered
+  list of one-of view variants left-to-right (graph.rs apply_views)
+- ``searchNodes(filter, limit, offset)`` / ``searchEdges(filter,
+  limit, offset)`` — exact filter match + deterministic page
+  (graph.rs:801,829; the engine's vectorized FilterExpr mask plays
+  the role of the reference's tantivy exact search)
 - scalars: ``countNodes`` (under a time view: event-active nodes only,
   graph.rs windowed semantics), ``countEdges`` (distinct simple
   edges), ``countTemporalEdges`` (event rows), ``earliestTime``,
@@ -143,6 +156,21 @@ def _parse_value(tk: _Tok):
             vals.append(_parse_value(tk))
         tk.next()
         return vals
+    if t == ("p", "{"):
+        # input-object literal (filter expressions, applyViews entries)
+        obj = {}
+        while tk.peek() != ("p", "}"):
+            k = tk.expect("name")[1]
+            tk.expect("p", ":")
+            obj[k] = _parse_value(tk)
+        tk.next()
+        return obj
+    if t[0] == "name":
+        if t[1] in ("true", "false"):
+            return t[1] == "true"
+        if t[1] == "null":
+            return None
+        return t[1]                      # enum value (NODE_NAME, ...)
     raise SyntaxError(f"bad value {t}")
 
 
@@ -195,7 +223,8 @@ _VIEW_FIELDS = {"window", "at", "before", "after", "snapshotAt",
                 "snapshotLatest", "shrinkWindow", "shrinkStart",
                 "shrinkEnd", "layer", "layers", "excludeLayer",
                 "excludeLayers", "defaultLayer",
-                "subgraph", "subgraphNodeTypes", "excludeNodes"}
+                "subgraph", "subgraphNodeTypes", "excludeNodes",
+                "filterNodes", "filterEdges", "applyViews", "valid"}
 
 
 class _GraphCtx:
@@ -585,6 +614,38 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
                 for v, c, r in zip(top["vec_id"].to_pylist(),
                                    top["cosine"].to_pylist(),
                                    top["rank"].to_pylist())]
+        elif f.name == "searchNodes":
+            # graph.rs:801 search_nodes(filter, limit, offset): exact
+            # filter match over the node set, vid-ordered page. The
+            # reference routes this through its tantivy index; the
+            # engine's vectorized FilterExpr mask over the vertex
+            # dimension table IS the exact-match evaluation.
+            assert gf.vertices is not None, "no vertex dimension table"
+            fe = _node_filter_expr(f.args["filter"])
+            m = pc.fill_null(fe.mask(gf.vertices), False)
+            hits = np.unique(gf.vertices["vid"].filter(m)
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            if ctx._node_set is not None:
+                hits = hits[np.isin(hits, ctx._node_set)]
+            off = int(f.args.get("offset", 0))
+            lim = int(f.args.get("limit", 20))
+            vids = [int(v) for v in hits[off:off + lim]]
+            if any(s.name == "neighbours" for s in (f.sel or [])):
+                ctx.batch_neighbours(vids)
+            for s in (f.sel or []):
+                if s.name == "propertyHistory":
+                    ctx.batch_property_history(vids, s.args["key"])
+            out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
+        elif f.name == "searchEdges":
+            # graph.rs:829 search_edges(filter, limit, offset): filter
+            # the edge view, then the standard deterministic edge page
+            fe, mode = _edge_filter_expr(gf, f.args["filter"])
+            sub = gf.filter_edges(fe, mode)
+            sub_ctx = _GraphCtx(sub, ctx._node_set, vectors=ctx.vectors)
+            out[f.out] = _resolve_edges_page(
+                sub_ctx, {"offset": f.args.get("offset", 0),
+                          "limit": f.args.get("limit", 20)}, f.sel or [])
         elif f.name == "edges":
             out[f.out] = _resolve_edges_page(ctx, f.args, f.sel or [])
         elif f.name == "algorithms":
@@ -669,6 +730,190 @@ def _resolve_algorithms(ctx: _GraphCtx, sel: list):
     return out
 
 
+# ------------------------------------------ filter inputs (filtering.rs)
+#
+# The reference exposes composable NodeFilter / EdgeFilter GraphQL input
+# objects (raphtory-graphql/src/model/graph/filtering.rs:310-900:
+# PropertyFilterNew + PropCondition one-ofs, NodeFieldFilterNew over
+# node_id/node_name/node_type, And/Or/Not recursion, Src/Dst endpoint
+# filters on edges) consumed by the graph.rs filter_nodes / filter_edges /
+# search_nodes resolvers. Here the same input shapes convert to the
+# engine's FilterExpr algebra (graph/filter.py) and run through the
+# existing distributed filter views. Keys accept both camelCase (the
+# GraphQL wire form) and PascalCase (the Rust variant names used in the
+# reference's doc examples).
+
+_NODE_FIELD_COL = {"NODE_ID": "vid", "NODE_NAME": "gid",
+                   "NODE_TYPE": "node_type",
+                   "NODEID": "vid", "NODENAME": "gid",
+                   "NODETYPE": "node_type"}
+
+
+def _norm_key(k: str) -> str:
+    return k[0].lower() + k[1:] if k else k
+
+
+def _cond_to_expr(ops, where: dict):
+    """PropCondition / NodeFieldCondition (filtering.rs:340,545) →
+    FilterExpr, with ``ops`` a PropertyFilterOps bound to the column."""
+    from raphtory_ray.graph.filter import FilterExpr
+    if not isinstance(where, dict) or len(where) != 1:
+        raise SyntaxError("condition takes exactly one operator key")
+    (op, v), = where.items()
+    op = _norm_key(op)
+    if op == "eq":
+        return ops == v
+    if op == "ne":
+        return ops != v
+    if op == "gt":
+        return ops > v
+    if op == "ge":
+        return ops >= v
+    if op == "lt":
+        return ops < v
+    if op == "le":
+        return ops <= v
+    if op == "contains":
+        return ops.contains(v)
+    if op == "notContains":
+        return ops.not_contains(v)
+    if op == "startsWith":
+        return ops.starts_with(v)
+    if op == "endsWith":
+        return ops.ends_with(v)
+    if op == "isIn":
+        return ops.is_in(list(v))
+    if op == "isNotIn":
+        return ops.is_not_in(list(v))
+    if op == "isSome":
+        e = ops.is_some()
+        return e if v in (True, None) else ~e
+    if op == "isNone":
+        e = ops.is_none()
+        return e if v in (True, None) else ~e
+    if op == "fuzzySearch":
+        if isinstance(v, dict):
+            return ops.fuzzy_search(
+                v["value"],
+                int(v.get("levenshteinDistance", 2)),
+                bool(v.get("prefixMatch", False)))
+        return ops.fuzzy_search(v)
+    if op == "and":
+        es = [_cond_to_expr(ops, c) for c in v]
+        out = es[0]
+        for e in es[1:]:
+            out = out & e
+        return out
+    if op == "or":
+        es = [_cond_to_expr(ops, c) for c in v]
+        out = es[0]
+        for e in es[1:]:
+            out = out | e
+        return out
+    if op == "not":
+        return ~_cond_to_expr(ops, v)
+    raise NotImplementedError(f"PropCondition operator {op!r}")
+
+
+def _node_filter_expr(d: dict):
+    """GqlNodeFilter (filtering.rs:675) → FilterExpr over the vertex
+    dimension table (gid / node_type / metadata + latest-property
+    columns — the engine's filter_nodes evaluation surface)."""
+    from raphtory_ray.graph.filter import Prop
+    if not isinstance(d, dict) or len(d) != 1:
+        raise SyntaxError("NodeFilter takes exactly one variant key")
+    (k, v), = d.items()
+    k = _norm_key(k)
+    if k == "node":
+        field = str(v["field"]).upper().replace("_", "_")
+        col = _NODE_FIELD_COL.get(field) or \
+            _NODE_FIELD_COL.get(field.replace("_", ""))
+        if col is None:
+            raise SyntaxError(f"unknown NodeField {v['field']!r}")
+        return _cond_to_expr(Prop(col), v.get("where") or v.get("where_"))
+    if k in ("property", "metadata", "temporalProperty"):
+        return _cond_to_expr(Prop(v["name"]),
+                             v.get("where") or v.get("where_"))
+    if k == "and":
+        es = [_node_filter_expr(c) for c in v]
+        out = es[0]
+        for e in es[1:]:
+            out = out & e
+        return out
+    if k == "or":
+        es = [_node_filter_expr(c) for c in v]
+        out = es[0]
+        for e in es[1:]:
+            out = out | e
+        return out
+    if k == "not":
+        return ~_node_filter_expr(v)
+    raise NotImplementedError(f"NodeFilter variant {k!r}")
+
+
+def _edge_filter_expr(gf, d: dict):
+    """GqlEdgeFilter (filtering.rs:802) → (FilterExpr, mode) for
+    GraphFrame.filter_edges. ``property``/``metadata`` leaves use the
+    reference's resolved-value semantics (latest event per edge);
+    ``temporalProperty`` leaves match ANY event. The two modes can't mix
+    in one expression (one distributed pass applies one reduction).
+    ``src``/``dst`` endpoint filters evaluate the nested NodeFilter on
+    the vertices table and compile to a broadcast vid semi-join."""
+    from raphtory_ray.graph.filter import Prop
+    modes: set = set()
+
+    def conv(d):
+        if not isinstance(d, dict) or len(d) != 1:
+            raise SyntaxError("EdgeFilter takes exactly one variant key")
+        (k, v), = d.items()
+        k = _norm_key(k)
+        if k in ("property", "metadata"):
+            modes.add("latest")
+            return _cond_to_expr(Prop(v["name"]),
+                                 v.get("where") or v.get("where_"))
+        if k == "temporalProperty":
+            modes.add("any")
+            return _cond_to_expr(Prop(v["name"]),
+                                 v.get("where") or v.get("where_"))
+        if k in ("src", "dst"):
+            assert gf.vertices is not None, "no vertex dimension table"
+            nf = _node_filter_expr(v)
+            mask = pc.fill_null(nf.mask(gf.vertices), False)
+            vids = gf.vertices["vid"].filter(mask).to_pylist()
+            return Prop(k).is_in(vids)
+        if k == "layers":
+            names = v["names"] if isinstance(v, dict) else list(v)
+            inner = Prop("layer").is_in(list(names))
+            if isinstance(v, dict) and v.get("expr"):
+                return inner & conv(v["expr"])
+            return inner
+        if k == "isSelfLoop":
+            from raphtory_ray.graph.filter import FilterExpr
+            e = FilterExpr("leaf", leaf=("selfloop", None, None, None))
+            return e if v in (True, None) else ~e
+        if k == "and":
+            es = [conv(c) for c in v]
+            out = es[0]
+            for e in es[1:]:
+                out = out & e
+            return out
+        if k == "or":
+            es = [conv(c) for c in v]
+            out = es[0]
+            for e in es[1:]:
+                out = out | e
+            return out
+        if k == "not":
+            return ~conv(v)
+        raise NotImplementedError(f"EdgeFilter variant {k!r}")
+
+    fe = conv(d)
+    if len(modes) > 1:
+        raise NotImplementedError(
+            "mixed latest-property and temporal-property edge filter")
+    return fe, (modes.pop() if modes else "latest")
+
+
 def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
     """→ (sub_gf, node_set): node-restricting views intersect the parent
     restriction; time/layer views inherit it unchanged."""
@@ -731,6 +976,65 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
         keep = restrict(gf.vertices["vid"].filter(m)
                         .to_numpy(zero_copy_only=False))
         return gf.subgraph(keep), keep
+    if f.name == "filterNodes":
+        # graph.rs:736 filter_nodes(expr: NodeFilter): nodes that match
+        # the composite filter; edges kept only if both endpoints survive
+        # (the engine's induced-subgraph semantics)
+        assert gf.vertices is not None, "no vertex dimension table"
+        fe = _node_filter_expr(a["expr"])
+        m = pc.fill_null(fe.mask(gf.vertices), False)
+        keep = restrict(gf.vertices["vid"].filter(m)
+                        .to_numpy(zero_copy_only=False))
+        return gf.subgraph(keep), keep
+    if f.name == "filterEdges":
+        # graph.rs:756 filter_edges(expr: EdgeFilter): edges restricted,
+        # nodes remain in the view even if all their edges are dropped —
+        # so the node restriction set is inherited unchanged
+        fe, mode = _edge_filter_expr(gf, a["expr"])
+        return gf.filter_edges(fe, mode), parent_set
+    if f.name == "valid":
+        # GraphViewCollection::Valid — PersistentGraph-only view
+        return gf.valid(), parent_set
+    if f.name == "applyViews":
+        # graph.rs apply_views(views: [GraphViewCollection]): ordered
+        # one-of variants folded left-to-right over the running view
+        sub, ns = gf, parent_set
+        for entry in a["views"]:
+            if not isinstance(entry, dict) or len(entry) != 1:
+                raise SyntaxError("applyViews entry takes one variant key")
+            (k, v), = entry.items()
+            k = _norm_key(k)
+            if k in ("defaultLayer", "snapshotLatest", "valid"):
+                if v is False:
+                    continue
+                sf = Field(k, None, {}, None)
+            elif k == "latest":
+                if v is False:
+                    continue
+                lt = sub.latest_time()
+                sf = Field("at", None, {"time": lt}, None)
+            elif k in ("window", "shrinkWindow"):
+                sf = Field(k, None, {"start": v["start"],
+                                     "end": v["end"]}, None)
+            elif k in ("at", "snapshotAt", "before", "after",
+                       "shrinkStart", "shrinkEnd"):
+                sf = Field(k, None, {"time": v}, None)
+            elif k in ("layers", "excludeLayers"):
+                sf = Field(k, None, {"names": v}, None)
+            elif k == "excludeLayer":
+                sf = Field(k, None, {"name": v}, None)
+            elif k in ("subgraph", "excludeNodes"):
+                sf = Field(k, None, {"nodes": v}, None)
+            elif k == "subgraphNodeTypes":
+                sf = Field(k, None, {"nodeTypes": v}, None)
+            elif k == "nodeFilter":
+                sf = Field("filterNodes", None, {"expr": v}, None)
+            elif k == "edgeFilter":
+                sf = Field("filterEdges", None, {"expr": v}, None)
+            else:
+                raise NotImplementedError(f"applyViews variant {k!r}")
+            sub, ns = _apply_view(sub, sf, ns)
+        return sub, ns
     raise KeyError(f.name)
 
 

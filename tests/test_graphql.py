@@ -399,3 +399,132 @@ def test_edges_page_layer_default(ray_session):
     # name field is a string even on a vid-only graph
     g2 = execute(gf, "{ graph { nodes(limit: 1) { name } } }")
     assert g2["data"]["graph"]["nodes"][0]["name"] == "0"
+
+
+# ---------------------------------------------------------------- filters
+# NodeFilter / EdgeFilter input objects (filtering.rs:310-900) and the
+# filter_nodes / filter_edges / search_* / apply_views resolvers
+# (graph.rs:736,756,801,829).
+
+def _gfw():
+    """Fixture with a float edge property ``w`` and one multi-event edge
+    (0->1 twice: w=1 then w=100) for latest-vs-any semantics."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 1, 2, 3, 0], pa.int64()),
+        "dst": pa.array([1, 2, 2, 3, 3, 0, 1], pa.int64()),
+        "t": pa.array([1, 2, 3, 4, 5, 6, 10], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "layer": pa.array(["x", "y", "x", "y", "x", "y", "x"]),
+        "w": pa.array([1.0, 5.0, 2.0, 7.0, 3.0, 9.0, 100.0]),
+    })
+    verts = pa.table({
+        "vid": pa.array([0, 1, 2, 3], pa.int64()),
+        "gid": pa.array(["a", "b", "c", "d"]),
+        "node_type": pa.array(["hub", "leaf", "leaf", "hub"]),
+    })
+    return GraphFrame(rd.from_arrow(edges), 4, verts)
+
+
+def test_filter_nodes_view(ray_session):
+    """filterNodes: induced subgraph — edges survive only when both
+    endpoints match (graph.rs:736 doc)."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { filterNodes(expr: {node: '
+                        '{field: NODE_TYPE, where: {eq: "hub"}}}) '
+                        '{ countNodes countEdges } } }')
+    got = g["data"]["graph"]["filterNodes"]
+    assert got == {"countNodes": 2, "countEdges": 1}   # only d->a
+
+
+def test_filter_nodes_boolean_composition(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { filterNodes(expr: {or: ['
+                        '{node: {field: NODE_NAME, where: {eq: "b"}}}, '
+                        '{node: {field: NODE_NAME, where: {eq: "c"}}}]}) '
+                        '{ countNodes countEdges } } }')
+    assert g["data"]["graph"]["filterNodes"] == \
+        {"countNodes": 2, "countEdges": 1}             # only b->c
+
+
+def test_filter_edges_latest_property(ray_session):
+    """filterEdges resolves temporal props to the LATEST event per edge
+    (property variant); nodes remain in the view."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { filterEdges(expr: {property: '
+                        '{name: "w", where: {gt: 4}}}) '
+                        '{ countNodes countEdges } } }')
+    # latest w per edge: a->b 100, a->c 5, b->c 2, b->d 7, c->d 3, d->a 9
+    assert g["data"]["graph"]["filterEdges"] == \
+        {"countNodes": 4, "countEdges": 4}
+
+
+def test_filter_edges_temporal_any(ray_session):
+    """temporalProperty variant matches ANY event of the edge."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { filterEdges(expr: {temporalProperty: '
+                        '{name: "w", where: {le: 1}}}) '
+                        '{ countEdges } } }')
+    assert g["data"]["graph"]["filterEdges"]["countEdges"] == 1  # a->b
+
+
+def test_filter_edges_endpoint_and_selfloop(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { '
+                        'bySrc: filterEdges(expr: {src: {node: '
+                        '{field: NODE_TYPE, where: {eq: "leaf"}}}}) '
+                        '{ countEdges } '
+                        'loops: filterEdges(expr: {isSelfLoop: true}) '
+                        '{ countEdges } '
+                        'noLoops: filterEdges(expr: {not: '
+                        '{isSelfLoop: true}}) { countEdges } } }')
+    got = g["data"]["graph"]
+    assert got["bySrc"]["countEdges"] == 3     # b->c, b->d, c->d
+    assert got["loops"]["countEdges"] == 0
+    assert got["noLoops"]["countEdges"] == 6
+
+
+def test_search_nodes_and_edges(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { '
+                        'searchNodes(filter: {node: {field: NODE_TYPE, '
+                        'where: {eq: "leaf"}}}, limit: 10, offset: 0) '
+                        '{ name } '
+                        'searchEdges(filter: {property: {name: "w", '
+                        'where: {gt: 8}}}, limit: 10, offset: 0) '
+                        '{ src dst } } }')
+    got = g["data"]["graph"]
+    assert [n["name"] for n in got["searchNodes"]] == ["b", "c"]
+    pairs = {(e["src"], e["dst"]) for e in got["searchEdges"]}
+    assert pairs == {(0, 1), (3, 0)}          # a->b, d->a (page emits vids)
+
+
+def test_apply_views_ordered(ray_session):
+    """applyViews folds one-of variants left-to-right; equals nesting."""
+    from raphtory_ray.query.graphql import execute
+    doc_nested = ('{ graph { window(start: 1, end: 6) { filterNodes('
+                  'expr: {node: {field: NODE_TYPE, where: {eq: "leaf"}}})'
+                  ' { countNodes countEdges } } } }')
+    doc_apply = ('{ graph { applyViews(views: ['
+                 '{window: {start: 1, end: 6}}, '
+                 '{nodeFilter: {node: {field: NODE_TYPE, '
+                 'where: {eq: "leaf"}}}}]) { countNodes countEdges } } }')
+    a = execute(_gfw(), doc_nested)["data"]["graph"]["window"][
+        "filterNodes"]
+    b = execute(_gfw(), doc_apply)["data"]["graph"]["applyViews"]
+    assert a == b
+
+
+def test_filter_nodes_fuzzy_and_isin(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { '
+                        'inSet: filterNodes(expr: {node: {field: '
+                        'NODE_NAME, where: {isIn: ["a", "d"]}}}) '
+                        '{ countNodes } '
+                        'notIn: filterNodes(expr: {node: {field: '
+                        'NODE_NAME, where: {isNotIn: ["a", "d"]}}}) '
+                        '{ countNodes } } }')
+    got = g["data"]["graph"]
+    assert got["inSet"]["countNodes"] == 2
+    assert got["notIn"]["countNodes"] == 2
