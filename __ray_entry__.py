@@ -468,6 +468,49 @@ def _q_gql_pagerank(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_gql_filter_edges(sf_dir: str) -> pa.Table:
+    """GraphQL filterEdges view (round 4; graph.rs:756 + filtering.rs
+    EdgeFilter input objects): edges whose LATEST event's ``w`` exceeds 90
+    (the property variant's resolved-value semantics — temporal props on
+    an edge resolve to the last event), counts gated against SQL. The
+    filter runs the engine's distributed (src,dst)-bucketed edge-level
+    reduction (graph_frame.filter_edges), not a driver scan."""
+    from raphtory_ray.query.graphql import execute
+    res = execute(_user_gf(sf_dir),
+                  '{ graph { f: filterEdges(expr: {property: '
+                  '{name: "w", where: {gt: 90.0}}}) '
+                  '{ countEdges countTemporalEdges } } }')
+    f = res["data"]["graph"]["f"]
+    return pa.table({
+        "n_edges": pa.array([f["countEdges"]], pa.int64()),
+        "n_events": pa.array([f["countTemporalEdges"]], pa.int64()),
+    })
+
+
+def _q_gql_search_nodes(sf_dir: str) -> pa.Table:
+    """GraphQL searchNodes (round 4; graph.rs:801 search_nodes(filter,
+    limit, offset)): exact NodeFilter match over the bulk-loaded node_type
+    dimension (each user's first event's type, parquet_loaders.rs node
+    loader) with a deterministic vid-ordered page — the engine's
+    vectorized FilterExpr mask standing in for the reference's tantivy
+    exact search."""
+    from raphtory_ray.query.graphql import execute
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    from raphtory_ray.sources.loaders import load_nodes_from_parquet
+    gf = user_graph(sf_dir)
+    nf = load_nodes_from_parquet(
+        f"{sf_dir}/events.parquet", time_col="ts", id_col="user_id",
+        node_type_col="event_type", event_id_col="event_id", gf=gf)
+    res = execute(nf, '{ graph { searchNodes(filter: {node: '
+                      '{field: NODE_TYPE, where: {eq: "error"}}}, '
+                      'limit: 40, offset: 1) { id nodeType } } }')
+    rows = res["data"]["graph"]["searchNodes"]
+    return pa.table({
+        "vid": pa.array([r["id"] for r in rows], pa.int64()),
+        "node_type": pa.array([r["nodeType"] for r in rows], pa.string()),
+    })
+
+
 def _q_user_windowed_wcc(sf_dir: str) -> pa.Table:
     """Windowed WCC (round 4, closing the windowed-algorithm oracle gap:
     reference components.rs:107-196 tests WCC on windowed views): connected
@@ -1302,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_optional_followup": _q_cypher_optional,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "gql_pagerank": _q_gql_pagerank,
+        "gql_filter_edges": _q_gql_filter_edges,
+        "gql_search_nodes": _q_gql_search_nodes,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
         "user_exclude_layer_edges": _q_user_exclude_layer,
@@ -2320,6 +2365,27 @@ dedup AS (SELECT DISTINCT src, dst FROM user_edges),
 nodes AS MATERIALIZED (
   SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
 )"""),
+        "gql_filter_edges": f"""
+WITH {_USER_EDGES},
+latest AS (
+  SELECT src, dst, FIRST(w ORDER BY t DESC, event_id DESC) AS w
+  FROM user_edges GROUP BY src, dst
+),
+pass AS (SELECT src, dst FROM latest WHERE w > 90.0)
+SELECT (SELECT COUNT(*)::BIGINT FROM pass) AS n_edges,
+       (SELECT COUNT(*)::BIGINT FROM user_edges e
+          JOIN pass p ON e.src = p.src AND e.dst = p.dst) AS n_events
+""",
+        "gql_search_nodes": """
+WITH ntypes AS (
+  SELECT user_id AS uid,
+         FIRST(event_type ORDER BY ts, event_id) AS node_type
+  FROM events GROUP BY user_id
+)
+SELECT uid AS vid, node_type FROM ntypes
+WHERE node_type = 'error'
+ORDER BY uid LIMIT 40 OFFSET 1
+""",
         "cypher_varlen_reach": f"""
 WITH RECURSIVE {_USER_EDGES},
 base AS (SELECT DISTINCT src, dst FROM user_edges),
