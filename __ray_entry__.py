@@ -468,6 +468,19 @@ def _q_gql_pagerank(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_cypher_cross_bridge(sf_dir: str):
+    """Cross-pattern equality bridge (round 4): two variable-disjoint
+    MATCH patterns linked only by a WHERE equality — the compiler mines
+    the predicate into a distributed equi-join key instead of refusing
+    the cartesian product (reference: DataFusion's join planning inside
+    raphtory-cypher does the same reordering)."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b), (c)-[f]->(d) "
+                  "WHERE a = d AND e.w > 95.0 AND f.w > 95.0 "
+                  "RETURN a AS v, count(*) AS n")
+
+
 def _q_gql_filter_edges(sf_dir: str) -> pa.Table:
     """GraphQL filterEdges view (round 4; graph.rs:756 + filtering.rs
     EdgeFilter input objects): edges whose LATEST event's ``w`` exceeds 90
@@ -1347,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
         "gql_search_nodes": _q_gql_search_nodes,
+        "cypher_cross_bridge": _q_cypher_cross_bridge,
         "user_window_out_degree": _q_user_window_out_degree,
         "user_balance": _q_user_balance,
         "user_exclude_layer_edges": _q_user_exclude_layer,
@@ -2375,6 +2389,13 @@ pass AS (SELECT src, dst FROM latest WHERE w > 90.0)
 SELECT (SELECT COUNT(*)::BIGINT FROM pass) AS n_edges,
        (SELECT COUNT(*)::BIGINT FROM user_edges e
           JOIN pass p ON e.src = p.src AND e.dst = p.dst) AS n_events
+""",
+        "cypher_cross_bridge": f"""
+WITH {_USER_EDGES}
+SELECT e1.src AS v, COUNT(*)::BIGINT AS n
+FROM user_edges e1 JOIN user_edges e2 ON e1.src = e2.dst
+WHERE e1.w > 95.0 AND e2.w > 95.0
+GROUP BY e1.src
 """,
         "gql_search_nodes": """
 WITH ntypes AS (

@@ -683,14 +683,134 @@ def _compose_chains(gf, ctx: _Ctx, chains: list, pending: list, carry,
     ds, bound, hint = chain_results[0]
     for other, ovars, ohint in chain_results[1:]:
         shared = sorted(bound & ovars)
-        if not shared:
-            raise NotImplementedError("cartesian product across patterns")
-        ds = hash_join(ds, other, shared, P, hint, ohint)
-        hint = hint.join(ohint, keys=shared, join_type="inner",
-                         coalesce_keys=True)
+        if shared:
+            ds = hash_join(ds, other, shared, P, hint, ohint)
+            hint = hint.join(ohint, keys=shared, join_type="inner",
+                             coalesce_keys=True)
+        else:
+            # variable-disjoint patterns: first mine pending WHERE
+            # equalities that bridge the two sides and use them as
+            # distributed join keys (the reference's DataFusion planner
+            # turns such predicates into equi-joins too); a genuinely
+            # unconstrained product falls back to a guarded broadcast
+            # cross join (small side shipped once via the object store).
+            pairs, pending = _bridge_eqs(pending, bound, ovars)
+            if pairs:
+                keys = [f"__bk{i}" for i in range(len(pairs))]
+                ds = _with_key_cols(ds, [p[0] for p in pairs], keys, ctx)
+                other = _with_key_cols(other, [p[1] for p in pairs],
+                                       keys, ctx)
+                hint = _hint_key_cols(hint, keys)
+                ohint = _hint_key_cols(ohint, keys)
+                ds = hash_join(ds, other, keys, P, hint, ohint)
+                ds = ds.map_batches(
+                    lambda b, _k=tuple(keys): b.drop_columns(list(_k)),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                hint = hint.join(ohint, keys=keys, join_type="inner",
+                                 coalesce_keys=True).drop_columns(keys)
+            else:
+                ds, hint = _cross_join(ds, other, hint, ohint)
         bound |= ovars
         ds, pending = _apply_where(ds, pending, bound, ctx)
     return ds, bound, hint, pending
+
+
+def _bridge_eqs(pending: list, bound: set, ovars: set):
+    """Pull pending ``=`` terms whose sides reference the two
+    variable-disjoint inputs exclusively → [(left_expr, right_expr)]
+    oriented (bound-side, other-side), plus the untouched remainder."""
+    pairs, rest = [], []
+    for t, vs in pending:
+        if isinstance(t, BinOp) and t.op == "=":
+            lv, rv = _expr_vars(t.left), _expr_vars(t.right)
+            if lv and rv:
+                if lv <= bound and rv <= ovars:
+                    pairs.append((t.left, t.right))
+                    continue
+                if rv <= bound and lv <= ovars:
+                    pairs.append((t.right, t.left))
+                    continue
+        rest.append((t, vs))
+    return pairs, rest
+
+
+def _with_key_cols(ds, exprs: list, names: list, ctx: _Ctx):
+    """Append synthetic int64 join-key columns computed from compiled
+    expressions (vectorized per batch). Non-integer-valued keys (string
+    or float equality joins) are out of the int64 hash-route's domain."""
+    fns = [_compile_expr(e, ctx) for e in exprs]
+
+    def add(b: pa.Table) -> pa.Table:
+        for nm, fn in zip(names, fns):
+            v = fn(b)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * b.num_rows)
+            if not pa.types.is_integer(v.type):
+                raise NotImplementedError(
+                    "cross-pattern equality join needs integer-valued "
+                    f"key expressions, got {v.type}")
+            b = b.append_column(nm, v.cast(pa.int64()))
+        return b
+
+    return ds.map_batches(add, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _hint_key_cols(hint: pa.Table, names: list) -> pa.Table:
+    for nm in names:
+        hint = hint.append_column(nm, pa.array([], pa.int64()))
+    return hint
+
+
+import os as _os
+_CROSS_CAP = int(_os.environ.get("RA_CROSS_JOIN_CAP", "200000"))
+
+
+def _cross_join(left, right, lhint: pa.Table, rhint: pa.Table):
+    """Cartesian product of two variable-disjoint pattern results with no
+    bridging predicate. The smaller side is materialized, capped at
+    RA_CROSS_JOIN_CAP rows (an unguarded product is never the right plan
+    at scale) and broadcast ONCE via ray.put; each left block emits the
+    repeat×tile combination — vectorized takes, no per-row Python."""
+    import ray.data as rd
+    mat_l, mat_r = left.materialize(), right.materialize()
+    cl, cr = mat_l.count(), mat_r.count()
+    if min(cl, cr) > _CROSS_CAP:
+        raise NotImplementedError(
+            f"cartesian product across patterns: both sides exceed "
+            f"{_CROSS_CAP} rows ({cl} x {cr}); add a bridging WHERE "
+            "equality (compiled to a distributed equi-join) or raise "
+            "RA_CROSS_JOIN_CAP")
+    if cl < cr:                      # broadcast the smaller side
+        mat_l, mat_r = mat_r, mat_l
+        lhint, rhint = rhint, lhint
+    batches = list(mat_r.iter_batches(batch_format="pyarrow"))
+    small = (pa.concat_tables(batches).combine_chunks()
+             if batches else rhint)
+    small_ref = ray.put(small)
+
+    def prod(b: pa.Table, _ref=small_ref) -> pa.Table:
+        s: pa.Table = ray.get(_ref)
+        n, m = b.num_rows, s.num_rows
+        if n == 0 or m == 0:
+            return _cross_schema(b.slice(0, 0), s.slice(0, 0))
+        lt = b.take(pa.array(np.repeat(np.arange(n), m)))
+        rt = s.take(pa.array(np.tile(np.arange(m), n)))
+        for name, col in zip(rt.column_names, rt.columns):
+            lt = lt.append_column(name, col)
+        return lt
+
+    out = mat_l.map_batches(prod, batch_format="pyarrow")
+    hint = _cross_schema(lhint, rhint)
+    if out.count() == 0:
+        out = rd.from_arrow(hint)
+    return out, hint
+
+
+def _cross_schema(lt: pa.Table, rt: pa.Table) -> pa.Table:
+    for name, col in zip(rt.column_names, rt.columns):
+        lt = lt.append_column(name, col)
+    return lt
 
 
 def cypher(gf, query: str, P: int | None = None):

@@ -553,3 +553,51 @@ def test_lexer_regressions(ray_session):
     assert q.where.right == Lit(-5)
     with pytest.raises(SyntaxError):
         parse_cypher("MATCH (a)-[e]->(b) WHERE e.w = 1.2.3 RETURN a")
+
+
+# --------------------------------------------- cross-pattern joins (r4)
+# Variable-disjoint MATCH patterns: bridging WHERE equalities compile to
+# distributed equi-joins (the reference's DataFusion planner does the
+# same with its join reordering); an unconstrained product runs as a
+# guarded broadcast cross join.
+
+def test_cross_pattern_equality_bridge(ray_session):
+    """WHERE b = c joins two disjoint patterns on node equality."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b), (c)-[f]->(d) WHERE b = c AND e.t < 5 "
+           "AND f.t < 5 RETURN a AS x, b AS mid, d AS y, "
+           "e.event_id AS i1, f.event_id AS i2",
+           """SELECT e1.src AS x, e1.dst AS mid, e2.dst AS y,
+                     e1.event_id AS i1, e2.event_id AS i2
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              WHERE e1.t < 5 AND e2.t < 5""")
+
+
+def test_cross_pattern_prop_equality(ray_session):
+    """WHERE e.t = f.t joins disjoint patterns on an int property."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b), (c)-[f]->(d) WHERE e.t = f.t "
+           "AND a < c RETURN count(*) AS n",
+           """SELECT COUNT(*)::BIGINT AS n FROM e e1 JOIN e e2
+              ON e1.t = e2.t WHERE e1.src < e2.src""")
+
+
+def test_cross_join_guarded_product(ray_session):
+    """No bridging predicate: broadcast cross join (node universes)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a), (b) WHERE a < b RETURN count(*) AS pairs",
+           "SELECT (30 * 29 / 2)::BIGINT AS pairs")
+
+
+def test_cross_join_cap(ray_session, monkeypatch):
+    """Both sides over the cap → clear NotImplementedError, not an OOM."""
+    import importlib
+    cy = importlib.import_module("raphtory_ray.query.cypher")
+    gf, edges, verts = _gf()
+    monkeypatch.setattr(cy, "_CROSS_CAP", 10)
+    with pytest.raises(NotImplementedError, match="cartesian"):
+        from raphtory_ray.query import cypher
+        cypher(gf, "MATCH (a), (b) RETURN count(*) AS n").take_all()
