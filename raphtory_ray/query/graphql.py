@@ -250,6 +250,7 @@ class _GraphCtx:
         self._vidx: dict | None = None
         self._nbr_cache: dict = {}
         self._hist_cache: dict = {}
+        self._nhist_cache: dict = {}
 
     @property
     def node_set(self) -> np.ndarray | None:
@@ -416,6 +417,68 @@ class _GraphCtx:
         return {v: self._nbr_cache[v] for v in vids}
 
 
+    def batch_node_history(self, vids: list) -> dict:
+        """Sorted event times touching each node — edge events at either
+        endpoint plus temporal node-property events (node.rs history /
+        earliest_time / last_update / is_active resolvers read the same
+        union). One pass over the edge Dataset per PAGE of nodes, cached
+        per context — never a scan per node."""
+        todo = [v for v in vids if v not in self._nhist_cache]
+        if todo:
+            want = np.array(sorted(todo), dtype=np.int64)
+
+            def times(b: pa.Table) -> pa.Table:
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                t = b["t"].to_numpy(zero_copy_only=False)
+                ms, md = np.isin(s, want), np.isin(d, want)
+                return pa.table({
+                    "v": pa.array(np.r_[s[ms], d[md]], pa.int64()),
+                    "t": pa.array(np.r_[t[ms], t[md]], pa.int64())})
+
+            evs, ets = [], []
+            for b in self.gf.edges.map_batches(
+                    times, batch_format="pyarrow", zero_copy_batch=True
+                    ).iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    evs.append(b["v"].to_numpy(zero_copy_only=False))
+                    ets.append(b["t"].to_numpy(zero_copy_only=False))
+            nvs, nts = [], []
+            ne = self.gf.node_events
+            if ne is not None:
+                def ntimes(b: pa.Table) -> pa.Table:
+                    v = b["vid"].to_numpy(zero_copy_only=False)
+                    m = np.isin(v, want)
+                    return pa.table({
+                        "v": b["vid"].filter(pa.array(m)),
+                        "t": b["t"].filter(pa.array(m))})
+
+                for b in ne.map_batches(
+                        ntimes, batch_format="pyarrow",
+                        zero_copy_batch=True
+                        ).iter_batches(batch_format="pyarrow"):
+                    if b.num_rows:
+                        nvs.append(b["v"].to_numpy(zero_copy_only=False))
+                        nts.append(b["t"].to_numpy(zero_copy_only=False))
+            ev = np.concatenate(evs) if evs else np.empty(0, np.int64)
+            et = np.concatenate(ets) if ets else np.empty(0, np.int64)
+            nv = np.concatenate(nvs) if nvs else np.empty(0, np.int64)
+            nt = np.concatenate(nts) if nts else np.empty(0, np.int64)
+            for x in todo:
+                edge_t = et[ev == x]
+                # (sorted union history, edge-event-only count):
+                # edge_history_count (node.rs:360) excludes property events
+                self._nhist_cache[x] = (
+                    np.sort(np.r_[edge_t, nt[nv == x]]), len(edge_t))
+        return {v: self._nhist_cache[v] for v in vids}
+
+
+# per-node fields whose resolution reads the batched node history
+_NODE_HIST_FIELDS = {"earliestTime", "latestTime", "firstUpdate",
+                     "lastUpdate", "history", "edgeHistoryCount",
+                     "isActive"}
+
+
 def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
     ideg, odeg, bdeg = ctx._degrees()
     vt = ctx.gf.vertices
@@ -461,6 +524,21 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             # .temporal() resolver) → [{time, value}]; batched page-wide
             out[f.out] = ctx.batch_property_history(
                 [vid], f.args["key"])[vid]
+        elif f.name in _NODE_HIST_FIELDS:
+            # node temporal accessors (node.rs:320-365): all read the
+            # union of edge events at the node + node-property events,
+            # gathered once per page via batch_node_history
+            h, edge_n = ctx.batch_node_history([vid])[vid]
+            if f.name in ("earliestTime", "firstUpdate"):
+                out[f.out] = int(h[0]) if len(h) else None
+            elif f.name in ("latestTime", "lastUpdate"):
+                out[f.out] = int(h[-1]) if len(h) else None
+            elif f.name == "history":
+                out[f.out] = [int(x) for x in h]
+            elif f.name == "edgeHistoryCount":
+                out[f.out] = int(edge_n)
+            else:                                   # isActive
+                out[f.out] = bool(len(h))
         else:
             raise KeyError(f"unknown node field {f.name!r}")
     return out
@@ -595,6 +673,8 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             vids = ctx.page_vids(offset, limit)
             if any(s.name == "neighbours" for s in (f.sel or [])):
                 ctx.batch_neighbours(vids)      # one scan for the page
+            if any(s.name in _NODE_HIST_FIELDS for s in (f.sel or [])):
+                ctx.batch_node_history(vids)    # one scan for the page
             for s in (f.sel or []):             # same for histories
                 if s.name == "propertyHistory":
                     ctx.batch_property_history(vids, s.args["key"])
@@ -633,6 +713,8 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             vids = [int(v) for v in hits[off:off + lim]]
             if any(s.name == "neighbours" for s in (f.sel or [])):
                 ctx.batch_neighbours(vids)
+            if any(s.name in _NODE_HIST_FIELDS for s in (f.sel or [])):
+                ctx.batch_node_history(vids)
             for s in (f.sel or []):
                 if s.name == "propertyHistory":
                     ctx.batch_property_history(vids, s.args["key"])

@@ -528,3 +528,21 @@ def test_filter_nodes_fuzzy_and_isin(ray_session):
     got = g["data"]["graph"]
     assert got["inSet"]["countNodes"] == 2
     assert got["notIn"]["countNodes"] == 2
+
+
+def test_node_temporal_accessors(ray_session):
+    """node.rs:320-365 temporal accessors: earliestTime/latestTime/
+    history/edgeHistoryCount/isActive, windowed variants included."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), '{ graph { node(name: "a") { earliestTime '
+                       'latestTime history edgeHistoryCount isActive } '
+                       'w: window(start: 2, end: 6) { nodes(limit: 4) '
+                       '{ name isActive latestTime } } } }')
+    n = g["data"]["graph"]["node"]
+    # node a touches events at t=1 (a->b), 2 (a->c), 6 (d->a)
+    assert n == {"earliestTime": 1, "latestTime": 6, "history": [1, 2, 6],
+                 "edgeHistoryCount": 3, "isActive": True}
+    # window [2,6): active nodes page with per-node latest inside window
+    w = {r["name"]: r for r in g["data"]["graph"]["w"]["nodes"]}
+    assert w["a"]["latestTime"] == 2 and w["a"]["isActive"]
+    assert w["d"]["latestTime"] == 5
