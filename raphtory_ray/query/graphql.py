@@ -524,6 +524,36 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             # .temporal() resolver) → [{time, value}]; batched page-wide
             out[f.out] = ctx.batch_property_history(
                 [vid], f.args["key"])[vid]
+        elif f.name in ("edges", "outEdges", "inEdges"):
+            # node.rs:425-447 edges/out_edges/in_edges(select:
+            # EdgeFilter): this node's incident events, optionally
+            # edge-filtered, as the standard deterministic page
+            from raphtory_ray.graph.filter import Prop as _P
+            if f.name == "edges":
+                fe = (_P("src") == vid) | (_P("dst") == vid)
+            elif f.name == "outEdges":
+                fe = _P("src") == vid
+            else:
+                fe = _P("dst") == vid
+            sub = ctx.gf.filter_exploded_edges(fe)
+            if f.args.get("select"):
+                efe, mode = _edge_filter_expr(ctx.gf, f.args["select"])
+                sub = sub.filter_edges(efe, mode)
+            sub_ctx = _GraphCtx(sub, ctx._node_set, vectors=ctx.vectors)
+            out[f.out] = _resolve_edges_page(sub_ctx, f.args,
+                                             f.sel or [])
+        elif f.name in ("inComponent", "outComponent"):
+            # node.rs:414,419: ancestors / descendants of this node —
+            # the engine's single-source frontier BFS (no edge pull)
+            from raphtory_ray.algorithms import (in_component,
+                                                 out_component)
+            fn = in_component if f.name == "inComponent" else \
+                out_component
+            members = [int(v) for v in np.sort(fn(ctx.gf, vid))
+                       if ctx.in_set(int(v))]
+            sub_sel = f.sel or [Field("name", None, {}, None)]
+            out[f.out] = [_resolve_node(ctx, v, sub_sel)
+                          for v in members]
         elif f.name in _NODE_HIST_FIELDS:
             # node temporal accessors (node.rs:320-365): all read the
             # union of edge events at the node + node-property events,

@@ -546,3 +546,23 @@ def test_node_temporal_accessors(ray_session):
     w = {r["name"]: r for r in g["data"]["graph"]["w"]["nodes"]}
     assert w["a"]["latestTime"] == 2 and w["a"]["isActive"]
     assert w["d"]["latestTime"] == 5
+
+
+def test_node_edges_and_components(ray_session):
+    """node.rs per-node edges/outEdges/inEdges(select:) + in/outComponent."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { node(name: "a") { '
+                        'edges(limit: 10) { src dst time } '
+                        'outEdges(limit: 10) { dst } '
+                        'inEdges(limit: 10) { src } '
+                        'hot: outEdges(select: {property: {name: "w", '
+                        'where: {gt: 50}}}, limit: 10) { dst } '
+                        'outComponent { name } } } }')
+    n = g["data"]["graph"]["node"]
+    assert len(n["edges"]) == 4            # a->b x2, a->c, d->a events
+    assert sorted(e["dst"] for e in n["outEdges"]) == [1, 1, 2]
+    assert [e["src"] for e in n["inEdges"]] == [3]
+    assert sorted(e["dst"] for e in n["hot"]) == [1, 1]  # a->b latest=100
+    # descendants of a: everything (a->b->c->d cycle back to a)
+    assert sorted(x["name"] for x in n["outComponent"]) == \
+        ["a", "b", "c", "d"]
