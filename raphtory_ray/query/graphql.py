@@ -478,6 +478,14 @@ _NODE_HIST_FIELDS = {"earliestTime", "latestTime", "firstUpdate",
                      "lastUpdate", "history", "edgeHistoryCount",
                      "isActive"}
 
+# node-level view transforms (node.rs:73-267): time/layer views return a
+# NEW node context over the narrowed graph view; node-restricting views
+# don't exist at node level
+_NODE_VIEW_FIELDS = {"window", "at", "before", "after", "snapshotAt",
+                     "snapshotLatest", "shrinkWindow", "shrinkStart",
+                     "shrinkEnd", "layer", "layers", "excludeLayer",
+                     "excludeLayers", "defaultLayer", "applyViews"}
+
 
 def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
     ideg, odeg, bdeg = ctx._degrees()
@@ -524,6 +532,32 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             # .temporal() resolver) → [{time, value}]; batched page-wide
             out[f.out] = ctx.batch_property_history(
                 [vid], f.args["key"])[vid]
+        elif f.name in _NODE_VIEW_FIELDS:
+            sub, _ns = _apply_view(ctx.gf, f, ctx._node_set)
+            out[f.out] = _resolve_node(
+                _GraphCtx(sub, ctx._node_set, vectors=ctx.vectors),
+                vid, f.sel or [])
+        elif f.name in ("rolling", "expanding"):
+            # node-level WindowSets (node.rs:122,155): a LIST of node
+            # contexts, one per window, with start/end scalars
+            from raphtory_ray.algorithms.extra import expanding, rolling
+            if f.name == "rolling":
+                views = rolling(ctx.gf, f.args["window"],
+                                f.args.get("step"))
+            else:
+                views = expanding(ctx.gf, f.args["step"])
+            items = []
+            for v in views:
+                sub_sel = [s for s in (f.sel or [])
+                           if s.name not in ("start", "end")]
+                o = _resolve_node(
+                    _GraphCtx(v, ctx._node_set, vectors=ctx.vectors),
+                    vid, sub_sel)
+                for s in (f.sel or []):
+                    if s.name in ("start", "end"):
+                        o[s.out] = getattr(v, s.name)
+                items.append(o)
+            out[f.out] = items
         elif f.name in ("edges", "outEdges", "inEdges"):
             # node.rs:425-447 edges/out_edges/in_edges(select:
             # EdgeFilter): this node's incident events, optionally

@@ -566,3 +566,22 @@ def test_node_edges_and_components(ray_session):
     # descendants of a: everything (a->b->c->d cycle back to a)
     assert sorted(x["name"] for x in n["outComponent"]) == \
         ["a", "b", "c", "d"]
+
+
+def test_node_level_views(ray_session):
+    """node.rs:73-267: time/layer views on a single node context."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { node(name: "a") { '
+                        'w: window(start: 1, end: 5) '
+                        '{ outDegree history } '
+                        'x: layer(name: "x") { outDegree } '
+                        'av: applyViews(views: [{window: '
+                        '{start: 1, end: 5}}]) { history } '
+                        'r: expanding(step: 5) { end isActive } } } }')
+    n = g["data"]["graph"]["node"]
+    # window [1,5): a's events at t=1 (a->b), t=2 (a->c); out {b, c}
+    assert n["w"] == {"outDegree": 2, "history": [1, 2]}
+    # layer x events: a->b (t=1, t=10); out degree on x = 1
+    assert n["x"] == {"outDegree": 1}
+    assert n["av"] == {"history": [1, 2]}
+    assert [r["isActive"] for r in n["r"]] == [True, True]
