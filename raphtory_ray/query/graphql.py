@@ -608,6 +608,78 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
     return out
 
 
+def _resolve_edge(ctx: _GraphCtx, args: dict, sel: list):
+    """graph.rs edge(src, dst) → GqlEdge subset (edge.rs accessors):
+    one filtered pass gathers the edge's events; scalars resolve from
+    the gathered table. Returns None when the edge doesn't exist."""
+    gf = ctx.gf
+    s, d = ctx.vid_of(args["src"]), ctx.vid_of(args["dst"])
+    if s is None or d is None:
+        return None
+
+    def probe(b: pa.Table, s=s, d=d) -> pa.Table:
+        m = pc.and_(pc.equal(b["src"], s), pc.equal(b["dst"], d))
+        return b.filter(pc.fill_null(m, False))
+
+    parts = [t for t in gf.edges.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        return None
+    ev = pa.concat_tables(parts, promote_options="default")
+    order = [("t", "ascending")] + ([("event_id", "ascending")]
+                                    if "event_id" in ev.column_names
+                                    else [])
+    ev = ev.sort_by(order)
+    times = ev["t"].to_pylist()
+    out = {}
+    for f in sel:
+        if f.name == "src":
+            out[f.out] = int(s)
+        elif f.name == "dst":
+            out[f.out] = int(d)
+        elif f.name == "srcName":
+            out[f.out] = ctx.name_of(s)
+        elif f.name == "dstName":
+            out[f.out] = ctx.name_of(d)
+        elif f.name == "earliestTime":
+            out[f.out] = times[0]
+        elif f.name in ("latestTime", "time"):
+            out[f.out] = times[-1]
+        elif f.name == "history":
+            out[f.out] = times
+        elif f.name == "countEvents":
+            out[f.out] = ev.num_rows
+        elif f.name == "isSelfLoop":
+            out[f.out] = bool(s == d)
+        elif f.name in ("layerNames", "layers"):
+            out[f.out] = sorted(set(
+                ev["layer"].to_pylist())) if "layer" in ev.column_names \
+                else ["_default"]
+        elif f.name == "layerName":
+            lays = set(ev["layer"].to_pylist()) \
+                if "layer" in ev.column_names else {"_default"}
+            if len(lays) != 1:
+                raise KeyError("layerName on a multi-layer edge — "
+                               "use layerNames")
+            out[f.out] = lays.pop()
+        elif f.name == "propertyHistory":
+            k = f.args["key"]
+            vals = ev[k].to_pylist() if k in ev.column_names \
+                else [None] * ev.num_rows
+            out[f.out] = [{"time": t, "value": v}
+                          for t, v in zip(times, vals)]
+        elif f.name == "property":
+            k = f.args["key"]
+            out[f.out] = ev[k][ev.num_rows - 1].as_py() \
+                if k in ev.column_names else None
+        elif f.name == "explode":
+            out[f.out] = ev.to_pylist()
+        else:
+            raise KeyError(f"unknown edge field {f.name!r}")
+    return out
+
+
 def _resolve_edges_page(ctx: _GraphCtx, args: dict, sel: list):
     gf = ctx.gf
     offset = int(args.get("offset", 0))
@@ -727,6 +799,49 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
                 out[f.out] = gf.edges.map_batches(
                     probe, batch_format="pyarrow",
                     zero_copy_batch=True).count() > 0
+        elif f.name == "edge":
+            # graph.rs edge(src, dst): one edge's events gathered in a
+            # single filtered pass → scalar accessors + history
+            out[f.out] = _resolve_edge(ctx, f.args, f.sel or [])
+        elif f.name == "sharedNeighbours":
+            # graph.rs shared_neighbours(node1, node2): intersection of
+            # the two distinct-neighbour sets (one batched edge pass)
+            v1 = ctx.vid_of(f.args["node1"])
+            v2 = ctx.vid_of(f.args["node2"])
+            if v1 is None or v2 is None:
+                out[f.out] = []
+            else:
+                nb = ctx.batch_neighbours([v1, v2])
+                both = np.intersect1d(nb[v1], nb[v2])
+                sub_sel = f.sel or [Field("name", None, {}, None)]
+                out[f.out] = [_resolve_node(ctx, int(v), sub_sel)
+                              for v in both if ctx.in_set(int(v))]
+        elif f.name in ("earliestEdgeTime", "latestEdgeTime"):
+            # edge-event bounds (graph.rs earliest/latest_edge_time);
+            # the frame's time bounds are edge-event bounds already
+            out[f.out] = gf.earliest_time() \
+                if f.name == "earliestEdgeTime" else gf.latest_time()
+        elif f.name == "latest":
+            lt = gf.latest_time()
+            sub = gf.at(int(lt)) if lt is not None else gf
+            out[f.out] = _resolve_graph(
+                _GraphCtx(sub, ctx._node_set, vectors=ctx.vectors),
+                f.sel or [])
+        elif f.name == "properties":
+            # graph temporal properties resolved to latest values
+            # (graph_frame.latest_graph_properties, window-aware); key
+            # narrows to one entry like the node metadata resolver
+            props = gf.latest_graph_properties()
+            key = f.args.get("key")
+            out[f.out] = {key: props.get(key)} if key else props
+        elif f.name in ("metadata", "graphMetadata"):
+            meta = dict(gf.graph_meta)
+            key = f.args.get("key")
+            out[f.out] = {key: meta.get(key)} if key else meta
+        elif f.name == "propertyHistory":
+            t = gf.graph_property_history(f.args["key"])
+            out[f.out] = [{"time": ti, "value": v} for ti, v in
+                          zip(t["t"].to_pylist(), t["value"].to_pylist())]
         elif f.name == "node":
             vid = ctx.vid_of(f.args["name"])
             out[f.out] = None if vid is None else \

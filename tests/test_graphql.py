@@ -585,3 +585,51 @@ def test_node_level_views(ray_session):
     assert n["x"] == {"outDegree": 1}
     assert n["av"] == {"history": [1, 2]}
     assert [r["isActive"] for r in n["r"]] == [True, True]
+
+
+def test_graph_edge_and_shared_neighbours(ray_session):
+    """graph.rs edge(src,dst), sharedNeighbours, edge-time scalars."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), '{ graph { '
+                        'edge(src: "a", dst: "b") { src dst srcName '
+                        'dstName earliestTime latestTime time history '
+                        'countEvents isSelfLoop layerNames '
+                        'wHist: propertyHistory(key: "w") '
+                        'w: property(key: "w") } '
+                        'none: edge(src: "b", dst: "a") { src } '
+                        'sharedNeighbours(node1: "a", node2: "c") '
+                        '{ name } '
+                        'earliestEdgeTime latestEdgeTime } }')
+    got = g["data"]["graph"]
+    e = got["edge"]
+    assert (e["src"], e["dst"]) == (0, 1)
+    assert (e["srcName"], e["dstName"]) == ("a", "b")
+    assert (e["earliestTime"], e["latestTime"], e["time"]) == (1, 10, 10)
+    assert e["history"] == [1, 10] and e["countEvents"] == 2
+    assert not e["isSelfLoop"] and e["layerNames"] == ["x"]
+    assert e["wHist"] == [{"time": 1, "value": 1.0},
+                          {"time": 10, "value": 100.0}]
+    assert e["w"] == 100.0                      # latest-event value
+    assert got["none"] is None
+    # neighbours: a~{b,c,d}, c~{a,b,d} → shared {b, d}
+    assert sorted(x["name"] for x in got["sharedNeighbours"]) == \
+        ["b", "d"]
+    assert (got["earliestEdgeTime"], got["latestEdgeTime"]) == (1, 10)
+
+
+def test_graph_properties_fields(ray_session):
+    """graph-level temporal properties + metadata resolvers."""
+    from raphtory_ray.query.graphql import execute
+    gf = _gfw().add_properties(5, {"owner": "alice"}) \
+               .add_properties(7, {"owner": "bob"}) \
+               .add_metadata({"kind": "test"})
+    g = execute(gf, '{ graph { properties '
+                    'propertyHistory(key: "owner") '
+                    'metadata(key: "kind") '
+                    'w: window(start: 1, end: 6) { properties } } }')
+    got = g["data"]["graph"]
+    assert got["properties"] == {"owner": "bob"}
+    assert got["propertyHistory"] == [{"time": 5, "value": "alice"},
+                                      {"time": 7, "value": "bob"}]
+    assert got["metadata"] == {"kind": "test"}
+    assert got["w"]["properties"] == {"owner": "alice"}   # window-aware
