@@ -608,6 +608,88 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
     return out
 
 
+def _resolve_schema(ctx: _GraphCtx, sel: list):
+    """graph.rs schema → GraphSchema (model/schema/*.rs): node types
+    with their property columns, and per-layer edge schemas with the
+    (srcType, dstType) combinations present — the endpoint-type pairs
+    come from ONE distributed pass over the edge Dataset against a
+    broadcast vid→type array, not a per-edge lookup loop."""
+    gf = ctx.gf
+    vt = gf.vertices
+
+    def ptype(t: pa.DataType) -> str:
+        return str(t)
+
+    out = {}
+    want = {s.name for s in sel} or {"nodes", "layers"}
+    if "nodes" in want:
+        nodes = []
+        prop_cols = []
+        ne = gf.node_events
+        if ne is not None:
+            sch = ne.schema()
+            prop_cols = [{"key": n, "propertyType": ptype(t)}
+                         for n, t in zip(sch.names, sch.types)
+                         if n not in ("vid", "t", "event_id")]
+        meta_cols = [] if vt is None else [
+            {"key": c, "propertyType": ptype(vt.schema.field(c).type)}
+            for c in vt.column_names
+            if c not in ("vid", "gid", "node_type")]
+        if vt is not None and "node_type" in vt.column_names:
+            tnames = sorted(set(
+                x for x in vt["node_type"].to_pylist() if x is not None))
+        else:
+            tnames = []
+        for tn in (tnames or ["None"]):
+            nodes.append({"typeName": tn, "properties": prop_cols,
+                          "metadata": meta_cols})
+        out["nodes"] = nodes
+    if "layers" in want:
+        sch = gf.edges.schema()
+        eprops = [{"key": n, "propertyType": ptype(t)}
+                  for n, t in zip(sch.names, sch.types)
+                  if n not in ("src", "dst", "t", "event_id", "layer")]
+        has_layer = "layer" in sch.names
+        if vt is not None and "node_type" in vt.column_names:
+            tmap = np.full(gf.n, None, dtype=object)
+            tmap[vt["vid"].to_numpy(zero_copy_only=False)] = \
+                np.asarray(vt["node_type"].to_pylist(), dtype=object)
+        else:
+            tmap = None
+
+        def combos(b: pa.Table) -> pa.Table:
+            lay = b["layer"] if has_layer else \
+                pa.array(["_default"] * b.num_rows)
+            if tmap is not None:
+                s = tmap[b["src"].to_numpy(zero_copy_only=False)]
+                d = tmap[b["dst"].to_numpy(zero_copy_only=False)]
+            else:
+                s = np.full(b.num_rows, "None", dtype=object)
+                d = s
+            t = pa.table({"layer": lay,
+                          "srcType": pa.array(s, pa.string()),
+                          "dstType": pa.array(d, pa.string())})
+            return t.group_by(["layer", "srcType", "dstType"]) \
+                    .aggregate([])
+
+        seen = {}
+        for b in gf.edges.map_batches(
+                combos, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(
+                    batch_format="pyarrow"):
+            for lay, st, dt in zip(b["layer"].to_pylist(),
+                                   b["srcType"].to_pylist(),
+                                   b["dstType"].to_pylist()):
+                seen.setdefault(lay, set()).add((st, dt))
+        out["layers"] = [
+            {"name": lay,
+             "edges": [{"srcType": st, "dstType": dt,
+                        "properties": eprops}
+                       for st, dt in sorted(pairs)]}
+            for lay, pairs in sorted(seen.items())]
+    return out
+
+
 def _resolve_edge(ctx: _GraphCtx, args: dict, sel: list):
     """graph.rs edge(src, dst) → GqlEdge subset (edge.rs accessors):
     one filtered pass gathers the edge's events; scalars resolve from
@@ -842,6 +924,8 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             t = gf.graph_property_history(f.args["key"])
             out[f.out] = [{"time": ti, "value": v} for ti, v in
                           zip(t["t"].to_pylist(), t["value"].to_pylist())]
+        elif f.name == "schema":
+            out[f.out] = _resolve_schema(ctx, f.sel or [])
         elif f.name == "node":
             vid = ctx.vid_of(f.args["name"])
             out[f.out] = None if vid is None else \

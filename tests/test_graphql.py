@@ -633,3 +633,24 @@ def test_graph_properties_fields(ray_session):
                                       {"time": 7, "value": "bob"}]
     assert got["metadata"] == {"kind": "test"}
     assert got["w"]["properties"] == {"owner": "alice"}   # window-aware
+
+
+def test_graph_schema_introspection(ray_session):
+    """graph.rs schema → node types + per-layer edge type combinations."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gfw(), "{ graph { schema { nodes layers } } }")
+    sch = g["data"]["graph"]["schema"]
+    assert [n["typeName"] for n in sch["nodes"]] == ["hub", "leaf"]
+    lays = {l["name"]: {(e["srcType"], e["dstType"])
+                        for e in l["edges"]} for l in sch["layers"]}
+    assert set(lays) == {"x", "y"}
+    # x events: a->b (hub,leaf) x2, b->c (leaf,leaf), c->d (leaf,hub)
+    assert lays["x"] == {("hub", "leaf"), ("leaf", "leaf"),
+                         ("leaf", "hub")}
+    # y events: a->c (hub,leaf), b->d (leaf,hub), d->a (hub,hub)
+    assert lays["y"] == {("hub", "leaf"), ("leaf", "hub"),
+                         ("hub", "hub")}
+    # edge property schema includes w (double), not the key columns
+    keys = {p["key"] for l in sch["layers"] for e in l["edges"]
+            for p in e["properties"]}
+    assert keys == {"w"}
