@@ -38,12 +38,26 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
 - scalars: ``countNodes`` (under a time view: event-active nodes only,
   graph.rs windowed semantics), ``countEdges`` (distinct simple
   edges), ``countTemporalEdges`` (event rows), ``earliestTime``,
-  ``latestTime``, ``hasNode(name)``, ``hasEdge(src, dst)``
+  ``latestTime``, ``earliestEdgeTime``, ``latestEdgeTime``,
+  ``hasNode(name)``, ``hasEdge(src, dst)``; graph-level
+  ``properties`` / ``metadata(key?)`` / ``propertyHistory(key)``
+  (window-aware latest values + history); ``schema`` introspection
+  (node types, per-layer (srcType, dstType) combos, property columns)
 - ``nodes(offset, limit)`` — vid-ordered page; node fields: ``id``,
   ``name`` (gid), ``nodeType``, ``degree``, ``inDegree``,
   ``outDegree``, ``neighbours(limit)``, ``metadata(key?)``,
-  ``propertyHistory(key)``
+  ``propertyHistory(key)``; temporal accessors ``earliestTime`` /
+  ``latestTime`` / ``firstUpdate`` / ``lastUpdate`` / ``history`` /
+  ``edgeHistoryCount`` / ``isActive`` (page-batched: one edge pass
+  per page); per-node ``edges`` / ``outEdges`` / ``inEdges(select:
+  EdgeFilter)`` pages, ``inComponent`` / ``outComponent`` (frontier
+  BFS), and node-level view transforms + ``rolling`` / ``expanding``
+  WindowSets (node.rs:73-267)
 - ``node(name)`` — single node by gid (or vid when no vertices table)
+- ``edge(src, dst)`` — single-edge accessors (edge.rs): times,
+  ``history``, ``layerNames``, ``property(key)`` (latest event),
+  ``propertyHistory(key)``, ``explode``, ``isSelfLoop``
+- ``sharedNeighbours(node1, node2)`` — neighbour-set intersection
 - ``edges(offset, limit)`` — (src, dst, t, eventId)-ordered page; edge
   fields: ``src``, ``dst``, ``time``, ``eventId``, ``layer``, plus any
   temporal property column by name
