@@ -1101,6 +1101,14 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping char-window chunking (round 4, chunk→embed→dedup
+    pipeline stage): size 120, overlap 30 — one slice kernel per chunk
+    index per batch, SQL-mirrored by a range() join + substr."""
+    from raphtory_ray.data.text import chunk_documents
+    return chunk_documents(_docs(sf_dir), size=120, overlap=30)
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from raphtory_ray.data.dedup import exact_dedup
     ds = exact_dedup(_docs(sf_dir))
@@ -1385,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rich_club": _q_user_rich_club,
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
+        "doc_chunks": _q_doc_chunks,
         "doc_quality_stats": _q_doc_quality,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -2708,6 +2717,19 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
          AS n_tokens
 FROM documents
+""",
+        "doc_chunks": """
+WITH docs AS (
+  SELECT doc_id, text, length(text)::BIGINT AS L FROM documents
+),
+-- constant bound (DuckDB range() rejects subquery params): covers docs
+-- up to 4096*90 chars, far beyond the synthetic corpus
+ks AS (SELECT range::BIGINT AS k FROM range(0, 4096))
+SELECT d.doc_id, ks.k AS chunk_id,
+       substr(d.text, (ks.k * 90 + 1)::INT, 120) AS chunk,
+       length(substr(d.text, (ks.k * 90 + 1)::INT, 120))::BIGINT
+         AS n_chars
+FROM docs d JOIN ks ON ks.k * 90 < d.L
 """,
         "doc_quality_stats": r"""
 SELECT doc_id,

@@ -139,6 +139,61 @@ def winnow_batch(batch: pa.Table, k: int = 8, window: int = 16,
                      "fingerprint": pa.array(np.concatenate(out_fp))})
 
 
+def chunk_batch(batch: pa.Table, size: int = 120, overlap: int = 30,
+                text_col: str = "text") -> pa.Table:
+    """Fixed character-window document chunking with overlap — the first
+    stage of a chunk→embed→dedup training-data pipeline. Chunk ``k``
+    covers codepoints ``[k*stride, k*stride+size)`` with
+    ``stride = size - overlap``, emitted while ``k*stride < len(text)``
+    (empty text → no chunks). Output one row per (doc_id, chunk_id,
+    chunk, n_chars).
+
+    Vectorized: ONE ``utf8_slice_codeunits`` kernel call per chunk INDEX
+    (≤ max_len/stride calls per batch), never per row. Exact DuckDB
+    mirror: ``substr(text, k*stride+1, size)`` over a ``range()`` join
+    on ``k*stride < length(text)`` (both substr and utf8_slice count
+    codepoints)."""
+    assert 0 <= overlap < size
+    stride = size - overlap
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    ids = batch["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    L = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = []
+    k = 0
+    while True:
+        start = k * stride
+        m = L > start
+        if not m.any():
+            break
+        sel = pa.array(m)
+        piece = pc.utf8_slice_codeunits(txt.filter(sel), start,
+                                        start + size)
+        out.append(pa.table({
+            "doc_id": ids.filter(sel),
+            "chunk_id": pa.array(np.full(int(m.sum()), k, np.int64)),
+            "chunk": piece,
+            "n_chars": pc.utf8_length(piece).cast(pa.int64()),
+        }))
+        k += 1
+    if not out:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string()),
+                         "n_chars": pa.array([], pa.int64())})
+    return pa.concat_tables(out)
+
+
+def chunk_documents(ds, size: int = 120, overlap: int = 30,
+                    text_col: str = "text"):
+    return ds.map_batches(lambda b: chunk_batch(b, size, overlap,
+                                                text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_counts(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: token_count_batch(b, text_col),
                           batch_format="pyarrow", zero_copy_batch=True)

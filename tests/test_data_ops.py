@@ -294,3 +294,31 @@ def test_minhash_short_docs_never_duplicate(ray_session):
     t = (minhash_lsh_dedup(rd.from_arrow(docs), threshold=0.7)
          .to_pandas().sort_values("doc_id"))
     assert t["cluster_id"].tolist() == [0, 1, 2, 2]
+
+
+def test_chunk_documents(ray_session):
+    """Char-window chunking: stride coverage, overlap, unicode, empties."""
+    import ray.data as rd
+    from raphtory_ray.data.text import chunk_documents
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcdefghij",      # len 10
+                          "",                # no chunks
+                          "xy",              # one short chunk
+                          "héllo wörld!!"]), # unicode, len 13
+    })
+    out = pa.concat_tables(chunk_documents(
+        rd.from_arrow(docs), size=6, overlap=2)
+        .iter_batches(batch_format="pyarrow")).sort_by(
+            [("doc_id", "ascending"), ("chunk_id", "ascending")])
+    rows = list(zip(out["doc_id"].to_pylist(),
+                    out["chunk_id"].to_pylist(),
+                    out["chunk"].to_pylist()))
+    # stride 4: doc1 (len 10) -> [0:6], [4:10], [8:10]
+    assert rows == [
+        (1, 0, "abcdef"), (1, 1, "efghij"), (1, 2, "ij"),
+        (3, 0, "xy"),
+        (4, 0, "héllo "), (4, 1, "o wörl"), (4, 2, "rld!!"),
+        (4, 3, "!"),
+    ]
+    assert out["n_chars"].to_pylist() == [6, 6, 2, 2, 6, 6, 5, 1]
