@@ -1101,6 +1101,15 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+def _q_doc_trigram_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal (round 4): per-doc word
+    trigram total / distinct / max-repeat counts, kept integral so the
+    DuckDB mirror (constant-bound range join over the token array) is
+    bit-exact."""
+    from raphtory_ray.data.text import trigram_repetition
+    return trigram_repetition(_docs(sf_dir))
+
+
 def _q_doc_chunks(sf_dir: str):
     """Overlapping char-window chunking (round 4, chunk→embed→dedup
     pipeline stage): size 120, overlap 30 — one slice kernel per chunk
@@ -1394,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
         "doc_chunks": _q_doc_chunks,
+        "doc_trigram_repetition": _q_doc_trigram_repetition,
         "doc_quality_stats": _q_doc_quality,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -2717,6 +2727,26 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
          AS n_tokens
 FROM documents
+""",
+        "doc_trigram_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+),
+-- constant bound (range() rejects subquery params); arrays are
+-- 1-indexed in DuckDB
+tris AS (
+  SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tri
+  FROM toks, (SELECT range::BIGINT AS i FROM range(1, 4096)) r
+  WHERE i + 2 <= len(a)
+),
+cnt AS (
+  SELECT doc_id, tri, COUNT(*)::BIGINT AS c FROM tris
+  GROUP BY doc_id, tri
+)
+SELECT doc_id, SUM(c)::BIGINT AS n_trigrams,
+       COUNT(*)::BIGINT AS n_distinct, MAX(c)::BIGINT AS max_repeat
+FROM cnt GROUP BY doc_id
 """,
         "doc_chunks": """
 WITH docs AS (

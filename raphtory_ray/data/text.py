@@ -187,6 +187,59 @@ def chunk_batch(batch: pa.Table, size: int = 120, overlap: int = 30,
     return pa.concat_tables(out)
 
 
+def trigram_stats_batch(batch: pa.Table,
+                        text_col: str = "text") -> pa.Table:
+    """Word-trigram repetition stats per doc — the Gopher-style
+    repetition quality signal (Rae et al. 2021 §A1.1: fraction of
+    duplicated n-grams): total trigrams, distinct trigrams, and the
+    most-repeated trigram's count. Docs with < 3 whitespace tokens emit
+    no row.
+
+    Vectorized: one split kernel, numpy concatenation over the flattened
+    token array (doc boundaries masked by position ownership), Arrow
+    C++ group_by for the distinct/count reductions — no per-row loop."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_trigrams": pa.array([], pa.int64()),
+                      "n_distinct": pa.array([], pa.int64()),
+                      "max_repeat": pa.array([], pa.int64())})
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # values of a (possibly sliced) ListArray are absolute-indexed
+    v = toks.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+    if len(v) < 3:
+        return empty
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    row_of_pos = np.repeat(np.arange(batch.num_rows),
+                           np.diff(offs - offs[0]))
+    valid = row_of_pos[:-2] == row_of_pos[2:]   # trigram within one doc
+    if not valid.any():
+        return empty
+    tri = (v[:-2] + " " + v[1:-1] + " " + v[2:])[valid]
+    docs = doc_ids[row_of_pos[:-2][valid]]
+    per_tri = pa.table({"doc_id": pa.array(docs, pa.int64()),
+                        "tri": pa.array(tri, pa.string())}) \
+        .group_by(["doc_id", "tri"]).aggregate([("tri", "count")])
+    out = per_tri.group_by(["doc_id"]).aggregate(
+        [("tri_count", "sum"), ("tri_count", "count"),
+         ("tri_count", "max")])
+    return pa.table({
+        "doc_id": out["doc_id"],
+        "n_trigrams": out["tri_count_sum"].cast(pa.int64()),
+        "n_distinct": out["tri_count_count"].cast(pa.int64()),
+        "max_repeat": out["tri_count_max"].cast(pa.int64()),
+    })
+
+
+def trigram_repetition(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: trigram_stats_batch(b, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def chunk_documents(ds, size: int = 120, overlap: int = 30,
                     text_col: str = "text"):
     return ds.map_batches(lambda b: chunk_batch(b, size, overlap,

@@ -322,3 +322,23 @@ def test_chunk_documents(ray_session):
         (4, 3, "!"),
     ]
     assert out["n_chars"].to_pylist() == [6, 6, 2, 2, 6, 6, 5, 1]
+
+
+def test_trigram_repetition(ray_session):
+    """Gopher-style duplicate-trigram stats: totals, distincts, max."""
+    import ray.data as rd
+    from raphtory_ray.data.text import trigram_repetition
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a b a b",    # tris: aba,bab,aba,bab
+                          "x y",            # too short -> no row
+                          "",               # empty -> no row
+                          "p q r s"]),      # pqr, qrs distinct
+    })
+    out = pa.concat_tables(trigram_repetition(rd.from_arrow(docs))
+                           .iter_batches(batch_format="pyarrow")) \
+        .sort_by("doc_id")
+    assert out.to_pylist() == [
+        {"doc_id": 1, "n_trigrams": 4, "n_distinct": 2, "max_repeat": 2},
+        {"doc_id": 4, "n_trigrams": 2, "n_distinct": 2, "max_repeat": 1},
+    ]
