@@ -1101,6 +1101,52 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+class _HashEmbedModel:
+    """Stand-in embedding model for the composed pipeline below — same
+    deterministic hash projection as data/vectors.default_embedding,
+    wrapped as the model-CLASS shape EmbeddingStage loads once per
+    actor (the real-model integration seam)."""
+
+    def __call__(self, texts):
+        from raphtory_ray.data.vectors import default_embedding
+        return default_embedding(list(texts))
+
+
+def _q_chunk_vector_search(sf_dir: str) -> pa.Table:
+    """Composed chunk→embed→search pipeline (round 4): chunk documents
+    (char windows + overlap), embed every chunk in the actor-pool
+    EmbeddingStage (model loads once per actor), brute-force cosine
+    top-10 chunks for a fixed query. rows-only gate — the stand-in
+    model isn't SQL-expressible; ranking invariants live in tests."""
+    from raphtory_ray.data.similarity import knn_bruteforce
+    from raphtory_ray.data.text import chunk_documents
+    from raphtory_ray.data.vectors import EmbeddingStage, \
+        default_embedding
+
+    chunks = chunk_documents(_docs(sf_dir), size=120, overlap=30)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vec_id = pc.add(pc.multiply(b["doc_id"],
+                                    pa.scalar(10_000, pa.int64())),
+                        b["chunk_id"])
+        return pa.table({"vec_id": vec_id.cast(pa.int64()),
+                         "text": b["chunk"]})
+
+    emb = chunks.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .map_batches(EmbeddingStage,
+                     fn_constructor_args=(_HashEmbedModel,),
+                     batch_format="pyarrow", concurrency=(2, 4))
+    q = default_embedding(["fast hash join over sorted tables"])
+    top = knn_bruteforce(emb.select_columns(["vec_id", "embedding"]),
+                         q, k=10)
+    return pa.table({
+        "neighbor_id": top["neighbor_id"].cast(pa.int64()),
+        "rank": top["rank"].cast(pa.int64()),
+    })
+
+
 def _q_doc_trigram_repetition(sf_dir: str):
     """Gopher-style repetition quality signal (round 4): per-doc word
     trigram total / distinct / max-repeat counts, kept integral so the
@@ -1404,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_tokens,
         "doc_chunks": _q_doc_chunks,
         "doc_trigram_repetition": _q_doc_trigram_repetition,
+        "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
