@@ -546,6 +546,24 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             # .temporal() resolver) → [{time, value}]; batched page-wide
             out[f.out] = ctx.batch_property_history(
                 [vid], f.args["key"])[vid]
+        elif f.name == "properties":
+            # node.rs:383 properties: temporal node properties resolved
+            # to their latest value in the view; ``keys`` narrows
+            ne = ctx.gf.node_events
+            if ne is None:
+                out[f.out] = {}
+            else:
+                keys = f.args.get("keys")
+                if keys is None:
+                    keys = [c for c in ne.schema().names
+                            if c not in ("vid", "t", "event_id")]
+                elif isinstance(keys, str):
+                    keys = [keys]
+                row = {}
+                for k in keys:
+                    h = ctx.batch_property_history([vid], k)[vid]
+                    row[k] = h[-1]["value"] if h else None
+                out[f.out] = row
         elif f.name in _NODE_VIEW_FIELDS:
             sub, _ns = _apply_view(ctx.gf, f, ctx._node_set)
             out[f.out] = _resolve_node(

@@ -228,6 +228,14 @@ def test_node_metadata_and_property_history(ray_session):
     assert n["region"] == {"region": "eu"}
     assert n["propertyHistory"] == [{"time": 5, "value": "new"},
                                     {"time": 9, "value": "active"}]
+    # node.properties: latest temporal value per key, window-aware
+    g2 = execute(gf, '{ graph { node(name: "a") { properties '
+                     's: properties(keys: "status") '
+                     'w: window(start: 0, end: 7) { properties } } } }')
+    n2 = g2["data"]["graph"]["node"]
+    assert n2["properties"] == {"status": "active"}
+    assert n2["s"] == {"status": "active"}
+    assert n2["w"]["properties"] == {"status": "new"}   # t=9 excluded
 
 
 def test_vector_search_nodes(ray_session):
