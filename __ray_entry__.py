@@ -450,6 +450,40 @@ def _q_cypher_optional(sf_dir: str):
                   "RETURN a AS src, b AS dst, count(e2.t) AS n_next")
 
 
+def _q_cypher_isnull(sf_dir: str):
+    """IS NULL anti-join (round 4; cypher.pest:226 is_null_op):
+    high-value edges whose destination has NO high-value follow-up —
+    OPTIONAL MATCH left-outer + WITH ... WHERE c IS NULL."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE e.w > 90.0 "
+                  "OPTIONAL MATCH (b)-[e2]->(c) WHERE e2.w > 250.0 "
+                  "WITH a, b, c WHERE c IS NULL "
+                  "RETURN a AS src, b AS dst")
+
+
+def _q_cypher_union(sf_dir: str):
+    """UNION across branch queries (round 4; cypher.pest:18): distinct
+    endpoint pairs from the high-value branch OR the early-id branch —
+    each branch compiles independently, streams union, dedups."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE e.w > 95.0 "
+                  "RETURN a AS src, b AS dst "
+                  "UNION MATCH (a)-[e]->(b) WHERE e.event_id < 500 "
+                  "RETURN a AS src, b AS dst")
+
+
+def _q_cypher_skip(sf_dir: str):
+    """SKIP/LIMIT pagination (round 4; cypher.pest:136 Skip): a sorted
+    page pulled through the stream as skip+limit then offset-dropped."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) RETURN a AS src, b AS dst, "
+                  "e.event_id AS event_id "
+                  "ORDER BY event_id SKIP 100 LIMIT 50")
+
+
 def _q_gql_pagerank(sf_dir: str) -> pa.Table:
     """GraphQL algorithm-plugin field (round 4; reference
     raphtory-graphql/src/model/plugins/algorithms.rs + graph.rs:641-645):
@@ -1419,6 +1453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_varlen_reach": _q_cypher_varlen,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
+        "cypher_isnull_antijoin": _q_cypher_isnull,
+        "cypher_union_branches": _q_cypher_union,
+        "cypher_skip_page": _q_cypher_skip,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
@@ -2501,6 +2538,25 @@ hi AS (SELECT * FROM user_edges WHERE w > 90.0)
 SELECT e.src AS src, e.dst AS dst, COUNT(o.t)::BIGINT AS n_next
 FROM hi e LEFT JOIN hi o ON o.src = e.dst
 GROUP BY e.src, e.dst
+""",
+        "cypher_isnull_antijoin": f"""
+WITH {_USER_EDGES},
+hi AS (SELECT * FROM user_edges WHERE w > 90.0),
+fup AS (SELECT DISTINCT src FROM user_edges WHERE w > 250.0)
+SELECT e.src AS src, e.dst AS dst
+FROM hi e LEFT JOIN fup o ON o.src = e.dst
+WHERE o.src IS NULL
+""",
+        "cypher_union_branches": f"""
+WITH {_USER_EDGES}
+SELECT src, dst FROM user_edges WHERE w > 95.0
+UNION
+SELECT src, dst FROM user_edges WHERE event_id < 500
+""",
+        "cypher_skip_page": f"""
+WITH {_USER_EDGES}
+SELECT src, dst, event_id FROM user_edges
+ORDER BY event_id LIMIT 50 OFFSET 100
 """,
         "user_windowed_wcc": f"""
 WITH RECURSIVE {_USER_EDGES},

@@ -325,12 +325,22 @@ def _compile_expr(e, ctx: _Ctx):
         return lambda t: pc.invert(f(t))
     if isinstance(e, BinOp):
         lf = _compile_expr(e.left, ctx)
+        if e.op == "is_null":
+            # x IS NULL — true exactly on null slots (e.g. the unmatched
+            # rows of an OPTIONAL MATCH left-outer join)
+            def isnull(t, _lf=lf):
+                v = _lf(t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    return pa.array([v is None] * t.num_rows)
+                return pc.is_null(v)
+            return isnull
         rf = _compile_expr(e.right, ctx)
         op = e.op
         kernels = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,
                    "<=": pc.less_equal, ">": pc.greater,
                    ">=": pc.greater_equal, "+": pc.add, "-": pc.subtract,
-                   "and": pc.and_kleene, "or": pc.or_kleene}
+                   "and": pc.and_kleene, "or": pc.or_kleene,
+                   "xor": pc.xor}
         if op in ("contains", "starts_with", "ends_with"):
             if not isinstance(e.right, Lit):
                 raise SyntaxError(f"{op} needs a string literal")
@@ -820,6 +830,30 @@ def cypher(gf, query: str, P: int | None = None):
     stages (projection / implicit-group aggregation / DISTINCT, with a
     HAVING-like WHERE) and bounded variable-length patterns [*lo..hi]."""
     q = parse_cypher(query)
+    if not q.union:
+        return _compile_one(gf, q, P)[0]
+    # UNION [ALL]: compile each branch independently (own variable
+    # scope), require matching output columns, stream-union the
+    # branches; plain UNION dedups across the combined rows
+    alls = {a for _sub, a in q.union}
+    if len(alls) > 1:
+        raise SyntaxError("cannot mix UNION and UNION ALL")
+    branches = [_compile_one(gf, q, P)] + \
+        [_compile_one(gf, sub, P) for sub, _a in q.union]
+    cols = branches[0][1]
+    for _ds, names in branches[1:]:
+        if names != cols:
+            raise SyntaxError(
+                f"UNION branches must return the same columns: "
+                f"{cols} vs {names}")
+    out = branches[0][0].union(*[ds for ds, _n in branches[1:]])
+    if not alls.pop():
+        out = _distinct(out, cols)
+    return out
+
+
+def _compile_one(gf, q: Query, P: int | None):
+    """Compile one UNION-free Query → (Dataset, output column names)."""
     ctx = _Ctx(gf)
 
     segments = [(seg.chains, seg.where, seg.optional, wc)
@@ -875,7 +909,7 @@ def cypher(gf, query: str, P: int | None = None):
             ds, bound, hint = _attach_optional(
                 gf, ctx, ds, bound, hint, ochains, owhere, needed, P)
         if wc is None:
-            return _project_and_finish(ds, q, ctx, hint)
+            return _project_and_finish(ds, q, ctx, hint)  # (ds, names)
         carry = _apply_with(ds, wc, ctx, hint)
     raise AssertionError("unreachable: final segment returns")
 
@@ -1022,9 +1056,19 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
         ds = ds.map_batches(
             lambda b: b.drop_columns([h for h, _ in hidden]),
             batch_format="pyarrow", zero_copy_batch=True)
-    if q.limit is not None:
+    if q.skip:
+        if q.limit is not None:
+            # SKIP+LIMIT pagination: pull only skip+limit rows through
+            # the (sorted) stream, then drop the first skip — bounded
+            # work regardless of input size
+            ds = ds.limit(q.skip + q.limit)
+        # no LIMIT: a global row offset needs materialized block counts
+        ds = ds.split_at_indices([q.skip])[1]
+    elif q.limit is not None:
         ds = ds.limit(q.limit)
-    return ds
+    out_names = key_names if not aggs else \
+        key_names + [_out_name(it) for it in aggs]
+    return ds, out_names
 
 
 def _distinct(ds, cols: list):

@@ -10,9 +10,12 @@ ENDS WITH / AND / OR / NOT, and RETURN with ``*``, aliases, DISTINCT,
 ``type(e)``, aggregates (count/sum/avg/min/max, count(DISTINCT x)),
 ORDER BY and LIMIT. Round 4 adds ``WITH`` pipeline stages (projection /
 aggregation / DISTINCT with a post-WHERE), ``OPTIONAL MATCH`` clauses,
-and variable-length relationship ranges ``[*lo..hi]`` (the reference
-grammar's RangeLiteral, cypher.pest:204). Hand-rolled recursive descent
-— no parser library in the container, and the subset is small.
+variable-length relationship ranges ``[*lo..hi]`` (the reference
+grammar's RangeLiteral, cypher.pest:204), ``IS [NOT] NULL``
+(is_null_op, cypher.pest:226), ``XOR`` (bin_op, cypher.pest:211),
+``SKIP`` (cypher.pest:136) and ``UNION [ALL]`` query chaining
+(cypher.pest:18). Hand-rolled recursive descent — no parser library in
+the container, and the subset is small.
 """
 
 from __future__ import annotations
@@ -116,6 +119,8 @@ class Query:
     limit: int | None
     pre: list = field(default_factory=list)   # [(Segment, WithClause)]
     optional: list = field(default_factory=list)  # final [(chains, where)]
+    skip: int | None = None           # SKIP n (applied before LIMIT)
+    union: list = field(default_factory=list)  # [(Query, all: bool)]
 
 
 # ------------------------------------------------------------- tokens
@@ -124,7 +129,8 @@ _PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
           ",", ":", ".", "-", "=", "<", ">", "+", "*"]
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
-             "starts", "ends", "with", "null", "optional"}
+             "starts", "ends", "with", "null", "optional", "is", "xor",
+             "skip", "union", "all"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 
 
@@ -245,6 +251,16 @@ class _P:
         return optional
 
     def parse(self) -> Query:
+        q = self.parse_one()
+        # UNION [ALL] chains whole queries (cypher.pest:18 Union); the
+        # combined result dedups across branches unless ALL
+        while self.accept("kw", "union"):
+            all_ = self.accept("kw", "all")
+            q.union.append((self.parse_one(), all_))
+        self.expect("eof")
+        return q
+
+    def parse_one(self) -> Query:
         pre = []
         chains, where = self._match_where()
         optional = self._optional_matches()
@@ -271,12 +287,14 @@ class _P:
             order_by.append(self.order_item())
             while self.accept("punct", ","):
                 order_by.append(self.order_item())
+        skip = None
+        if self.accept("kw", "skip"):
+            skip = int(self.expect("num")[1])
         limit = None
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
-        self.expect("eof")
         return Query(chains, where, items, star, distinct, order_by, limit,
-                     pre, optional)
+                     pre, optional, skip)
 
     def chain(self) -> Chain:
         nodes = [self.node_pat()]
@@ -371,9 +389,16 @@ class _P:
         return self.or_expr()
 
     def or_expr(self):
-        e = self.and_expr()
+        e = self.xor_expr()
         while self.accept("kw", "or"):
-            e = BinOp("or", e, self.and_expr())
+            e = BinOp("or", e, self.xor_expr())
+        return e
+
+    def xor_expr(self):
+        # openCypher precedence: OR < XOR < AND (cypher.pest:211 bin_op)
+        e = self.and_expr()
+        while self.accept("kw", "xor"):
+            e = BinOp("xor", e, self.and_expr())
         return e
 
     def and_expr(self):
@@ -390,6 +415,13 @@ class _P:
     def cmp_expr(self):
         e = self.add_expr()
         t = self.peek()
+        if t == ("kw", "is"):
+            # IS [NOT] NULL (cypher.pest:226 is_null_op)
+            self.next()
+            negate = self.accept("kw", "not")
+            self.expect("kw", "null")
+            e = BinOp("is_null", e, Lit(None))
+            return Not(e) if negate else e
         if t == ("punct", "<-"):
             # the tokenizer lexes 'e.w<-5' (no space) as an arrow; in
             # comparison position it is really '<' followed by a negative
@@ -483,6 +515,8 @@ def expr_text(e) -> str:
         d = "DISTINCT " if e.distinct else ""
         return f"{e.name}({d}{inner})"
     if isinstance(e, BinOp):
+        if e.op == "is_null":
+            return f"{expr_text(e.left)} IS NULL"
         return f"{expr_text(e.left)} {e.op} {expr_text(e.right)}"
     if isinstance(e, Not):
         return f"NOT {expr_text(e.expr)}"

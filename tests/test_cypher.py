@@ -601,3 +601,70 @@ def test_cross_join_cap(ray_session, monkeypatch):
     with pytest.raises(NotImplementedError, match="cartesian"):
         from raphtory_ray.query import cypher
         cypher(gf, "MATCH (a), (b) RETURN count(*) AS n").take_all()
+
+
+def test_is_null_anti_join(ray_session):
+    """OPTIONAL MATCH + IS NULL = nodes with no qualifying out-edge."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) WHERE e.t < 3 "
+           "WITH a, b WHERE b IS NULL RETURN a",
+           """SELECT v.vid AS a FROM v
+              LEFT JOIN (SELECT DISTINCT src FROM e WHERE t < 3) s
+              ON v.vid = s.src WHERE s.src IS NULL""")
+
+
+def test_is_not_null(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) WHERE e.t < 3 "
+           "WITH a, b WHERE b IS NOT NULL RETURN DISTINCT a",
+           "SELECT DISTINCT src AS a FROM e WHERE t < 3")
+
+
+def test_xor_predicate(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t < 10 XOR e.w > 0.5 "
+           "RETURN a, b, e.event_id AS i",
+           """SELECT src AS a, dst AS b, event_id AS i FROM e
+              WHERE (t < 10) != (w > 0.5)""")
+
+
+def test_skip_pagination(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, b, e.event_id AS i "
+           "ORDER BY i SKIP 5 LIMIT 7",
+           """SELECT src AS a, dst AS b, event_id AS i FROM e
+              ORDER BY event_id LIMIT 7 OFFSET 5""")
+    # SKIP without LIMIT
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN e.event_id AS i ORDER BY i SKIP 195",
+           "SELECT event_id AS i FROM e ORDER BY event_id OFFSET 195")
+
+
+def test_union_and_union_all(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t < 5 RETURN a UNION "
+           "MATCH (a)-[e]->(b) WHERE e.t > 95 RETURN a",
+           """SELECT src AS a FROM e WHERE t < 5 UNION
+              SELECT src AS a FROM e WHERE t > 95""")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t < 5 RETURN a UNION ALL "
+           "MATCH (a)-[e]->(b) WHERE e.t > 95 RETURN a",
+           """SELECT src AS a FROM e WHERE t < 5 UNION ALL
+              SELECT src AS a FROM e WHERE t > 95""")
+
+
+def test_union_mismatched_columns_rejected(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    with pytest.raises(SyntaxError, match="same columns"):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN a UNION "
+                   "MATCH (a)-[e]->(b) RETURN b")
+    with pytest.raises(SyntaxError, match="mix UNION"):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN a UNION "
+                   "MATCH (a)-[e]->(b) RETURN a UNION ALL "
+                   "MATCH (a)-[e]->(b) RETURN a")
