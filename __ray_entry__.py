@@ -484,6 +484,27 @@ def _q_cypher_skip(sf_dir: str):
                   "ORDER BY event_id SKIP 100 LIMIT 50")
 
 
+def _q_cypher_collect(sf_dir: str):
+    """collect() + size() (round 4): per-node neighbour list built via
+    groupby().map_groups (values null-dropped, sorted ascending for
+    determinism), then size() over the carried list column."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WITH b, collect(e.w) AS ws "
+                  "RETURN b AS dst, size(ws) AS n_in")
+
+
+def _q_cypher_unwind(sf_dir: str):
+    """UNWIND literal list (round 4; cypher.pest:54): threshold sweep —
+    the unwound bindings table broadcast-joins the edge scan and each
+    threshold's row count aggregates independently."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "UNWIND [50.0, 90.0, 150.0] AS th "
+                  "MATCH (a)-[e]->(b) WHERE e.w > th "
+                  "RETURN th, count(*) AS n")
+
+
 def _q_gql_pagerank(sf_dir: str) -> pa.Table:
     """GraphQL algorithm-plugin field (round 4; reference
     raphtory-graphql/src/model/plugins/algorithms.rs + graph.rs:641-645):
@@ -1456,6 +1477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_isnull_antijoin": _q_cypher_isnull,
         "cypher_union_branches": _q_cypher_union,
         "cypher_skip_page": _q_cypher_skip,
+        "cypher_collect_size": _q_cypher_collect,
+        "cypher_unwind_thresholds": _q_cypher_unwind,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
@@ -2557,6 +2580,16 @@ SELECT src, dst FROM user_edges WHERE event_id < 500
 WITH {_USER_EDGES}
 SELECT src, dst, event_id FROM user_edges
 ORDER BY event_id LIMIT 50 OFFSET 100
+""",
+        "cypher_collect_size": f"""
+WITH {_USER_EDGES}
+SELECT dst, COUNT(*)::BIGINT AS n_in FROM user_edges GROUP BY dst
+""",
+        "cypher_unwind_thresholds": f"""
+WITH {_USER_EDGES}
+SELECT th, COUNT(*)::BIGINT AS n
+FROM (VALUES (50.0), (90.0), (150.0)) v(th)
+JOIN user_edges e ON e.w > th GROUP BY th
 """,
         "user_windowed_wcc": f"""
 WITH RECURSIVE {_USER_EDGES},

@@ -319,6 +319,20 @@ def _compile_expr(e, ctx: _Ctx):
                 col = f"{e.arg.name}__layer"
                 return lambda t: t[col].combine_chunks()
             return lambda t: "_default"
+        if e.name == "size":
+            # size(list) / size(string) — pc.list_value_length /
+            # utf8_length, both int64 per openCypher
+            af = _compile_expr(e.arg, ctx)
+
+            def size(t, _af=af):
+                v = _af(t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                if pa.types.is_list(v.type) or \
+                        pa.types.is_large_list(v.type):
+                    return pc.list_value_length(v).cast(pa.int64())
+                return pc.utf8_length(v).cast(pa.int64())
+            return size
         raise SyntaxError(f"aggregate {e.name}() only allowed in RETURN")
     if isinstance(e, Not):
         f = _compile_expr(e.expr, ctx)
@@ -893,6 +907,20 @@ def _compile_one(gf, q: Query, P: int | None):
     needed = _needed_columns(q, ctx)
 
     carry = None
+    if q.unwind:
+        # leading UNWIND literal lists → a small driver-built bindings
+        # table carried into the first segment; it joins the patterns
+        # via bridged equalities or the guarded broadcast cross join
+        import itertools
+        import ray.data as rd
+        names = [n for _v, n in q.unwind]
+        if len(set(names)) != len(names):
+            raise SyntaxError("duplicate UNWIND variable")
+        rows = list(itertools.product(*[v for v, _n in q.unwind]))
+        ut = pa.table({n: pa.array([r[i] for r in rows])
+                       for i, n in enumerate(names)})
+        ctx.col_vars |= set(names)
+        carry = (rd.from_arrow(ut), set(names), ut.slice(0, 0))
     for chains, where, optional, wc in segments:
         pending = [(t, _expr_vars(t)) for t in
                    (_and_terms(where) if where is not None else [])]
@@ -950,8 +978,11 @@ def _out_name(it: ReturnItem) -> str:
     return it.alias or expr_text(it.expr)
 
 
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect"}
+
+
 def _is_agg(e) -> bool:
-    return isinstance(e, Func) and e.name != "type"
+    return isinstance(e, Func) and e.name in _AGG_FNS
 
 
 def _project_and_finish(ds, q: Query, ctx: _Ctx,
@@ -1089,6 +1120,8 @@ def _agg_hint(phint: pa.Table, aggs: list, key_names: list) -> pa.Table:
             t = pa.int64()
         elif f.name == "avg":
             t = pa.float64()
+        elif f.name == "collect":
+            t = pa.list_(phint[f"__agg{i}"].type)
         else:                          # sum/min/max keep the input type
             t = phint[f"__agg{i}"].type
         cols[name] = pa.array([], t)
@@ -1209,6 +1242,9 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx):
         return rd.from_arrow(pa.table({_out_name(it):
                                        pa.array([n], pa.int64())}))
 
+    if any(it.expr.name == "collect" for it in aggs):
+        return _aggregate_with_collect(ds, aggs, key_names)
+
     specs = []
     for i, it in enumerate(aggs):
         f: Func = it.expr
@@ -1239,3 +1275,73 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx):
     names = [_out_name(it) for it in aggs]
     return rd.from_arrow(pa.table(
         {n: pa.array([res.get(n)]) for n in names}))
+
+
+def _aggregate_with_collect(ds, aggs: list, key_names: list):
+    """collect(x) (plus any companion count/sum/avg/min/max) via
+    groupby().map_groups — the list is materialized per group, which is
+    inherent to collect()'s semantics (a hot key's whole group lands in
+    one task; cap group sizes upstream if keys are skewed). Values are
+    null-dropped (openCypher collect skips nulls) and sorted ascending:
+    openCypher leaves collect order unspecified, and a deterministic
+    order makes results reproducible and oracle-checkable."""
+    import ray.data as rd
+    plan = []                           # (out_name, fn_name, in_col)
+    for i, it in enumerate(aggs):
+        f: Func = it.expr
+        plan.append((_out_name(it), f.name,
+                     None if f.arg is None else f"__agg{i}"))
+    grouped = bool(key_names)
+    if not grouped:
+        ds = ds.map_batches(
+            lambda b: b.append_column("__gk", pa.array(
+                np.zeros(b.num_rows, np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        key_names = ["__gk"]
+
+    def agg_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _collect_empty(g, plan, key_names, grouped)
+        cols = {k: g[k].slice(0, 1) for k in key_names if grouped}
+        for name, fn, col in plan:
+            v = g[col].combine_chunks() if col is not None else None
+            if fn == "collect":
+                vals = pc.array_sort_indices(pc.drop_null(v))
+                vals = pc.drop_null(v).take(vals)
+                cols[name] = pa.array([vals.to_pylist()],
+                                      pa.list_(v.type))
+            elif fn == "count":
+                n = g.num_rows if v is None else \
+                    (len(v) - v.null_count)
+                cols[name] = pa.array([n], pa.int64())
+            elif fn == "sum":
+                cols[name] = pa.array([pc.sum(v).as_py()])
+            elif fn == "avg":
+                cols[name] = pa.array(
+                    [pc.mean(v).as_py()], pa.float64())
+            elif fn == "min":
+                cols[name] = pa.array([pc.min(v).as_py()], v.type)
+            elif fn == "max":
+                cols[name] = pa.array([pc.max(v).as_py()], v.type)
+            else:
+                raise NotImplementedError(f"aggregate {fn}()")
+        return pa.table(cols)
+
+    out = ds.groupby(key_names).map_groups(agg_group,
+                                           batch_format="pyarrow")
+    return out
+
+
+def _collect_empty(g: pa.Table, plan, key_names, grouped) -> pa.Table:
+    cols = {k: g[k] for k in key_names if grouped}
+    for name, fn, col in plan:
+        t = g[col].type if col is not None else pa.int64()
+        if fn == "collect":
+            cols[name] = pa.array([], pa.list_(t))
+        elif fn == "count":
+            cols[name] = pa.array([], pa.int64())
+        elif fn == "avg":
+            cols[name] = pa.array([], pa.float64())
+        else:
+            cols[name] = pa.array([], t)
+    return pa.table(cols)

@@ -121,6 +121,7 @@ class Query:
     optional: list = field(default_factory=list)  # final [(chains, where)]
     skip: int | None = None           # SKIP n (applied before LIMIT)
     union: list = field(default_factory=list)  # [(Query, all: bool)]
+    unwind: list = field(default_factory=list)  # [(values, name)]
 
 
 # ------------------------------------------------------------- tokens
@@ -130,7 +131,7 @@ _PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
              "starts", "ends", "with", "null", "optional", "is", "xor",
-             "skip", "union", "all"}
+             "skip", "union", "all", "unwind"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 
 
@@ -261,9 +262,22 @@ class _P:
         return q
 
     def parse_one(self) -> Query:
+        # leading UNWIND <list-literal> AS var clauses (cypher.pest:54);
+        # the subset takes literal lists only (no expressions yet)
+        unwind = []
+        while self.accept("kw", "unwind"):
+            e = self.expr()
+            if not isinstance(e, Lit) or not isinstance(e.value, list):
+                raise NotImplementedError(
+                    "UNWIND supports literal lists only")
+            self.expect("kw", "as")
+            unwind.append((e.value, self.expect("ident")[1]))
         pre = []
-        chains, where = self._match_where()
-        optional = self._optional_matches()
+        if unwind and self.peek() != ("kw", "match"):
+            chains, where, optional = [], None, []   # UNWIND ... RETURN
+        else:
+            chains, where = self._match_where()
+            optional = self._optional_matches()
         while self.accept("kw", "with"):
             pre.append((Segment(chains, where, optional),
                         self._with_clause()))
@@ -294,7 +308,7 @@ class _P:
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
         return Query(chains, where, items, star, distinct, order_by, limit,
-                     pre, optional, skip)
+                     pre, optional, skip, unwind=unwind)
 
     def chain(self) -> Chain:
         nodes = [self.node_pat()]
@@ -471,6 +485,20 @@ class _P:
             e = self.expr()
             self.expect("punct", ")")
             return e
+        if t == ("punct", "["):          # list literal [1, 2, 3]
+            self.next()
+            vals = []
+            if not self.accept("punct", "]"):
+                while True:
+                    el = self.atom()
+                    if not isinstance(el, Lit):
+                        raise NotImplementedError(
+                            "list literals take literal elements only")
+                    vals.append(el.value)
+                    if not self.accept("punct", ","):
+                        break
+                self.expect("punct", "]")
+            return Lit(vals)
         if t[0] in ("num", "str"):
             self.next()
             return Lit(t[1])
@@ -487,7 +515,7 @@ class _P:
                 else:
                     arg = self.expr()
                 self.expect("punct", ")")
-                if low not in _AGGS and low != "type":
+                if low not in _AGGS and low not in ("type", "size"):
                     raise SyntaxError(f"unsupported function {name}")
                 return Func(low, arg, distinct)
             if self.accept("punct", "."):

@@ -668,3 +668,66 @@ def test_union_mismatched_columns_rejected(ray_session):
         cypher(gf, "MATCH (a)-[e]->(b) RETURN a UNION "
                    "MATCH (a)-[e]->(b) RETURN a UNION ALL "
                    "MATCH (a)-[e]->(b) RETURN a")
+
+
+def test_collect_grouped_vs_duckdb(ray_session):
+    """collect() returns null-dropped values sorted ascending."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    got = {r["a"]: r["dsts"] for r in cypher(
+        gf, "MATCH (a)-[e]->(b) WHERE e.t < 10 "
+            "RETURN a, collect(b) AS dsts").take_all()}
+    want = {r["a"]: r["dsts"] for r in _sql(
+        edges, verts,
+        """SELECT src AS a, LIST(dst ORDER BY dst) AS dsts
+           FROM e WHERE t < 10 GROUP BY src""").to_pylist()}
+    assert {k: list(v) for k, v in got.items()} == want
+
+
+def test_collect_mixed_aggs_and_global(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    rows = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t < 5 "
+                      "RETURN a, collect(e.t) AS ts, count(*) AS n, "
+                      "max(e.t) AS mx").take_all()
+    for r in rows:
+        assert len(r["ts"]) == r["n"]
+        assert max(r["ts"]) == r["mx"]
+        assert list(r["ts"]) == sorted(r["ts"])
+    g = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t < 5 "
+                   "RETURN collect(e.event_id) AS ids").take_all()
+    want = _sql(edges, verts,
+                "SELECT LIST(event_id ORDER BY event_id) AS ids "
+                "FROM e WHERE t < 5").to_pylist()
+    assert [list(g[0]["ids"])] == [w["ids"] for w in want]
+
+
+def test_size_of_collect_through_with(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH b, collect(e.w) AS ws "
+           "RETURN b AS dst, size(ws) AS n_in",
+           """SELECT dst, COUNT(*)::BIGINT AS n_in FROM e GROUP BY dst""")
+
+
+def test_unwind_literal_list(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "UNWIND [10, 50, 90] AS th MATCH (a)-[e]->(b) "
+           "WHERE e.t >= th RETURN th, count(*) AS n",
+           """SELECT th, COUNT(*)::BIGINT AS n
+              FROM (VALUES (10), (50), (90)) v(th)
+              JOIN e ON e.t >= th GROUP BY th""")
+
+
+def test_unwind_only_and_eq_bridge(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    rows = cypher(gf, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x").take_all()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+    _check(gf, edges, verts,
+           "UNWIND [0, 5, 7] AS x MATCH (a)-[e]->(b) WHERE a = x "
+           "RETURN x, count(*) AS n",
+           """SELECT x, COUNT(*)::BIGINT AS n
+              FROM (VALUES (0), (5), (7)) v(x)
+              JOIN e ON e.src = x GROUP BY x""")
