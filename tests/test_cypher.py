@@ -342,6 +342,19 @@ def test_fuzz_shapes_vs_duckdb(ray_session, seed, n, m, selfloops):
            "RETURN DISTINCT a AS s, b AS d",
            "SELECT DISTINCT e.src AS s, e.dst AS d FROM e "
            "JOIN v ON e.src = v.vid WHERE v.node_type = 'a'")
+    # r4 features across the same degenerate shapes
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t < 10 RETURN a UNION "
+           "MATCH (a)-[e]->(b) WHERE e.t >= 40 RETURN a",
+           "SELECT src AS a FROM e WHERE t < 10 UNION "
+           "SELECT src AS a FROM e WHERE t >= 40")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN e.event_id AS i ORDER BY i SKIP 1",
+           "SELECT event_id AS i FROM e ORDER BY event_id OFFSET 1")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH a, collect(e.t) AS ts "
+           "RETURN a, size(ts) AS n",
+           "SELECT src AS a, COUNT(*)::BIGINT AS n FROM e GROUP BY src")
 
 
 def test_skewed_join_subtask_fanout(ray_session, monkeypatch):
