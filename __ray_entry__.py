@@ -1219,6 +1219,40 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), size=120, overlap=30)
 
 
+def _q_doc_redact(sf_dir: str):
+    """PII-style regex scrubbing (round 4): sequential RE2 redaction
+    (data/text.py redact_batch) — both pyarrow and DuckDB run RE2, so
+    the oracle is the literal same patterns as nested regexp_replace."""
+    from raphtory_ray.data.text import redact_documents
+    return redact_documents(_docs(sf_dir),
+                            [r"\bkey\b", r"\bhash\b"], mask="[X]")
+
+
+def _q_doc_sample(sf_dir: str):
+    """Hash-stratified deterministic sampling (round 4): keep iff
+    splitmix64(doc_id) % 1000 < per-source permille — reproducible
+    across reshards/resumes (no RNG state); splitmix64 mirrored in SQL
+    with HUGEINT masked arithmetic."""
+    from raphtory_ray.data.text import sample_documents
+    rates = {f"src{i}": 700 if i % 2 == 0 else 300 for i in range(20)}
+    ds = sample_documents(_docs(sf_dir), rates)
+    return ds.select_columns(["doc_id", "source", "lang"])
+
+
+def _q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (round 4): flag corpus docs sharing any
+    24-char k-gram (rolling hash) with the benchmark slice
+    (doc_id % 97 == 0) — benchmark hashes broadcast once via ray.put,
+    per-batch vectorized np.isin (data/text.py decontaminate)."""
+    from raphtory_ray.data.text import decontaminate
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(docs, bench, k=24)
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from raphtory_ray.data.dedup import exact_dedup
     ds = exact_dedup(_docs(sf_dir))
@@ -1509,6 +1543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dedup": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_tokens,
         "doc_chunks": _q_doc_chunks,
+        "doc_redact": _q_doc_redact,
+        "doc_sample_stratified": _q_doc_sample,
+        "doc_decontaminate": _q_doc_decontaminate,
         "doc_trigram_repetition": _q_doc_trigram_repetition,
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
@@ -2927,6 +2964,66 @@ SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
         # HUGEINT mod 2^64, sliding-window min over 16 hashes (clipped at
         # the partition end, which also covers the len<=window whole-doc
         # case), distinct per doc.
+        "doc_redact": r"""
+WITH r1 AS (
+  SELECT doc_id,
+    regexp_replace(text, '\bkey\b', '[X]', 'g') AS t1,
+    len(regexp_extract_all(text, '\bkey\b'))::BIGINT AS c1
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(t1, '\bhash\b', '[X]', 'g') AS text,
+  (c1 + len(regexp_extract_all(t1, '\bhash\b')))::BIGINT AS n_redactions
+FROM r1
+""",
+        "doc_sample_stratified": """
+WITH m AS (
+  SELECT doc_id, source, lang,
+    ((doc_id::HUGEINT + 11400714819323198485) & 18446744073709551615) AS z0
+  FROM documents
+), s1 AS (
+  SELECT *, xor(CAST(z0 AS UBIGINT),
+                CAST((z0 >> 30) AS UBIGINT))::HUGEINT AS z1 FROM m
+), s2 AS (
+  SELECT *, (((z1 & 4294967295) * 13787848793156543929)
+   + ((((z1 >> 32) * 13787848793156543929) & 4294967295) << 32))
+   & 18446744073709551615 AS z2 FROM s1
+), s3 AS (
+  SELECT *, xor(CAST(z2 AS UBIGINT),
+                CAST((z2 >> 27) AS UBIGINT))::HUGEINT AS z3 FROM s2
+), s4 AS (
+  SELECT *, (((z3 & 4294967295) * 10723151780598845931)
+   + ((((z3 >> 32) * 10723151780598845931) & 4294967295) << 32))
+   & 18446744073709551615 AS z4 FROM s3
+), s5 AS (
+  SELECT *, xor(CAST(z4 AS UBIGINT),
+                CAST((z4 >> 31) AS UBIGINT))::HUGEINT AS z5 FROM s4
+)
+SELECT doc_id, source, lang FROM s5
+WHERE (z5 % 1000) < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 700 ELSE 300 END
+""",
+        "doc_decontaminate": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text)-23)) AS p
+  FROM documents WHERE length(text) >= 24
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    CAST(list_reduce(
+      list_transform(generate_series(0,23),
+                     j -> CAST(ord(substr(text, p+j, 1)) AS HUGEINT)),
+      (h, b) -> (h * 1000003 + b) % 18446744073709551616
+    ) AS UBIGINT) AS h
+  FROM pos
+), bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n FROM sh s
+  JOIN bench b ON s.h = b.h GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n, 0)::BIGINT AS n_hits,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
         "doc_fingerprints": """
 WITH pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS p,

@@ -271,3 +271,128 @@ def language_id(ds, concurrency=None):
 def fingerprints(ds, k: int = 8, window: int = 16):
     return ds.map_batches(lambda b: winnow_batch(b, k, window),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------- PII-style redaction
+
+#: classic PII shapes (RE2 syntax — pyarrow and DuckDB both run RE2, so
+#: the SQL oracle is the literal same pattern)
+PII_PATTERNS = [
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",   # email
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",           # IPv4
+    r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",                  # phone-ish
+]
+
+
+def redact_batch(batch: pa.Table, patterns: list,
+                 mask: str = "[REDACTED]",
+                 text_col: str = "text") -> pa.Table:
+    """Regex scrubbing for training corpora: patterns are applied
+    SEQUENTIALLY (each sees the previous pattern's output, exactly like
+    nested ``regexp_replace`` in SQL); ``n_redactions`` counts every
+    match that was rewritten. Vectorized pc.count_substring_regex /
+    replace_substring_regex — no per-row Python."""
+    out = batch[text_col]
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for p in patterns:
+        total += pc.count_substring_regex(out, p).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = pc.replace_substring_regex(out, p, replacement=mask)
+    return pa.table({"doc_id": batch["doc_id"], "text": out,
+                     "n_redactions": pa.array(total)})
+
+
+def redact_documents(ds, patterns: list | None = None,
+                     mask: str = "[REDACTED]", text_col: str = "text"):
+    pats = PII_PATTERNS if patterns is None else patterns
+    return ds.map_batches(lambda b: redact_batch(b, pats, mask, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------- deterministic sampling
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same mix as the join router's) — a
+    seed-free deterministic per-id coin for reproducible sampling."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def sample_batch(batch: pa.Table, rates: dict | int,
+                 strata_col: str = "source", id_col: str = "doc_id",
+                 seed: int = 0) -> pa.Table:
+    """Hash-stratified sampling: keep a row iff
+    ``splitmix64(id + seed) % 1000 < permille`` where the permille rate
+    comes from ``rates[stratum]`` (dict) or is flat (int). Deterministic
+    per id — re-running, resharding or resuming selects the SAME rows
+    (no RNG state), which is what a resumable 100-TB pipeline needs.
+    Unknown strata default to rate 0 (dropped)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    coin = _splitmix64(ids + np.int64(seed)) % np.uint64(1000)
+    if isinstance(rates, dict):
+        sv = batch[strata_col].to_pandas().map(rates).fillna(0) \
+            .to_numpy().astype(np.uint64)
+    else:
+        sv = np.full(len(ids), rates, dtype=np.uint64)
+    return batch.filter(pa.array(coin < sv))
+
+
+def sample_documents(ds, rates: dict | int, strata_col: str = "source",
+                     id_col: str = "doc_id", seed: int = 0):
+    return ds.map_batches(
+        lambda b: sample_batch(b, rates, strata_col, id_col, seed),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------- decontamination
+
+def decontaminate(ds, bench_ds, k: int = 24, text_col: str = "text"):
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one character ``k``-gram (rolling hash, kgram_hashes) with any
+    benchmark document. The benchmark side is SMALL by definition
+    (eval sets), so its distinct k-gram hashes are collected once,
+    deduped, and broadcast via ``ray.put`` — each corpus batch then does
+    one vectorized ``np.isin`` against the shared sorted array. Returns
+    (doc_id, n_hits, contaminated). Partitioning assumption: the
+    benchmark hash set fits in worker memory (10⁸ hashes ≈ 800 MB);
+    beyond that, switch to a hash-partitioned semi-join on the k-gram
+    hash (the minhash band-shuffle pattern in data/dedup.py)."""
+    import ray
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        buf, off = _flat_utf8(b[text_col])
+        hs = []
+        for i in range(b.num_rows):
+            piece = buf[off[i]:off[i + 1]]
+            h = kgram_hashes(piece, k)
+            if len(h):
+                hs.append(np.unique(h))
+        out = np.unique(np.concatenate(hs)) if hs else \
+            np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(out)})
+
+    bh = bench_ds.map_batches(bench_hashes, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    allh = np.unique(bh.to_pandas()["h"].to_numpy().astype(np.uint64))
+    ref = ray.put(allh)
+
+    def flag(b: pa.Table, _ref=ref) -> pa.Table:
+        bench = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        buf, off = _flat_utf8(b[text_col])
+        n_hits = np.zeros(b.num_rows, np.int64)
+        for i in range(b.num_rows):
+            piece = buf[off[i]:off[i + 1]]
+            h = kgram_hashes(piece, k)
+            if len(h):
+                n_hits[i] = int(np.isin(np.unique(h), bench,
+                                        assume_unique=True).sum())
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_hits": pa.array(n_hits),
+                         "contaminated": pa.array(n_hits > 0)})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

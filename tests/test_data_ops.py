@@ -342,3 +342,65 @@ def test_trigram_repetition(ray_session):
         {"doc_id": 1, "n_trigrams": 4, "n_distinct": 2, "max_repeat": 2},
         {"doc_id": 4, "n_trigrams": 2, "n_distinct": 2, "max_repeat": 1},
     ]
+
+
+def test_redact_documents(ray_session):
+    from raphtory_ray.data.text import redact_documents
+    ds = _doc_ds(["email me at bob@example.com or 10.0.0.1 now",
+                  "call 555-123-4567 or 555 1234 5678",
+                  "nothing sensitive here",
+                  ""])
+    rows = {r["doc_id"]: r for r in redact_documents(ds).take_all()}
+    assert rows[0]["text"] == "email me at [REDACTED] or [REDACTED] now"
+    assert rows[0]["n_redactions"] == 2
+    assert rows[1]["n_redactions"] == 2
+    assert rows[2] == {"doc_id": 2, "text": "nothing sensitive here",
+                       "n_redactions": 0}
+    assert rows[3]["n_redactions"] == 0
+    # sequential semantics: a custom pattern sees the prior mask
+    got = redact_documents(_doc_ds(["aa bb"]),
+                           [r"aa", r"\[X\] bb"], mask="[X]").take_all()
+    assert got[0]["text"] == "[X]" and got[0]["n_redactions"] == 2
+
+
+def test_sample_documents_deterministic(ray_session):
+    import ray.data as rd
+    from raphtory_ray.data.text import sample_documents, _splitmix64
+    n = 1000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "source": pa.array(["a" if i % 2 else "b"
+                                        for i in range(n)])})
+    ds = rd.from_arrow(tbl)
+    kept = sample_documents(ds, {"a": 250, "b": 750}).take_all()
+    ids = sorted(r["doc_id"] for r in kept)
+    # exact reference: same coin on the driver
+    coin = _splitmix64(np.arange(n).astype(np.int64)) % np.uint64(1000)
+    rate = np.where(np.arange(n) % 2, 250, 750).astype(np.uint64)
+    want = sorted(np.flatnonzero(coin < rate).tolist())
+    assert ids == want
+    # reruns and reshards select the same rows
+    kept2 = sample_documents(ds.repartition(7), {"a": 250, "b": 750}) \
+        .take_all()
+    assert sorted(r["doc_id"] for r in kept2) == want
+    # flat rate + unknown strata dropped
+    assert sample_documents(ds, 0).count() == 0
+    assert sample_documents(ds, {"zz": 1000}).count() == 0
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    from raphtory_ray.data.text import decontaminate
+    secret = "the secret benchmark passage nobody should train on ok"
+    ds = _doc_ds([
+        "completely unrelated text about graphs and rivers flowing",
+        "prefix junk " + secret + " suffix junk",   # contaminated
+        "another clean document with plenty of original words here",
+        secret,                                      # contaminated
+        "short",                                     # < k chars -> clean
+    ])
+    bench = _doc_ds([secret])
+    rows = {r["doc_id"]: r for r in decontaminate(ds, bench, k=24)
+            .take_all()}
+    assert [rows[i]["contaminated"] for i in range(5)] == \
+        [False, True, False, True, False]
+    assert rows[3]["n_hits"] >= rows[1]["n_hits"] - 2  # both share most
+    assert rows[4]["n_hits"] == 0
