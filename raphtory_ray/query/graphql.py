@@ -45,7 +45,9 @@ Supported fields (camelCase, mirroring graph.rs resolver names):
   (node types, per-layer (srcType, dstType) combos, property columns)
 - ``nodes(offset, limit)`` — vid-ordered page; node fields: ``id``,
   ``name`` (gid), ``nodeType``, ``degree``, ``inDegree``,
-  ``outDegree``, ``neighbours(limit)``, ``metadata(key?)``,
+  ``outDegree``, ``neighbours`` / ``inNeighbours`` /
+  ``outNeighbours(limit)`` (node.rs:458-498), ``metadata(key?)``,
+  ``properties(keys?)`` (latest values),
   ``propertyHistory(key)``; temporal accessors ``earliestTime`` /
   ``latestTime`` / ``firstUpdate`` / ``lastUpdate`` / ``history`` /
   ``edgeHistoryCount`` / ``isActive`` (page-batched: one edge pass
@@ -401,22 +403,30 @@ class _GraphCtx:
                         cache[v].append({"time": t, "value": val})
         return {v: cache[v] for v in vids}
 
-    def batch_neighbours(self, vids: list) -> dict:
+    def batch_neighbours(self, vids: list, direction: str = "both") \
+            -> dict:
         """One pass over the edge Dataset for a whole page of nodes —
-        NOT a scan per node."""
-        todo = [v for v in vids if v not in self._nbr_cache]
+        NOT a scan per node. ``direction``: both (deduped in∪out union,
+        node.rs:458) | in (:472) | out (:486)."""
+        cache = self._nbr_cache.setdefault(direction, {})
+        todo = [v for v in vids if v not in cache]
         if todo:
             want = np.array(sorted(todo), dtype=np.int64)
             gf = self.gf
 
-            def nbr(b: pa.Table) -> pa.Table:
+            def nbr(b: pa.Table, _dir=direction) -> pa.Table:
                 s = b["src"].to_numpy(zero_copy_only=False)
                 d = b["dst"].to_numpy(zero_copy_only=False)
-                ms = np.isin(s, want)
-                md = np.isin(d, want)
+                vs_, nbs_ = [], []
+                if _dir in ("both", "out"):
+                    ms = np.isin(s, want)
+                    vs_.append(s[ms]); nbs_.append(d[ms])
+                if _dir in ("both", "in"):
+                    md = np.isin(d, want)
+                    vs_.append(d[md]); nbs_.append(s[md])
                 return pa.table({
-                    "v": pa.array(np.r_[s[ms], d[md]], pa.int64()),
-                    "nb": pa.array(np.r_[d[ms], s[md]], pa.int64())})
+                    "v": pa.array(np.concatenate(vs_), pa.int64()),
+                    "nb": pa.array(np.concatenate(nbs_), pa.int64())})
 
             parts = gf.edges.map_batches(nbr, batch_format="pyarrow",
                                          zero_copy_batch=True)
@@ -427,8 +437,8 @@ class _GraphCtx:
             v = np.concatenate(vs) if vs else np.empty(0, np.int64)
             nb_ = np.concatenate(nbs) if nbs else np.empty(0, np.int64)
             for t in todo:
-                self._nbr_cache[t] = np.unique(nb_[v == t])
-        return {v: self._nbr_cache[v] for v in vids}
+                cache[t] = np.unique(nb_[v == t])
+        return {v: cache[v] for v in vids}
 
 
     def batch_node_history(self, vids: list) -> dict:
@@ -523,9 +533,11 @@ def _resolve_node(ctx: _GraphCtx, vid: int, sel: list):
             out[f.out] = int(ideg[vid])
         elif f.name == "outDegree":
             out[f.out] = int(odeg[vid])
-        elif f.name == "neighbours":
+        elif f.name in ("neighbours", "inNeighbours", "outNeighbours"):
             limit = f.args.get("limit", 20)
-            nbrs = ctx.batch_neighbours([vid])[vid][:limit]
+            d = {"neighbours": "both", "inNeighbours": "in",
+                 "outNeighbours": "out"}[f.name]
+            nbrs = ctx.batch_neighbours([vid], d)[vid][:limit]
             out[f.out] = [_resolve_node(ctx, int(v), f.sel or
                                         [Field("name", None, {}, None)])
                           for v in nbrs]
@@ -966,8 +978,10 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             offset = int(f.args.get("offset", 0))
             limit = int(f.args.get("limit", 20))
             vids = ctx.page_vids(offset, limit)
-            if any(s.name == "neighbours" for s in (f.sel or [])):
-                ctx.batch_neighbours(vids)      # one scan for the page
+            for nm, d in (("neighbours", "both"), ("inNeighbours",
+                          "in"), ("outNeighbours", "out")):
+                if any(s.name == nm for s in (f.sel or [])):
+                    ctx.batch_neighbours(vids, d)   # one scan per page
             if any(s.name in _NODE_HIST_FIELDS for s in (f.sel or [])):
                 ctx.batch_node_history(vids)    # one scan for the page
             for s in (f.sel or []):             # same for histories
@@ -1006,8 +1020,10 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             off = int(f.args.get("offset", 0))
             lim = int(f.args.get("limit", 20))
             vids = [int(v) for v in hits[off:off + lim]]
-            if any(s.name == "neighbours" for s in (f.sel or [])):
-                ctx.batch_neighbours(vids)
+            for nm, d in (("neighbours", "both"), ("inNeighbours",
+                          "in"), ("outNeighbours", "out")):
+                if any(s.name == nm for s in (f.sel or [])):
+                    ctx.batch_neighbours(vids, d)
             if any(s.name in _NODE_HIST_FIELDS for s in (f.sel or [])):
                 ctx.batch_node_history(vids)
             for s in (f.sel or []):

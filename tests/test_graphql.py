@@ -662,3 +662,24 @@ def test_graph_schema_introspection(ray_session):
     keys = {p["key"] for l in sch["layers"] for e in l["edges"]
             for p in e["properties"]}
     assert keys == {"w"}
+
+
+def test_in_out_neighbours(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                      "dst": pa.array([1, 2, 2], pa.int64()),
+                      "t": pa.array([1, 2, 3], pa.int64()),
+                      "event_id": pa.array([0, 1, 2], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    g = execute(gf, '{ graph { node(name: "2") '
+                    '{ neighbours { id } i: inNeighbours { id } '
+                    'o: outNeighbours { id } } '
+                    'nodes(limit: 3) { id i: inNeighbours { id } } } }')
+    n = g["data"]["graph"]["node"]
+    assert [x["id"] for x in n["neighbours"]] == [0, 1]
+    assert [x["id"] for x in n["i"]] == [0, 1]
+    assert n["o"] == []
+    page = g["data"]["graph"]["nodes"]
+    assert [[x["id"] for x in r["i"]] for r in page] == [[], [0], [0, 1]]
