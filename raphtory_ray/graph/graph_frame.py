@@ -212,6 +212,11 @@ class GraphFrame:
         return self._derive(self.edges.map_batches(
             filt, batch_format="pyarrow", zero_copy_batch=True))
 
+    # GraphView.layers(names) — multi-layer view; layer() already
+    # accepts a Sequence, so the plural is the same entry point
+    def layers(self, names: str | Sequence[str]) -> "GraphFrame":
+        return self.layer(names)
+
     def exclude_layer(self, layers: str | Sequence[str]) -> "GraphFrame":
         """Restrict to edge events NOT in the given layer(s)
         (layer_graph.rs exclude_layers: complement layer set)."""
@@ -378,6 +383,165 @@ class GraphFrame:
     def latest_time(self) -> int | None:
         return self.edges.max("t")
 
+    # --------------------------- GraphView convenience parity (pyi)
+
+    def window_size(self) -> int | None:
+        """end - start of the current window view (GraphView.window_size),
+        None when unwindowed on either side."""
+        if self.start is None or self.end is None:
+            return None
+        return self.end - self.start
+
+    def latest(self) -> "GraphFrame":
+        """View of all events at the latest time (GraphView.latest)."""
+        t = self.latest_time()
+        return self.at(t) if t is not None else self
+
+    def count_nodes(self) -> int:
+        """Node count for the view: whole graph → n; under a time window
+        → event-ACTIVE nodes only (graph.rs windowed count_nodes
+        semantics), one streaming pass over the (already window-filtered)
+        edge/node events."""
+        if self.start is None and self.end is None:
+            return self.n
+
+        def ends(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"v": pa.array(np.unique(np.r_[s, d]),
+                                           pa.int64())})
+
+        parts = self.edges.map_batches(ends, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        chunks = [b["v"].to_numpy()
+                  for b in parts.iter_batches(batch_format="pyarrow")]
+        if self.node_events is not None:
+            nv = self.node_events.select_columns(["vid"])
+            chunks += [b["vid"].to_numpy(zero_copy_only=False)
+                       for b in nv.iter_batches(batch_format="pyarrow")]
+        return int(len(np.unique(np.concatenate(chunks)))) if chunks \
+            else 0
+
+    def has_node(self, name) -> bool:
+        """gid membership (numeric names fall back to the vid range when
+        there is no vertices table)."""
+        if self.vertices is not None:
+            return bool(pc.any(pc.equal(self.vertices["gid"],
+                                        str(name))).as_py() or False)
+        try:
+            return 0 <= int(name) < self.n
+        except (TypeError, ValueError):
+            return False
+
+    def has_edge(self, src: int, dst: int, layer: str | None = None) \
+            -> bool:
+        """Any temporal event for (src, dst[, layer]) in the view — one
+        streaming pass, per-block vectorized."""
+        def probe(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(b["src"], src), pc.equal(b["dst"], dst))
+            if layer is not None and "layer" in b.column_names:
+                m = pc.and_(m, pc.equal(b["layer"], layer))
+            n = pc.sum(m.cast(pa.int64())).as_py() or 0
+            return pa.table({"hit": pa.array([n], pa.int64())})
+
+        hits = self.edges.map_batches(probe, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        return (hits.sum("hit") or 0) > 0
+
+    def has_layer(self, name: str) -> bool:
+        return name in self.unique_layers()
+
+    def valid_layers(self, names: str | Sequence[str]) -> "GraphFrame":
+        """layers() that IGNORES unknown names (GraphView.valid_layers)
+        instead of erroring."""
+        if isinstance(names, str):
+            names = [names]
+        known = set(self.unique_layers())
+        keep = [x for x in names if x in known]
+        return self.layer(keep) if keep else self.layer(list(known))
+
+    def exclude_valid_layer(self, names: str | Sequence[str]) \
+            -> "GraphFrame":
+        if isinstance(names, str):
+            names = [names]
+        known = set(self.unique_layers())
+        drop = [x for x in names if x in known]
+        return self.exclude_layer(drop) if drop else self
+
+    exclude_valid_layers = exclude_valid_layer
+
+    def find_nodes(self, properties_dict: dict) -> pa.Table:
+        """Nodes whose metadata matches every (name, value) pair
+        (GraphView.find_nodes) — rows of the vertices table."""
+        if self.vertices is None:
+            return pa.table({"vid": pa.array([], pa.int64())})
+        m = None
+        for k, v in properties_dict.items():
+            mm = pc.equal(self.vertices[k], v)
+            m = mm if m is None else pc.and_(m, mm)
+        return self.vertices.filter(pc.fill_null(m, False)) \
+            if m is not None else self.vertices
+
+    def find_edges(self, properties_dict: dict):
+        """Edge events whose property columns match every (name, value)
+        pair (GraphView.find_edges) — a streaming filtered Dataset."""
+        def filt(b: pa.Table) -> pa.Table:
+            m = None
+            for k, v in properties_dict.items():
+                mm = pc.equal(b[k], v)
+                m = mm if m is None else pc.and_(m, mm)
+            return b.filter(pc.fill_null(m, True if m is None else False)) \
+                if m is not None else b
+
+        return self.edges.map_batches(filt, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def filter(self, f) -> "GraphFrame":
+        """Apply a FilterExpr view (GraphView.filter): routed to the node
+        algebra when every leaf names a vertices-table column, else to
+        the latest-event edge algebra (the two typed entry points
+        filter_nodes / filter_edges remain the explicit API)."""
+        names = _filter_leaf_names(f)
+        vcols = set(self.vertices.column_names) \
+            if self.vertices is not None else set()
+        if names and names <= vcols:
+            return self.filter_nodes(f)
+        return self.filter_edges(f)
+
+    def vectorise(self, *args, **kwargs):
+        """VectorisedGraph over this view (GraphView.vectorise)."""
+        from raphtory_ray.data.vectors import vectorise as _v
+        return _v(self, *args, **kwargs)
+
+    def to_networkx(self, directed: bool = True):
+        from raphtory_ray.sources.loaders import to_networkx as _nx
+        return _nx(self, directed)
+
+    def materialize_at(self, path) -> "GraphFrame":
+        """Materialize the view into a parquet folder on disk
+        (GraphView.materialize_at) and return a view reading from it —
+        partitioned write, resumable reload."""
+        import os
+
+        import ray.data as rd
+        path = str(path)
+        os.makedirs(path, exist_ok=True)
+        self.edges.write_parquet(os.path.join(path, "edges"))
+        if self.vertices is not None:
+            import pyarrow.parquet as pq
+            pq.write_table(self.vertices,
+                           os.path.join(path, "vertices.parquet"))
+        if self.node_events is not None:
+            self.node_events.write_parquet(
+                os.path.join(path, "node_events"))
+        g = GraphFrame(
+            rd.read_parquet(os.path.join(path, "edges")), self.n,
+            self.vertices,
+            rd.read_parquet(os.path.join(path, "node_events"))
+            if self.node_events is not None else None)
+        g.graph_events, g.graph_meta = self.graph_events, self.graph_meta
+        return g
+
     def node_earliest_latest(self) -> tuple[np.ndarray, np.ndarray]:
         """(earliest, latest) event time per vid, over events touching the
         node as either endpoint (node.rs:66-238 history bounds). Per-block
@@ -463,8 +627,16 @@ class GraphFrame:
         return {lay: self.layer(lay) for lay in sorted(layers)}
 
     def unique_layers(self) -> list[str]:
-        """Sorted distinct layer names (GraphViewOps.unique_layers)."""
-        return sorted(self.layers())
+        """Sorted distinct layer names (GraphViewOps.unique_layers);
+        ["_default"] when the edge table has no layer column."""
+        if "layer" not in self.edges.schema().names:
+            return ["_default"]
+        layers: set = set()
+        for b in (self.edges.select_columns(["layer"])
+                  .iter_batches(batch_format="pyarrow")):
+            layers.update(pc.unique(b["layer"].combine_chunks())
+                          .to_pylist())
+        return sorted(layers)
 
     # ----------------------------------------------------- node properties
     def node_metadata(self, name: str) -> pa.Array:
@@ -521,6 +693,15 @@ class GraphFrame:
         v_s = v[order]
         last = np.r_[v_s[1:] != v_s[:-1], True]
         return allp.take(pa.array(order[last]))
+
+
+def _filter_leaf_names(f: FilterExpr) -> set:
+    """Column/property names referenced by a FilterExpr's leaves."""
+    if f.kind == "leaf":
+        name = f.leaf[1]
+        return {name} if name is not None else set()
+    return set().union(*[_filter_leaf_names(c) for c in f.children]) \
+        if f.children else set()
 
 
 # ------------------------------------------------- edge-level filter tasks

@@ -90,3 +90,69 @@ def test_cached_view_invariance(ray_session):
     t1 = BspGraph.from_graph(sub).triangle_counts()[0]
     t2 = BspGraph.from_graph(cached).triangle_counts()[0]
     assert t1 == t2 == 1
+
+
+def _conv_gf():
+    import ray.data as rd
+    import pyarrow as pa
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 2, 0], pa.int64()),
+        "t": pa.array([1, 3, 5, 7], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "layer": pa.array(["x", "y", "x", "y"]),
+        "w": pa.array([1.0, 2.0, 3.0, 2.0]),
+    })
+    verts = pa.table({
+        "vid": pa.array([0, 1, 2, 3], pa.int64()),
+        "gid": pa.array(["a", "b", "c", "d"]),
+        "node_type": pa.array(["hub", "leaf", "leaf", "hub"]),
+    })
+    return GraphFrame(rd.from_arrow(edges), 4, verts)
+
+
+def test_graphview_convenience_parity(ray_session):
+    gf = _conv_gf()
+    # window_size / latest / windowed count_nodes
+    assert gf.window_size() is None
+    w = gf.window(1, 6)
+    assert w.window_size() == 5
+    assert w.count_nodes() == 3          # vid 3 never active; 0,1,2 are
+    assert gf.count_nodes() == 4
+    lat = gf.latest()
+    assert lat.edges.count() == 1        # only the t=7 event
+    # membership probes
+    assert gf.has_node("a") and not gf.has_node("zz")
+    assert gf.has_edge(0, 1) and not gf.has_edge(1, 0)
+    assert gf.has_edge(0, 2, layer="y") and not gf.has_edge(0, 2, layer="x")
+    assert gf.has_layer("x") and not gf.has_layer("nope")
+    # valid layer views ignore unknown names
+    assert gf.valid_layers(["x", "ghost"]).edges.count() == 2
+    assert gf.exclude_valid_layer(["ghost"]).edges.count() == 4
+    assert gf.exclude_valid_layers(["y", "ghost"]).edges.count() == 2
+
+
+def test_find_and_filter_routing(ray_session):
+    from raphtory_ray.graph.filter import Prop
+    gf = _conv_gf()
+    hubs = gf.find_nodes({"node_type": "hub"})
+    assert hubs["vid"].to_pylist() == [0, 3]
+    ew = gf.find_edges({"layer": "y", "w": 2.0})
+    assert sorted((r["src"], r["dst"]) for r in ew.take_all()) == \
+        [(0, 2), (2, 0)]
+    # filter() routes node-column exprs to filter_nodes (induced
+    # subgraph of passing vids), others to the edge algebra
+    fn = gf.filter(Prop("node_type") == "leaf")
+    assert sorted((r["src"], r["dst"]) for r in fn.edges.take_all()) == \
+        [(1, 2)]
+    fe = gf.filter(Prop("w") > 1.5)
+    assert fe.edges.count() == 3
+
+
+def test_materialize_at_roundtrip(ray_session, tmp_path):
+    gf = _conv_gf()
+    m = gf.window(1, 6).materialize_at(tmp_path / "snap")
+    assert m.edges.count() == gf.window(1, 6).edges.count()
+    assert m.vertices is not None
+    assert (tmp_path / "snap" / "edges").exists()
