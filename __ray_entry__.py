@@ -505,6 +505,20 @@ def _q_cypher_unwind(sf_dir: str):
                   "RETURN th, count(*) AS n")
 
 
+def _q_cypher_scalar_fns(sf_dir: str):
+    """Scalar functions (round 4; the reference transpiles any
+    FunctionInvocation to DataFusion SQL, transpiler/mod.rs:1082):
+    id()/abs()/toInteger()/toFloat()/coalesce() evaluated per row."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE e.w > 200.0 "
+                  "OPTIONAL MATCH (b)-[f]->(c) WHERE f.w > 200.0 "
+                  "WITH a, e.event_id AS eid, e.w AS w, f.w AS fw "
+                  "RETURN id(a) AS src, eid AS event_id, "
+                  "abs(w - 250.0) AS dist, toInteger(w) AS wi, "
+                  "coalesce(fw, 0.0) AS next_w")
+
+
 def _q_gql_pagerank(sf_dir: str) -> pa.Table:
     """GraphQL algorithm-plugin field (round 4; reference
     raphtory-graphql/src/model/plugins/algorithms.rs + graph.rs:641-645):
@@ -1513,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_skip_page": _q_cypher_skip,
         "cypher_collect_size": _q_cypher_collect,
         "cypher_unwind_thresholds": _q_cypher_unwind,
+        "cypher_scalar_fns": _q_cypher_scalar_fns,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
@@ -2621,6 +2636,14 @@ ORDER BY event_id LIMIT 50 OFFSET 100
         "cypher_collect_size": f"""
 WITH {_USER_EDGES}
 SELECT dst, COUNT(*)::BIGINT AS n_in FROM user_edges GROUP BY dst
+""",
+        "cypher_scalar_fns": f"""
+WITH {_USER_EDGES},
+hi AS (SELECT * FROM user_edges WHERE w > 200.0)
+SELECT e.src AS src, e.event_id AS event_id,
+       abs(e.w - 250.0) AS dist, trunc(e.w)::BIGINT AS wi,
+       COALESCE(o.w, 0.0) AS next_w
+FROM hi e LEFT JOIN hi o ON o.src = e.dst
 """,
         "cypher_unwind_thresholds": f"""
 WITH {_USER_EDGES}

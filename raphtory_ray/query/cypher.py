@@ -333,6 +333,50 @@ def _compile_expr(e, ctx: _Ctx):
                     return pc.list_value_length(v).cast(pa.int64())
                 return pc.utf8_length(v).cast(pa.int64())
             return size
+        if e.name == "id":
+            # id(n) — the internal dense vid (transpiler/mod.rs:272 maps
+            # node binds onto their "id" column)
+            if not isinstance(e.arg, Var) or e.arg.name not in \
+                    ctx.node_vars:
+                raise SyntaxError("id() takes a node variable")
+            name = e.arg.name
+            return lambda t: t[name].combine_chunks()
+        if e.name == "coalesce":
+            args = e.arg if isinstance(e.arg, list) else [e.arg]
+            fns = [_compile_expr(a, ctx) for a in args]
+
+            def coalesce(t, _fns=tuple(fns)):
+                vals = []
+                for f in _fns:
+                    v = f(t)
+                    if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                        # explicit scalar type: an empty (hint) block
+                        # would otherwise infer a null-typed array and
+                        # break the coalesce kernel dispatch
+                        v = pa.array([v] * t.num_rows,
+                                     type=pa.scalar(v).type)
+                    vals.append(v)
+                good = next((v.type for v in vals
+                             if not pa.types.is_null(v.type)), None)
+                if good is not None:
+                    vals = [v.cast(good) if pa.types.is_null(v.type)
+                            else v for v in vals]
+                return pc.coalesce(*vals)
+            return coalesce
+        if e.name in ("abs", "tointeger", "tofloat"):
+            af = _compile_expr(e.arg, ctx)
+            kern = {"abs": pc.abs,
+                    # openCypher toInteger truncates toward zero
+                    "tointeger": lambda v: pc.cast(v, pa.int64(),
+                                                   safe=False),
+                    "tofloat": lambda v: pc.cast(v, pa.float64())}[e.name]
+
+            def scalar(t, _af=af, _k=kern):
+                v = _af(t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                return _k(v)
+            return scalar
         raise SyntaxError(f"aggregate {e.name}() only allowed in RETURN")
     if isinstance(e, Not):
         f = _compile_expr(e.expr, ctx)
@@ -376,6 +420,8 @@ def _expr_vars(e) -> set:
     if isinstance(e, Prop):
         return {e.var}
     if isinstance(e, Func):
+        if isinstance(e.arg, list):
+            return set().union(*[_expr_vars(a) for a in e.arg])
         return _expr_vars(e.arg) if e.arg is not None else set()
     if isinstance(e, Not):
         return _expr_vars(e.expr)
@@ -480,6 +526,9 @@ def _needed_columns(q: Query, ctx: _Ctx) -> set:
             if e.name == "type" and isinstance(e.arg, Var) \
                     and "layer" in ctx.edge_cols:
                 needed.add(f"{e.arg.name}__layer")
+            elif isinstance(e.arg, list):
+                for a in e.arg:
+                    visit(a)
             elif e.arg is not None:
                 visit(e.arg)
         elif isinstance(e, Not):

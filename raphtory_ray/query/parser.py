@@ -133,6 +133,11 @@ _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "starts", "ends", "with", "null", "optional", "is", "xor",
              "skip", "union", "all", "unwind"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
+#: scalar (non-aggregate) functions the compiler evaluates per row — the
+#: reference transpiles any FunctionInvocation straight to DataFusion SQL
+#: (transpiler/mod.rs:1082), so this is the equivalent built-in set
+_SCALAR_FNS = {"type", "size", "id", "coalesce", "abs", "tointeger",
+               "tofloat"}
 
 
 def _tokenize(src: str) -> list:
@@ -514,8 +519,13 @@ class _P:
                     arg = None
                 else:
                     arg = self.expr()
+                    if self.peek() == ("punct", ","):
+                        args = [arg]            # multi-arg (coalesce)
+                        while self.accept("punct", ","):
+                            args.append(self.expr())
+                        arg = args
                 self.expect("punct", ")")
-                if low not in _AGGS and low not in ("type", "size"):
+                if low not in _AGGS and low not in _SCALAR_FNS:
                     raise SyntaxError(f"unsupported function {name}")
                 return Func(low, arg, distinct)
             if self.accept("punct", "."):
@@ -539,7 +549,10 @@ def expr_text(e) -> str:
     if isinstance(e, Lit):
         return repr(e.value)
     if isinstance(e, Func):
-        inner = "*" if e.arg is None else expr_text(e.arg)
+        if isinstance(e.arg, list):
+            inner = ", ".join(expr_text(a) for a in e.arg)
+        else:
+            inner = "*" if e.arg is None else expr_text(e.arg)
         d = "DISTINCT " if e.distinct else ""
         return f"{e.name}({d}{inner})"
     if isinstance(e, BinOp):

@@ -744,3 +744,37 @@ def test_unwind_only_and_eq_bridge(ray_session):
            """SELECT x, COUNT(*)::BIGINT AS n
               FROM (VALUES (0), (5), (7)) v(x)
               JOIN e ON e.src = x GROUP BY x""")
+
+
+def test_scalar_functions_vs_duckdb(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN id(a) AS i, abs(e.w - 0.5) AS aw, "
+           "toInteger(e.w + e.t) AS iw, toFloat(e.t) AS ft, "
+           "e.event_id AS eid",
+           """SELECT src AS i, abs(w - 0.5) AS aw,
+                     trunc(w + t)::BIGINT AS iw, t::DOUBLE AS ft,
+                     event_id AS eid FROM e""")
+
+
+def test_coalesce_after_optional(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t < 5 "
+           "OPTIONAL MATCH (b)-[f]->(c) WHERE f.t > 95 "
+           "WITH a, e.event_id AS eid, f.t AS ft "
+           "RETURN a, eid, coalesce(ft, -1) AS nxt",
+           """WITH hi AS (SELECT * FROM e WHERE t < 5),
+           nx AS (SELECT * FROM e WHERE t > 95)
+           SELECT hi.src AS a, hi.event_id AS eid,
+                  COALESCE(nx.t, -1) AS nxt
+           FROM hi LEFT JOIN nx ON nx.src = hi.dst""")
+
+
+def test_scalar_fn_rejects(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    with pytest.raises(SyntaxError, match="node variable"):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN id(e.w) AS x")
+    with pytest.raises(SyntaxError, match="unsupported function"):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN frob(e.w) AS x")
