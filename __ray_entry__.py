@@ -609,6 +609,20 @@ def _q_user_windowed_wcc(sf_dir: str) -> pa.Table:
                             keep=keep)
 
 
+def _q_user_layered_wcc(sf_dir: str) -> pa.Table:
+    """Layered WCC (round 4; reference components.rs tests component
+    algorithms on layered views): connected components over ONLY the
+    'purchase' layer's edges, reported for layer-active nodes."""
+    from raphtory_ray.state.shards import BspGraph
+    gf = _layered_user_gf(sf_dir).layer("purchase")
+    g = BspGraph.from_graph(gf)
+    labels = g.wcc()
+    vids = np.arange(gf.n, dtype=np.int64)
+    keep = (g.out_degree + g.in_degree) > 0
+    return _nodestate_table(vids, vids[labels], "component", pa.int64(),
+                            keep=keep)
+
+
 def _user_window(sf_dir: str) -> tuple[int, int]:
     """Deterministic mid-half window [t0, t1) over the event time range."""
     import pyarrow.parquet as pq
@@ -1529,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_unwind_thresholds": _q_cypher_unwind,
         "cypher_scalar_fns": _q_cypher_scalar_fns,
         "user_windowed_wcc": _q_user_windowed_wcc,
+        "user_layered_wcc": _q_user_layered_wcc,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
         "gql_search_nodes": _q_gql_search_nodes,
@@ -2675,6 +2690,27 @@ wlab AS (
 ),
 wcomp AS (SELECT node AS vid, MIN(label) AS component FROM wlab GROUP BY node)
 SELECT vid, component FROM wcomp
+""",
+        "user_layered_wcc": """
+WITH RECURSIVE typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL AND event_type = 'purchase'
+),
+ldedup AS (SELECT DISTINCT src, dst FROM typed),
+lund AS (
+  SELECT src AS u, dst AS v FROM ldedup
+  UNION
+  SELECT dst AS u, src AS v FROM ldedup
+),
+llab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM lund GROUP BY u
+  UNION
+  SELECT lund.u, llab.label FROM llab JOIN lund ON llab.node = lund.v
+),
+lcomp AS (SELECT node AS vid, MIN(label) AS component FROM llab GROUP BY node)
+SELECT vid, component FROM lcomp
 """,
         "user_filtered_out_degree": f"""
 WITH {_USER_EDGES},
