@@ -159,11 +159,19 @@ def _stage_pool() -> tuple:
     return stage_pool()
 
 
-def _dedup_parallelism() -> int:
+def _dedup_parallelism(n_rows: int | None = None) -> int:
+    """Shuffle partition count. Scale-aware when the row count is known:
+    ~50k rows per partition, clamped to the CPU count — a 500-doc corpus
+    shuffles through ONE partition (a 32-way fan-out costs 64 tasks ×
+    32 returns = thousands of tiny objects for zero parallelism gain),
+    while a 100-TB corpus saturates every core exactly as before."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    return max(4, min(32, cpus))
+    cap = max(4, min(32, cpus))
+    if n_rows is None:
+        return cap
+    return max(1, min(cap, -(-int(n_rows) // 50_000)))
 
 
 # Explicit raw-task shuffles instead of Dataset groupby().map_groups():
@@ -321,7 +329,8 @@ def _jaccard_verify_part(k: int, threshold: float, *pieces: pa.Table) -> pa.Tabl
 
 
 def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
-                                threshold: float, max_bucket: int = 2000):
+                                threshold: float, max_bucket: int = 2000,
+                                n_rows: int | None = None):
     """Candidate generation + exact-Jaccard verify as a three-round
     explicit task shuffle (round-1 fix: no pair list, no {doc_id: text}
     dict, no per-pair loop on the driver; only the sparse verified pairs
@@ -336,7 +345,7 @@ def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
     Round 3: per-pair partitions verify exact Jaccard with per-task shingle
              caches. Driver receives verified pairs only."""
     import ray
-    P = _dedup_parallelism()
+    P = _dedup_parallelism(n_rows)
     bs = [_band_split.options(num_returns=P if P > 1 else 1).remote(b, P)
           for b in band_block_refs]
 
@@ -466,10 +475,12 @@ def minhash_lsh_dedup(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     sig = ds.map_batches(MinHashStage, fn_constructor_kwargs={
         "num_perm": num_perm, "k": k}, batch_format="pyarrow",
         zero_copy_batch=True, concurrency=_stage_pool())
-    band_refs = (sig.map_batches(lambda b: _band_rows(b, bands),
-                                 batch_format="pyarrow", zero_copy_batch=True)
-                 .materialize().to_arrow_refs())
-    va, vb = _verify_jaccard_distributed(ds, band_refs, k, threshold)
+    bands_mat = sig.map_batches(
+        lambda b: _band_rows(b, bands),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    band_refs = bands_mat.to_arrow_refs()
+    va, vb = _verify_jaccard_distributed(ds, band_refs, k, threshold,
+                                         n_rows=bands_mat.count())
     return assign_clusters(ds, "doc_id", va, vb)
 
 
@@ -606,11 +617,12 @@ def simhash_dedup(ds, max_hamming: int = 3):
     full to_pandas; now banding/pairing/verify run as an explicit two-round
     task shuffle and the only driver data is the sparse verified pairs."""
     import ray
-    P = _dedup_parallelism()
-    band_refs = (simhash_signatures(ds)
+    bands_mat = (simhash_signatures(ds)
                  .map_batches(_simhash_band_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
-                 .materialize().to_arrow_refs())
+                 .materialize())
+    P = _dedup_parallelism(bands_mat.count())
+    band_refs = bands_mat.to_arrow_refs()
     splits = [_simhash_split.options(num_returns=P if P > 1 else 1)
               .remote(b, P) for b in band_refs]
 
@@ -719,8 +731,9 @@ def embedding_dedup(ds, threshold: float = 0.95, nbits: int = 12,
                             zero_copy_batch=True)
 
     import ray
-    P = _dedup_parallelism()
-    refs = joined.materialize().to_arrow_refs()
+    joined_mat = joined.materialize()
+    P = _dedup_parallelism(joined_mat.count())
+    refs = joined_mat.to_arrow_refs()
     splits = [_embbucket_split.options(num_returns=P if P > 1 else 1)
               .remote(b, P) for b in refs]
 
