@@ -799,6 +799,19 @@ def _resolve_edge(ctx: _GraphCtx, args: dict, sel: list):
             k = f.args["key"]
             out[f.out] = ev[k][ev.num_rows - 1].as_py() \
                 if k in ev.column_names else None
+        elif f.name == "properties":
+            # edge.rs:properties — latest value per temporal property
+            # column in the view; ``keys`` narrows
+            keys = f.args.get("keys")
+            if keys is None:
+                keys = [c for c in ev.column_names
+                        if c not in ("src", "dst", "t", "event_id",
+                                     "layer")]
+            elif isinstance(keys, str):
+                keys = [keys]
+            out[f.out] = {k: (ev[k][ev.num_rows - 1].as_py()
+                              if k in ev.column_names else None)
+                          for k in keys}
         elif f.name == "explode":
             out[f.out] = ev.to_pylist()
         else:

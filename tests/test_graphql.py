@@ -603,7 +603,8 @@ def test_graph_edge_and_shared_neighbours(ray_session):
                         'dstName earliestTime latestTime time history '
                         'countEvents isSelfLoop layerNames '
                         'wHist: propertyHistory(key: "w") '
-                        'w: property(key: "w") } '
+                        'w: property(key: "w") properties '
+                        'pw: properties(keys: "w") } '
                         'none: edge(src: "b", dst: "a") { src } '
                         'sharedNeighbours(node1: "a", node2: "c") '
                         '{ name } '
@@ -618,6 +619,8 @@ def test_graph_edge_and_shared_neighbours(ray_session):
     assert e["wHist"] == [{"time": 1, "value": 1.0},
                           {"time": 10, "value": 100.0}]
     assert e["w"] == 100.0                      # latest-event value
+    assert e["properties"] == {"w": 100.0}      # latest per key
+    assert e["pw"] == {"w": 100.0}
     assert got["none"] is None
     # neighbours: a~{b,c,d}, c~{a,b,d} → shared {b, d}
     assert sorted(x["name"] for x in got["sharedNeighbours"]) == \
