@@ -275,6 +275,16 @@ def _vertices_lookup(vert_ref, vid_arr: pa.Array, prop: str) -> pa.Array:
     return vt[prop].combine_chunks().take(idx)
 
 
+def _pc_mod(a, b):
+    """Modulo — this pyarrow build has no pc.mod kernel; numpy keeps the
+    C-truncation semantics DuckDB's % uses for integers."""
+    an = a.to_numpy(zero_copy_only=False) \
+        if isinstance(a, (pa.Array, pa.ChunkedArray)) else a
+    bn = b.to_numpy(zero_copy_only=False) \
+        if isinstance(b, (pa.Array, pa.ChunkedArray)) else b
+    return pa.array(np.fmod(an, bn))
+
+
 def _compile_expr(e, ctx: _Ctx):
     """Expr AST → fn(pa.Table) -> pa.Array | scalar. Node props resolve
     through the broadcast vertices table; edge props through the renamed
@@ -397,6 +407,7 @@ def _compile_expr(e, ctx: _Ctx):
         kernels = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,
                    "<=": pc.less_equal, ">": pc.greater,
                    ">=": pc.greater_equal, "+": pc.add, "-": pc.subtract,
+                   "*": pc.multiply, "/": pc.divide, "%": _pc_mod,
                    "and": pc.and_kleene, "or": pc.or_kleene,
                    "xor": pc.xor}
         if op in ("contains", "starts_with", "ends_with"):

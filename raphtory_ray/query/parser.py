@@ -127,7 +127,7 @@ class Query:
 # ------------------------------------------------------------- tokens
 
 _PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
-          ",", ":", ".", "-", "=", "<", ">", "+", "*"]
+          ",", ":", ".", "-", "=", "<", ">", "+", "*", "/", "%"]
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
              "starts", "ends", "with", "null", "optional", "is", "xor",
@@ -467,10 +467,21 @@ class _P:
         return e
 
     def add_expr(self):
-        e = self.atom()
+        e = self.mul_expr()
         while True:
             t = self.peek()
             if t[0] == "punct" and t[1] in ("+", "-"):
+                self.next()
+                e = BinOp(t[1], e, self.mul_expr())
+            else:
+                return e
+
+    def mul_expr(self):
+        # multiply/divide/modulo bind tighter than +/- (cypher.pest:219)
+        e = self.atom()
+        while True:
+            t = self.peek()
+            if t[0] == "punct" and t[1] in ("*", "/", "%"):
                 self.next()
                 e = BinOp(t[1], e, self.atom())
             else:

@@ -778,3 +778,18 @@ def test_scalar_fn_rejects(ray_session):
         cypher(gf, "MATCH (a)-[e]->(b) RETURN id(e.w) AS x")
     with pytest.raises(SyntaxError, match="unsupported function"):
         cypher(gf, "MATCH (a)-[e]->(b) RETURN frob(e.w) AS x")
+
+
+def test_mul_div_mod_precedence(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.t % 7 = 3 "
+           "RETURN a, b, e.t * 2 + 1 AS x, e.t / 4 AS q, "
+           "e.event_id AS eid",
+           """SELECT src AS a, dst AS b, t * 2 + 1 AS x, t // 4 AS q,
+                     event_id AS eid FROM e WHERE t % 7 = 3""")
+    # precedence: 2 + t * 3 parses as 2 + (t * 3)
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN e.event_id AS eid, "
+           "2 + e.t * 3 AS y",
+           "SELECT event_id AS eid, 2 + t * 3 AS y FROM e")
