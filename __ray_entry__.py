@@ -1281,6 +1281,15 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, k=24)
 
 
+def _q_doc_pack(sf_dir: str):
+    """Token-budget sequence packing (round 4): contiguous docs binned
+    into 256-token training sequences via a distributed two-pass prefix
+    sum (data/text.py pack_documents) — seq_id = exclusive prefix sum of
+    token counts // budget, mirrored by a SQL window cumsum."""
+    from raphtory_ray.data.text import pack_documents
+    return pack_documents(_docs(sf_dir), budget=256)
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from raphtory_ray.data.dedup import exact_dedup
     ds = exact_dedup(_docs(sf_dir))
@@ -1576,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": _q_doc_redact,
         "doc_sample_stratified": _q_doc_sample,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_pack_sequences": _q_doc_pack,
         "doc_trigram_repetition": _q_doc_trigram_repetition,
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
@@ -2953,6 +2963,20 @@ LEFT JOIN counts s1 ON s1.slot = m.motif_id
 LEFT JOIN counts s2 ON s2.slot = 7 - m.motif_id
 """,
         "copurchase_betweenness_small": _betweenness_small_sql(),
+        "doc_pack_sequences": r"""
+WITH counted AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // 256)::BIGINT AS seq_id
+FROM counted
+""",
         "doc_token_counts": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0

@@ -396,3 +396,56 @@ def decontaminate(ds, bench_ds, k: int = 24, text_col: str = "text"):
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# -------------------------------------------- token-budget sequence packing
+
+def pack_documents(ds, budget: int = 2048, text_col: str = "text"):
+    """Assign documents (in doc_id order) to fixed-token-budget training
+    sequences: seq_id = exclusive-prefix-sum(n_tokens) // budget — the
+    deterministic contiguous packing a sample-packing dataloader uses.
+
+    Distributed as a classic two-pass prefix sum: pass 1 computes each
+    block's (min doc_id, token subtotal) — a tiny O(blocks) driver
+    gather; pass 2 re-streams each block with its global starting offset.
+    No sort, no shuffle. Requires id-contiguous blocks (any id-ordered
+    read qualifies, regardless of the order blocks ARRIVE in — streaming
+    execution is free to reorder them, so blocks are re-anchored by min
+    doc_id); feed it id-sorted input."""
+    counted = ds.map_batches(lambda b: token_count_batch(b, text_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    mat = counted.materialize()
+    refs = mat.to_arrow_refs()
+    import ray
+    # streaming execution does NOT preserve block order — anchor each
+    # block by its min doc_id (blocks of an id-ordered read are
+    # contiguous id ranges even when returned out of order)
+    meta = ray.get([_block_token_sum.remote(r) for r in refs])
+    order = np.argsort([m[0] for m in meta], kind="stable")
+    subtotals = np.array([meta[i][1] for i in order], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(subtotals)[:-1]]) \
+        if len(subtotals) else np.empty(0, np.int64)
+
+    out = [_pack_block.remote(refs[i], int(s0), budget)
+           for i, s0 in zip(order, starts)]
+    import ray.data as rd
+    return rd.from_arrow_refs(out)
+
+
+import ray as _ray  # noqa: E402  (remote decorators below)
+
+
+@_ray.remote
+def _block_token_sum(b: pa.Table) -> tuple:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return (int(ids.min()) if len(ids) else 2**62,
+            int(b["n_tokens"].to_numpy(zero_copy_only=False).sum()))
+
+
+@_ray.remote
+def _pack_block(b: pa.Table, start: int, budget: int) -> pa.Table:
+    n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    excl = start + np.cumsum(n) - n
+    return pa.table({"doc_id": b["doc_id"],
+                     "n_tokens": b["n_tokens"],
+                     "seq_id": pa.array(excl // budget, pa.int64())})

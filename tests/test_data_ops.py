@@ -404,3 +404,19 @@ def test_decontaminate_flags_overlap(ray_session):
         [False, True, False, True, False]
     assert rows[3]["n_hits"] >= rows[1]["n_hits"] - 2  # both share most
     assert rows[4]["n_hits"] == 0
+
+
+def test_pack_documents_prefix_sum(ray_session):
+    from raphtory_ray.data.text import pack_documents
+    texts = ["a b c", "d e", "", "f g h i", "j", "k l m n o p"]
+    # tokens: 3 2 0 4 1 6; excl prefix: 0 3 5 5 9 10; budget 5 ->
+    # seq_ids 0 0 1 1 1 2
+    ds = _doc_ds(texts)
+    rows = sorted(pack_documents(ds, budget=5).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["seq_id"] for r in rows] == [0, 0, 1, 1, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [3, 2, 0, 4, 1, 6]
+    # block-order independence: many tiny blocks, same answer
+    rows2 = sorted(pack_documents(ds.repartition(5), budget=5).take_all(),
+                   key=lambda r: r["doc_id"])
+    assert [r["seq_id"] for r in rows2] == [0, 0, 1, 1, 1, 2]
