@@ -373,13 +373,17 @@ def _compile_expr(e, ctx: _Ctx):
                             else v for v in vals]
                 return pc.coalesce(*vals)
             return coalesce
-        if e.name in ("abs", "tointeger", "tofloat"):
+        if e.name in ("abs", "tointeger", "tofloat", "tolower",
+                      "toupper", "trim"):
             af = _compile_expr(e.arg, ctx)
             kern = {"abs": pc.abs,
                     # openCypher toInteger truncates toward zero
                     "tointeger": lambda v: pc.cast(v, pa.int64(),
                                                    safe=False),
-                    "tofloat": lambda v: pc.cast(v, pa.float64())}[e.name]
+                    "tofloat": lambda v: pc.cast(v, pa.float64()),
+                    "tolower": pc.utf8_lower,
+                    "toupper": pc.utf8_upper,
+                    "trim": pc.utf8_trim_whitespace}[e.name]
 
             def scalar(t, _af=af, _k=kern):
                 v = _af(t)

@@ -793,3 +793,13 @@ def test_mul_div_mod_precedence(ray_session):
            "MATCH (a)-[e]->(b) RETURN e.event_id AS eid, "
            "2 + e.t * 3 AS y",
            "SELECT event_id AS eid, 2 + t * 3 AS y FROM e")
+
+
+def test_string_functions(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE toUpper(a.gid) STARTS WITH 'U00' "
+           "RETURN DISTINCT a.gid AS g, toLower(toUpper(a.gid)) AS lg",
+           """SELECT DISTINCT v.gid AS g, lower(upper(v.gid)) AS lg
+              FROM e JOIN v ON e.src = v.vid
+              WHERE upper(v.gid) LIKE 'U00%'""")
