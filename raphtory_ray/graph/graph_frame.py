@@ -205,9 +205,14 @@ class GraphFrame:
         if isinstance(layers, str):
             layers = [layers]
         lset = pa.array(list(layers), pa.string())
+        want_default = self.DEFAULT_LAYER in set(layers)
 
         def filt(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["layer"], value_set=lset))
+            m = pc.is_in(b["layer"], value_set=lset)
+            if want_default:
+                # null layer rows ARE the default layer
+                m = pc.or_(m, pc.is_null(b["layer"]))
+            return b.filter(pc.fill_null(m, False))
 
         return self._derive(self.edges.map_batches(
             filt, batch_format="pyarrow", zero_copy_batch=True))
@@ -397,14 +402,11 @@ class GraphFrame:
         t = self.latest_time()
         return self.at(t) if t is not None else self
 
-    def count_nodes(self) -> int:
-        """Node count for the view: whole graph → n; under a time window
-        → event-ACTIVE nodes only (graph.rs windowed count_nodes
-        semantics), one streaming pass over the (already window-filtered)
-        edge/node events."""
-        if self.start is None and self.end is None:
-            return self.n
-
+    def active_vids(self) -> np.ndarray:
+        """Sorted vids touched by any edge/node event IN THE VIEW — one
+        streaming pass (the windowed node universe, graph.rs windowed
+        count_nodes semantics). Shared by count_nodes and the GraphQL
+        executor's node_set."""
         def ends(b: pa.Table) -> pa.Table:
             s = b["src"].to_numpy(zero_copy_only=False)
             d = b["dst"].to_numpy(zero_copy_only=False)
@@ -419,15 +421,27 @@ class GraphFrame:
             nv = self.node_events.select_columns(["vid"])
             chunks += [b["vid"].to_numpy(zero_copy_only=False)
                        for b in nv.iter_batches(batch_format="pyarrow")]
-        return int(len(np.unique(np.concatenate(chunks)))) if chunks \
-            else 0
+        return np.unique(np.concatenate(chunks)) if chunks \
+            else np.empty(0, np.int64)
+
+    def count_nodes(self) -> int:
+        """Node count for the view: whole graph → n; under a time window
+        → event-ACTIVE nodes only."""
+        if self.start is None and self.end is None:
+            return self.n
+        return int(len(self.active_vids()))
 
     def has_node(self, name) -> bool:
-        """gid membership (numeric names fall back to the vid range when
-        there is no vertices table)."""
-        if self.vertices is not None:
-            return bool(pc.any(pc.equal(self.vertices["gid"],
-                                        str(name))).as_py() or False)
+        """Membership by gid string OR internal vid (GraphView.has_node
+        accepts either id or name)."""
+        if self.vertices is not None and bool(
+                pc.any(pc.equal(self.vertices["gid"],
+                                str(name))).as_py() or False):
+            return True
+        # vid fallback: always for int inputs; for digit strings only
+        # when there is no gid namespace to collide with
+        if isinstance(name, str) and self.vertices is not None:
+            return False
         try:
             return 0 <= int(name) < self.n
         except (TypeError, ValueError):
@@ -453,12 +467,17 @@ class GraphFrame:
 
     def valid_layers(self, names: str | Sequence[str]) -> "GraphFrame":
         """layers() that IGNORES unknown names (GraphView.valid_layers)
-        instead of erroring."""
+        instead of erroring; zero valid names → an EMPTY-layer view (no
+        events), not the whole graph."""
         if isinstance(names, str):
             names = [names]
         known = set(self.unique_layers())
         keep = [x for x in names if x in known]
-        return self.layer(keep) if keep else self.layer(list(known))
+        if keep:
+            return self.layer(keep)
+        return self._derive(self.edges.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow",
+            zero_copy_batch=True))
 
     def exclude_valid_layer(self, names: str | Sequence[str]) \
             -> "GraphFrame":
@@ -522,10 +541,16 @@ class GraphFrame:
         (GraphView.materialize_at) and return a view reading from it —
         partitioned write, resumable reload."""
         import os
+        import shutil
 
         import ray.data as rd
         path = str(path)
         os.makedirs(path, exist_ok=True)
+        # overwrite semantics: clear stale part files so a re-run at the
+        # same path replaces the snapshot instead of doubling every row
+        for sub in ("edges", "node_events"):
+            if os.path.isdir(os.path.join(path, sub)):
+                shutil.rmtree(os.path.join(path, sub))
         self.edges.write_parquet(os.path.join(path, "edges"))
         if self.vertices is not None:
             import pyarrow.parquet as pq
@@ -619,23 +644,28 @@ class GraphFrame:
         return self.edges
 
     def explode_layers(self) -> dict:
-        """One GraphFrame per layer (edge.rs explode_layers())."""
-        layers = set()
-        for b in (self.edges.select_columns(["layer"])
-                  .iter_batches(batch_format="pyarrow")):
-            layers.update(pc.unique(b["layer"].combine_chunks()).to_pylist())
-        return {lay: self.layer(lay) for lay in sorted(layers)}
+        """One GraphFrame per layer (edge.rs explode_layers()); null-layer
+        rows surface under the '_default' key via default_layer()."""
+        return {lay: (self.default_layer() if lay == self.DEFAULT_LAYER
+                      else self.layer(lay))
+                for lay in self.unique_layers()}
 
     def unique_layers(self) -> list[str]:
         """Sorted distinct layer names (GraphViewOps.unique_layers);
-        ["_default"] when the edge table has no layer column."""
+        null layer values read as '_default', and a graph with no layer
+        column has exactly ['_default']. The single source of the
+        distinct-layer scan (explode_layers and the GraphQL resolver
+        delegate here)."""
         if "layer" not in self.edges.schema().names:
-            return ["_default"]
+            return [self.DEFAULT_LAYER]
         layers: set = set()
         for b in (self.edges.select_columns(["layer"])
                   .iter_batches(batch_format="pyarrow")):
             layers.update(pc.unique(b["layer"].combine_chunks())
                           .to_pylist())
+        if None in layers:
+            layers.discard(None)
+            layers.add(self.DEFAULT_LAYER)
         return sorted(layers)
 
     # ----------------------------------------------------- node properties

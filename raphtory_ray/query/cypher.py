@@ -277,12 +277,24 @@ def _vertices_lookup(vert_ref, vid_arr: pa.Array, prop: str) -> pa.Array:
 
 def _pc_mod(a, b):
     """Modulo — this pyarrow build has no pc.mod kernel; numpy keeps the
-    C-truncation semantics DuckDB's % uses for integers."""
-    an = a.to_numpy(zero_copy_only=False) \
-        if isinstance(a, (pa.Array, pa.ChunkedArray)) else a
-    bn = b.to_numpy(zero_copy_only=False) \
-        if isinstance(b, (pa.Array, pa.ChunkedArray)) else b
-    return pa.array(np.fmod(an, bn))
+    C-truncation semantics DuckDB's % uses for integers. Nulls stay
+    NULL (fill-compute-remask), never NaN, and an all-valid int column
+    keeps its int type instead of promoting to double."""
+    def prep(x):
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        if isinstance(x, pa.Array):
+            m = pc.is_null(x).to_numpy(zero_copy_only=False)
+            return (x.fill_null(1).to_numpy(zero_copy_only=False), m)
+        return x, None
+    an, am = prep(a)
+    bn, bm = prep(b)
+    out = np.fmod(an, bn)
+    mask = None
+    for m in (am, bm):
+        if m is not None and m.any():
+            mask = m if mask is None else (mask | m)
+    return pa.array(out, mask=mask)
 
 
 def _compile_expr(e, ctx: _Ctx):
@@ -912,10 +924,22 @@ def cypher(gf, query: str, P: int | None = None):
         return _compile_one(gf, q, P)[0]
     # UNION [ALL]: compile each branch independently (own variable
     # scope), require matching output columns, stream-union the
-    # branches; plain UNION dedups across the combined rows
+    # branches; plain UNION dedups across the combined rows. A trailing
+    # ORDER BY / SKIP / LIMIT (written on the last branch) applies to
+    # the COMBINED result — SQL semantics, which is what the reference's
+    # DataFusion transpile produces; they are disallowed on earlier
+    # branches.
     alls = {a for _sub, a in q.union}
     if len(alls) > 1:
         raise SyntaxError("cannot mix UNION and UNION ALL")
+    last = q.union[-1][0]
+    order_by, skip, limit = last.order_by, last.skip, last.limit
+    last.order_by, last.skip, last.limit = [], None, None
+    for sub in [q] + [s for s, _a in q.union[:-1]]:
+        if sub.order_by or sub.skip is not None or sub.limit is not None:
+            raise SyntaxError("ORDER BY / SKIP / LIMIT inside a UNION "
+                              "branch — write it after the last branch "
+                              "(it orders the combined result)")
     branches = [_compile_one(gf, q, P)] + \
         [_compile_one(gf, sub, P) for sub, _a in q.union]
     cols = branches[0][1]
@@ -927,6 +951,25 @@ def cypher(gf, query: str, P: int | None = None):
     out = branches[0][0].union(*[ds for ds, _n in branches[1:]])
     if not alls.pop():
         out = _distinct(out, cols)
+    if order_by:
+        order_cols = []
+        for e, _asc in order_by:
+            match = next((it for it in last.items
+                          if expr_text(it.expr) == expr_text(e)
+                          or (it.alias and isinstance(e, Var)
+                              and e.name == it.alias)), None)
+            if match is None:
+                raise SyntaxError("ORDER BY after UNION must reference "
+                                  "returned columns")
+            order_cols.append(_out_name(match))
+        out = out.sort(order_cols,
+                       descending=[not asc for _e, asc in order_by])
+    if skip:
+        if limit is not None:
+            out = out.limit(skip + limit)
+        out = out.split_at_indices([skip])[1]
+    elif limit is not None:
+        out = out.limit(limit)
     return out
 
 
@@ -1135,12 +1178,13 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
 
     ds = ds.map_batches(project, batch_format="pyarrow",
                         zero_copy_batch=True)
-    if hint is not None:
-        ds = ds.union(rd.from_arrow(project(hint)))
+    phint = project(hint) if hint is not None else None
+    if phint is not None:
+        ds = ds.union(rd.from_arrow(phint))
     key_names = [name for name, _ in proj if not name.startswith("__ord")]
 
     if aggs:
-        ds = _aggregate(ds, q, aggs, key_names, ctx)
+        ds = _aggregate(ds, q, aggs, key_names, ctx, phint)
     elif q.distinct:
         ds = _distinct(ds, key_names + [h for h, _ in hidden])
 
@@ -1248,7 +1292,7 @@ def _apply_with(ds, wc, ctx: _Ctx, hint: pa.Table):
     key_names = [name for name, _ in proj]
 
     if aggs:
-        ds = _aggregate(ds, None, aggs, key_names, ctx)
+        ds = _aggregate(ds, None, aggs, key_names, ctx, phint)
         hint2 = _agg_hint(phint, aggs, key_names)
     elif wc.distinct:
         ds = _distinct(ds, key_names)
@@ -1284,7 +1328,8 @@ def _apply_with(ds, wc, ctx: _Ctx, hint: pa.Table):
     return ds, visible, hint2
 
 
-def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx):
+def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
+               phint: pa.Table | None = None):
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
     import ray.data as rd
 
@@ -1307,7 +1352,7 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx):
                                        pa.array([n], pa.int64())}))
 
     if any(it.expr.name == "collect" for it in aggs):
-        return _aggregate_with_collect(ds, aggs, key_names)
+        return _aggregate_with_collect(ds, aggs, key_names, phint)
 
     specs = []
     for i, it in enumerate(aggs):
@@ -1341,7 +1386,8 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx):
         {n: pa.array([res.get(n)]) for n in names}))
 
 
-def _aggregate_with_collect(ds, aggs: list, key_names: list):
+def _aggregate_with_collect(ds, aggs: list, key_names: list,
+                            phint: pa.Table | None = None):
     """collect(x) (plus any companion count/sum/avg/min/max) via
     groupby().map_groups — the list is materialized per group, which is
     inherent to collect()'s semantics (a hot key's whole group lands in
@@ -1393,7 +1439,32 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list):
 
     out = ds.groupby(key_names).map_groups(agg_group,
                                            batch_format="pyarrow")
-    return out
+    if grouped:
+        return out
+    # GLOBAL collect: openCypher returns ONE row even on an empty match
+    # (collect → [], count → 0); map_groups sees no groups there, so
+    # materialize (the global result is ≤1 row) and backfill the default
+    parts = [b for b in out.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if parts:
+        return rd.from_arrow(pa.concat_tables(parts,
+                                              promote_options="default"))
+    cols = {}
+    for name, fn, col in plan:
+        t = phint[col].type if (phint is not None and col is not None
+                                and col in phint.column_names) \
+            else pa.int64()
+        if fn == "collect":
+            cols[name] = pa.array([[]], pa.list_(t))
+        elif fn == "count":
+            cols[name] = pa.array([0], pa.int64())
+        elif fn == "sum":
+            cols[name] = pa.array([0], t)     # Cypher: sum of empty = 0
+        elif fn == "avg":
+            cols[name] = pa.array([None], pa.float64())
+        else:
+            cols[name] = pa.array([None], t)
+    return rd.from_arrow(pa.table(cols))
 
 
 def _collect_empty(g: pa.Table, plan, key_names, grouped) -> pa.Table:

@@ -279,24 +279,9 @@ class _GraphCtx:
         if gf.start is None and gf.end is None:
             return self._node_set
         if self._active is None:
-            def ends(b: pa.Table) -> pa.Table:
-                s = b["src"].to_numpy(zero_copy_only=False)
-                d = b["dst"].to_numpy(zero_copy_only=False)
-                return pa.table({"v": pa.array(
-                    np.unique(np.r_[s, d]), pa.int64())})
-
-            parts = gf.edges.map_batches(ends, batch_format="pyarrow",
-                                         zero_copy_batch=True)
-            chunks = [b["v"].to_numpy() for b in
-                      parts.iter_batches(batch_format="pyarrow")]
-            if gf.node_events is not None:
-                # node_events is already window-filtered inside the view
-                nv = gf.node_events.select_columns(["vid"])
-                chunks += [b["vid"].to_numpy(zero_copy_only=False)
-                           for b in
-                           nv.iter_batches(batch_format="pyarrow")]
-            act = np.unique(np.concatenate(chunks)) if chunks \
-                else np.empty(0, np.int64)
+            # the engine's shared active-set scan (node_events are
+            # already window-filtered inside the view)
+            act = gf.active_vids()
             if self._node_set is not None:
                 act = act[np.isin(act, self._node_set)]
             self._active = act
@@ -407,37 +392,46 @@ class _GraphCtx:
             -> dict:
         """One pass over the edge Dataset for a whole page of nodes —
         NOT a scan per node. ``direction``: both (deduped in∪out union,
-        node.rs:458) | in (:472) | out (:486)."""
+        node.rs:458) | in (:472) | out (:486). A single scan fills ALL
+        THREE directional caches (both = in ∪ out), so a page selecting
+        neighbours + inNeighbours + outNeighbours costs one pass."""
         cache = self._nbr_cache.setdefault(direction, {})
         todo = [v for v in vids if v not in cache]
         if todo:
             want = np.array(sorted(todo), dtype=np.int64)
             gf = self.gf
 
-            def nbr(b: pa.Table, _dir=direction) -> pa.Table:
+            def nbr(b: pa.Table) -> pa.Table:
                 s = b["src"].to_numpy(zero_copy_only=False)
                 d = b["dst"].to_numpy(zero_copy_only=False)
-                vs_, nbs_ = [], []
-                if _dir in ("both", "out"):
-                    ms = np.isin(s, want)
-                    vs_.append(s[ms]); nbs_.append(d[ms])
-                if _dir in ("both", "in"):
-                    md = np.isin(d, want)
-                    vs_.append(d[md]); nbs_.append(s[md])
+                ms = np.isin(s, want)
+                md = np.isin(d, want)
                 return pa.table({
-                    "v": pa.array(np.concatenate(vs_), pa.int64()),
-                    "nb": pa.array(np.concatenate(nbs_), pa.int64())})
+                    "v": pa.array(np.r_[s[ms], d[md]], pa.int64()),
+                    "nb": pa.array(np.r_[d[ms], s[md]], pa.int64()),
+                    "o": pa.array(np.r_[np.ones(int(ms.sum()), np.bool_),
+                                        np.zeros(int(md.sum()),
+                                                 np.bool_)])})
 
             parts = gf.edges.map_batches(nbr, batch_format="pyarrow",
                                          zero_copy_batch=True)
-            vs, nbs = [], []
+            vs, nbs, os_ = [], [], []
             for b in parts.iter_batches(batch_format="pyarrow"):
                 vs.append(b["v"].to_numpy())
                 nbs.append(b["nb"].to_numpy())
+                os_.append(b["o"].to_numpy(zero_copy_only=False))
             v = np.concatenate(vs) if vs else np.empty(0, np.int64)
             nb_ = np.concatenate(nbs) if nbs else np.empty(0, np.int64)
+            om = np.concatenate(os_) if os_ else np.empty(0, np.bool_)
+            caches = {d: self._nbr_cache.setdefault(d, {})
+                      for d in ("in", "out", "both")}
             for t in todo:
-                cache[t] = np.unique(nb_[v == t])
+                mt = v == t
+                outs = np.unique(nb_[mt & om])
+                ins = np.unique(nb_[mt & ~om])
+                caches["out"].setdefault(t, outs)
+                caches["in"].setdefault(t, ins)
+                caches["both"].setdefault(t, np.union1d(ins, outs))
         return {v: cache[v] for v in vids}
 
 
@@ -901,14 +895,9 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
                 items.append(o)
             out[f.out] = items
         elif f.name == "uniqueLayers":
-            # graph.rs unique_layers: distinct layer names in the view
-            cols = gf.edges.schema().names if gf.edges.schema() else []
-            if "layer" not in (cols or []):
-                out[f.out] = ["_default"]
-            else:
-                vals = gf.edges.unique("layer")
-                out[f.out] = sorted("_default" if v is None else v
-                                    for v in vals)
+            # graph.rs unique_layers — the engine's own scan (null →
+            # '_default', single source of the distinct-layer logic)
+            out[f.out] = gf.unique_layers()
         elif f.name == "start":
             out[f.out] = gf.start
         elif f.name == "end":

@@ -803,3 +803,42 @@ def test_string_functions(ray_session):
            """SELECT DISTINCT v.gid AS g, lower(upper(v.gid)) AS lg
               FROM e JOIN v ON e.src = v.vid
               WHERE upper(v.gid) LIKE 'U00%'""")
+
+
+def test_union_trailing_order_skip_limit(ray_session):
+    """trailing ORDER BY/SKIP/LIMIT orders the COMBINED union result
+    (SQL semantics, per the reference's DataFusion transpile)."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    got = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t < 3 RETURN e.t AS t "
+                     "UNION ALL MATCH (a)-[e]->(b) WHERE e.t < 2 "
+                     "RETURN e.t AS t ORDER BY t DESC LIMIT 4").take_all()
+    want = _sql(edges, verts,
+                "SELECT t FROM (SELECT t FROM e WHERE t < 3 UNION ALL "
+                "SELECT t FROM e WHERE t < 2) ORDER BY t DESC LIMIT 4"
+                ).to_pylist()
+    assert [r["t"] for r in got] == [r["t"] for r in want]
+    with pytest.raises(SyntaxError, match="after the last branch"):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN a ORDER BY a "
+                   "UNION MATCH (a)-[e]->(b) RETURN a")
+
+
+def test_mod_null_semantics(ray_session):
+    """% over OPTIONAL-MATCH nulls stays NULL (not NaN) and int-typed."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    rows = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t < 3 "
+                      "OPTIONAL MATCH (b)-[f]->(c) WHERE f.t > 1000 "
+                      "WITH e.t AS t, f.t AS ft "
+                      "RETURN t, ft % 2 AS m").take_all()
+    assert rows and all(r["m"] is None for r in rows)
+    assert all(isinstance(r["t"], int) for r in rows)
+
+
+def test_global_collect_empty_match(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    rows = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t > 1000 "
+                      "RETURN collect(e.t) AS ts, count(*) AS n").take_all()
+    assert len(rows) == 1
+    assert list(rows[0]["ts"]) == [] and rows[0]["n"] == 0

@@ -156,3 +156,46 @@ def test_materialize_at_roundtrip(ray_session, tmp_path):
     assert m.edges.count() == gf.window(1, 6).edges.count()
     assert m.vertices is not None
     assert (tmp_path / "snap" / "edges").exists()
+
+
+def test_layer_edge_cases_from_review(ray_session):
+    """round-4 review fixes: null layers, empty valid_layers, _default."""
+    import ray.data as rd
+    import pyarrow as pa
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    edges = pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+        "t": pa.array([1, 2, 3], pa.int64()),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "layer": pa.array(["x", None, "x"]),
+    })
+    gf = GraphFrame(rd.from_arrow(edges), 3)
+    # nulls read as _default everywhere
+    assert gf.unique_layers() == ["_default", "x"]
+    assert gf.has_layer("_default") and gf.has_layer("x")
+    assert gf.layer("_default").edges.count() == 1
+    ex = gf.explode_layers()
+    assert sorted(ex) == ["_default", "x"]
+    assert ex["_default"].edges.count() == 1
+    assert ex["x"].edges.count() == 2
+    # zero valid names -> EMPTY view, not the whole graph
+    assert gf.valid_layers(["ghost"]).edges.count() == 0
+    assert gf.valid_layers([]).edges.count() == 0
+    assert gf.valid_layers(["x", "ghost"]).edges.count() == 2
+
+
+def test_has_node_vid_with_vertices(ray_session):
+    gf = _conv_gf()
+    assert gf.has_node(2)              # int vid works despite gids
+    assert not gf.has_node(99)
+    assert gf.has_node("a")
+    assert not gf.has_node("2")        # digit STRING is a gid lookup
+
+
+def test_materialize_at_overwrites(ray_session, tmp_path):
+    gf = _conv_gf()
+    m1 = gf.materialize_at(tmp_path / "snap2")
+    n1 = m1.edges.count()
+    m2 = gf.materialize_at(tmp_path / "snap2")   # re-run, same path
+    assert m2.edges.count() == n1                # no doubling
