@@ -1290,6 +1290,43 @@ def _q_doc_pack(sf_dir: str):
     return pack_documents(_docs(sf_dir), budget=256)
 
 
+def _q_doc_training_pipeline(sf_dir: str):
+    """Composed end-to-end training-data pipeline (round 4 flagship):
+    exact dedup (md5 keep-set, DISTRIBUTED hash semi-join — the
+    query/cypher.py hash_join, no driver id pull) → quality filter
+    (n_tokens ≥ 20) → deterministic hash sample (splitmix64 permille
+    800) → token-budget sequence packing (distributed prefix sum).
+    Every stage SQL-mirrored; output (doc_id, n_tokens, seq_id)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min
+
+    from raphtory_ray.data.dedup import md5_batch
+    from raphtory_ray.data.text import (pack_documents, sample_batch,
+                                        token_count_batch)
+    from raphtory_ray.query.cypher import hash_join
+    docs = _docs(sf_dir)
+    keep = (docs.map_batches(md5_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]))
+    kept = hash_join(docs.select_columns(["doc_id", "text"]), keep,
+                     ["doc_id"])
+
+    def quality(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        b = b.append_column("n_tokens", t["n_tokens"])
+        return b.filter(_pc.greater_equal(b["n_tokens"], 20))
+
+    filtered = kept.map_batches(quality, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    sampled = filtered.map_batches(
+        lambda b: sample_batch(b, 800, strata_col=None),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # the hash semi-join's blocks are hash partitions, not id ranges —
+    # restore the id-contiguous block order pack_documents anchors on
+    return pack_documents(sampled.sort("doc_id"), budget=256)
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from raphtory_ray.data.dedup import exact_dedup
     ds = exact_dedup(_docs(sf_dir))
@@ -1586,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _q_doc_sample,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pack_sequences": _q_doc_pack,
+        "doc_training_pipeline": _q_doc_training_pipeline,
         "doc_trigram_repetition": _q_doc_trigram_repetition,
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
@@ -2976,6 +3014,50 @@ SELECT doc_id, n_tokens,
                              ROWS UNBOUNDED PRECEDING) - n_tokens)
         // 256)::BIGINT AS seq_id
 FROM counted
+""",
+        "doc_training_pipeline": r"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+),
+counted AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM kept
+),
+quality AS (SELECT * FROM counted WHERE n_tokens >= 20),
+m AS (
+  SELECT doc_id, n_tokens,
+    ((doc_id::HUGEINT + 11400714819323198485) & 18446744073709551615) AS z0
+  FROM quality
+), s1 AS (
+  SELECT *, xor(CAST(z0 AS UBIGINT),
+                CAST((z0 >> 30) AS UBIGINT))::HUGEINT AS z1 FROM m
+), s2 AS (
+  SELECT *, (((z1 & 4294967295) * 13787848793156543929)
+   + ((((z1 >> 32) * 13787848793156543929) & 4294967295) << 32))
+   & 18446744073709551615 AS z2 FROM s1
+), s3 AS (
+  SELECT *, xor(CAST(z2 AS UBIGINT),
+                CAST((z2 >> 27) AS UBIGINT))::HUGEINT AS z3 FROM s2
+), s4 AS (
+  SELECT *, (((z3 & 4294967295) * 10723151780598845931)
+   + ((((z3 >> 32) * 10723151780598845931) & 4294967295) << 32))
+   & 18446744073709551615 AS z4 FROM s3
+), s5 AS (
+  SELECT *, xor(CAST(z4 AS UBIGINT),
+                CAST((z4 >> 31) AS UBIGINT))::HUGEINT AS z5 FROM s4
+),
+sampled AS (SELECT doc_id, n_tokens FROM s5 WHERE (z5 % 1000) < 800)
+SELECT doc_id, n_tokens,
+       ((SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // 256)::BIGINT AS seq_id
+FROM sampled
 """,
         "doc_token_counts": r"""
 SELECT doc_id,
