@@ -623,6 +623,37 @@ def _q_user_layered_wcc(sf_dir: str) -> pa.Table:
                             keep=keep)
 
 
+def _q_user_windowed_pagerank(sf_dir: str) -> pa.Table:
+    """Windowed PageRank, value-checked (round 4): the windowed view's
+    node universe is its ACTIVE nodes (graph.rs windowed semantics), so
+    the recurrence runs with n = |active| over relabeled vids — edges
+    relabeled distributed (broadcast active array + pc.index_in), then
+    5 forced supersteps; scores quantized on the 1e-9 grid like every
+    pagerank oracle."""
+    import pyarrow.compute as pc
+
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.state.shards import BspGraph
+    t0, t1 = _user_window(sf_dir)
+    gf = _user_gf(sf_dir).window(t0, t1)
+    act = gf.active_vids()
+    act_arr = pa.array(act, pa.int64())
+
+    def relabel(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.index_in(b["src"], value_set=act_arr).cast(pa.int64()),
+            "dst": pc.index_in(b["dst"], value_set=act_arr).cast(pa.int64()),
+            "t": b["t"], "event_id": b["event_id"]})
+
+    sub = GraphFrame(gf.edges.map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True), len(act))
+    g = BspGraph.from_graph(sub)
+    pr = g.pagerank(iter_count=5, tol=0.0)[0]
+    q = np.floor(pr * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(act, pa.int64()),
+                     "pr_q": pa.array(q, pa.int64())})
+
+
 def _user_window(sf_dir: str) -> tuple[int, int]:
     """Deterministic mid-half window [t0, t1) over the event time range."""
     import pyarrow.parquet as pq
@@ -1590,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_scalar_fns": _q_cypher_scalar_fns,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "user_layered_wcc": _q_user_layered_wcc,
+        "user_windowed_pagerank": _q_user_windowed_pagerank,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
         "gql_search_nodes": _q_gql_search_nodes,
@@ -2615,6 +2647,20 @@ FROM user_edges e1 JOIN user_edges e2
   ON e1.dst = e2.src AND e2.dst = e1.src
 WHERE e1.src <> e1.dst
 """,
+        "user_windowed_pagerank": _pagerank5_sql(base=f"""{_USER_EDGES},
+bounds AS (
+  SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
+),
+win AS (
+  SELECT tmin + (tmax - tmin) // 4 AS t0,
+         tmin + (3 * (tmax - tmin)) // 4 AS t1 FROM bounds
+),
+dedup AS (
+  SELECT DISTINCT src, dst FROM user_edges, win WHERE t >= t0 AND t < t1
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+)"""),
         "gql_pagerank": _pagerank5_sql(base=f"""{_USER_EDGES},
 dedup AS (SELECT DISTINCT src, dst FROM user_edges),
 nodes AS MATERIALIZED (
