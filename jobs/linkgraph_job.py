@@ -47,8 +47,10 @@ def _write_nodestate(out_dir: str, names: list[str], arrays, n: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True,
-                    help="corpus parquet dir (repo,path,commit,lang,content)")
+    ap.add_argument("--input", default=None,
+                    help="corpus parquet dir (repo,path,commit,lang,"
+                         "content) — required for graph work, optional "
+                         "for a --data-ops-only job")
     ap.add_argument("--output", required=True)
     ap.add_argument("--algorithms", default="pagerank,wcc,lpa,triangles")
     ap.add_argument("--checkpoint", default=None,
@@ -85,6 +87,15 @@ def main() -> None:
                          "of the ingested graph — enables the management "
                          "mutations (newGraph/copyGraph/...) and "
                          "namespace/graph(path) queries via ray job submit")
+    ap.add_argument("--docs", default=None, metavar="DIR",
+                    help="documents parquet dir (doc_id, text, ...) — the "
+                         "input for --data-ops")
+    ap.add_argument("--data-ops", default=None, metavar="OPS",
+                    help="comma list of training-data pipeline stages to "
+                         "run over --docs, each resumable under "
+                         "<output>/data/<op>/: exact_dedup, minhash_dedup, "
+                         "langid, quality, tokens, fingerprints, redact, "
+                         "sample, pack")
     args = ap.parse_args()
 
     import ray
@@ -102,12 +113,26 @@ def main() -> None:
         os.path.join(args.output, "cypher"), args.cypher)
     gql_todo = args.graphql is not None and not _query_done(
         os.path.join(args.output, "graphql"), args.graphql)
+    data_ops = [o.strip() for o in (args.data_ops or "").split(",")
+                if o.strip()]
+    data_todo = [o for o in data_ops if not os.path.exists(
+        os.path.join(args.output, "data", o, "_SUCCESS"))]
     print(f"[job] algorithms: {algos}; pending: {todo}"
           f"{' + cypher' if cypher_todo else ''}"
-          f"{' + graphql' if gql_todo else ''}", flush=True)
+          f"{' + graphql' if gql_todo else ''}"
+          f"{('; data pending: ' + str(data_todo)) if data_ops else ''}",
+          flush=True)
+
+    if data_todo:
+        if not args.docs:
+            raise SystemExit("--data-ops requires --docs")
+        _run_data_ops(args.docs, args.output, data_todo)
+
     if not todo and not cypher_todo and not gql_todo:
         ray.shutdown()
         return
+    if not args.input:
+        raise SystemExit("graph work requested but --input not given")
 
     t0 = time.perf_counter()
     gf, files_ds = load_graph(args.input)
@@ -206,6 +231,53 @@ def main() -> None:
         open(os.path.join(d, "_SUCCESS"), "w").write("ok")
         print(f"[job] graphql done", flush=True)
     ray.shutdown()
+
+
+def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
+    """Training-data pipeline stages over a documents parquet dir, each
+    written as partitioned parquet under <output>/data/<op>/ with the
+    same _SUCCESS-marker resume contract as the algorithms."""
+    import time
+
+    import ray.data as rd
+
+    def _stage(op: str, ds):
+        from raphtory_ray.data import dedup, text
+        if op == "exact_dedup":
+            return dedup.exact_dedup(ds)
+        if op == "minhash_dedup":
+            return dedup.minhash_lsh_dedup(ds)
+        if op == "langid":
+            return text.language_id(ds)
+        if op == "quality":
+            return text.quality_stats(ds)
+        if op == "tokens":
+            return text.token_counts(ds)
+        if op == "fingerprints":
+            return text.fingerprints(ds)
+        if op == "redact":
+            return text.redact_documents(ds)
+        if op == "sample":
+            return text.sample_documents(ds, 500)
+        if op == "pack":
+            return text.pack_documents(ds)
+        raise SystemExit(f"unknown data op {op!r}")
+
+    for op in ops:
+        import json as _json
+        import shutil
+        d = os.path.join(output, "data", op)
+        shutil.rmtree(d, ignore_errors=True)   # clean partial attempt
+        os.makedirs(d, exist_ok=True)
+        t0 = time.perf_counter()
+        res = _stage(op, rd.read_parquet(docs_dir))
+        res.write_parquet(d)
+        with open(os.path.join(d, "METRICS.json"), "w") as f:
+            _json.dump({"op": op, "docs": docs_dir,
+                        "wall_sec": time.perf_counter() - t0}, f)
+        open(os.path.join(d, "_SUCCESS"), "w").write("ok")
+        print(f"[job] data:{op} done in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def _query_done(d: str, query: str) -> bool:

@@ -420,3 +420,22 @@ def test_pack_documents_prefix_sum(ray_session):
     rows2 = sorted(pack_documents(ds.repartition(5), budget=5).take_all(),
                    key=lambda r: r["doc_id"])
     assert [r["seq_id"] for r in rows2] == [0, 0, 1, 1, 1, 2]
+
+
+def test_job_data_ops_resumable(ray_session, tmp_path):
+    """jobs/linkgraph_job.py --data-ops: each stage writes partitioned
+    parquet + _SUCCESS; a rerun reports nothing pending (subprocess-free:
+    drive _run_data_ops directly in the session)."""
+    import os
+    from jobs.linkgraph_job import _run_data_ops
+    out = str(tmp_path / "job")
+    _run_data_ops("/root/testdata/sf0.001/documents.parquet", out,
+                  ["tokens", "sample"])
+    for op in ("tokens", "sample"):
+        assert os.path.exists(os.path.join(out, "data", op, "_SUCCESS"))
+    import glob
+
+    import pyarrow.parquet as pq
+    parts = glob.glob(os.path.join(out, "data", "tokens", "*.parquet"))
+    t = pa.concat_tables([pq.read_table(p) for p in parts])
+    assert t.num_rows == 500 and "n_tokens" in t.column_names
