@@ -432,7 +432,10 @@ class _SCCShard:
         hit = pos >= 0
         pos, vals = pos[hit], vals[hit]
         ok = ~self.member[pos] & (self.color[pos] == vals)
-        pos = pos[ok]
+        # cands may carry the same (u, c) from several expand shards and
+        # member is read before it is set, so dedup positions — otherwise
+        # u enters the next frontier once per duplicate
+        pos = np.unique(pos[ok])
         self.member[pos] = True
         return self.owned[pos], self.color[pos]
 
@@ -448,6 +451,16 @@ def _concat_sparse(parts):
     vals = np.concatenate([p[1] for p in parts])
     o = np.argsort(ids, kind="stable")
     return ids[o], vals[o]
+
+
+def _dedup_pairs(ids: np.ndarray, vals: np.ndarray, n: int):
+    """Unique (id, val) pairs sorted by (id, val) — claim candidates come
+    from EXPAND shards (keyed by edge dst), so the same (u, c) can arrive
+    from several shards; broadcasting duplicates inflates claim-round
+    transport up to P-fold on hub-heavy graphs."""
+    key = ids.astype(np.uint64) * np.uint64(n) + vals.astype(np.uint64)
+    _, first = np.unique(key, return_index=True)
+    return ids[first], vals[first]
 
 
 def scc_distributed(g, max_rounds: int = 64) -> np.ndarray:
@@ -508,8 +521,9 @@ def scc_distributed(g, max_rounds: int = 64) -> np.ndarray:
                 ray.get([sh.claim_init.remote() for sh in shards]))
             while len(frontier[0]):
                 fref = ray.put(frontier)
-                cands = _concat_sparse(
-                    ray.get([sh.claim_expand.remote(fref) for sh in shards]))
+                cands = _dedup_pairs(*_concat_sparse(
+                    ray.get([sh.claim_expand.remote(fref)
+                             for sh in shards])), n=n)
                 if not len(cands[0]):
                     break
                 cref = ray.put(cands)

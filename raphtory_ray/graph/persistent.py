@@ -158,10 +158,12 @@ class PersistentGraphFrame:
     Construction runs the single interval-building shuffle; all views share
     the resulting partitioned refs."""
 
-    def __init__(self, events, n: int, _parts=None, _bounds=(None, None),
-                 _valid=False, _layers=None, _times=None):
+    def __init__(self, events, n: int, vertices=None, _parts=None,
+                 _bounds=(None, None), _valid=False, _layers=None,
+                 _times=None):
         self.n = int(n)
         self.events = events
+        self.vertices = vertices   # optional dimension table (vid, gid, ...)
         if _parts is None:
             refs = events.materialize().to_arrow_refs()
             P = max(4, min(32, len(refs) * 2))
@@ -191,7 +193,7 @@ class PersistentGraphFrame:
     # ------------------------------------------------------------- views
     def _derive(self, bounds=None, valid=None, layers=None):
         g = PersistentGraphFrame(
-            self.events, self.n,
+            self.events, self.n, vertices=self.vertices,
             _parts=(self._raw_refs, self._live_refs),
             _bounds=bounds if bounds is not None else (self.start, self.end),
             _valid=self._valid if valid is None else valid,
@@ -284,7 +286,8 @@ class PersistentGraphFrame:
         s, e, vld, lay = self._sel()
         refs = [_active_pairs_tbl.remote(r, s, e, vld, lay)
                 for r in self._live_refs]
-        return GraphFrame(rd.from_arrow_refs(refs), self.n)
+        return GraphFrame(rd.from_arrow_refs(refs), self.n,
+                          vertices=self.vertices)
 
     def edges_table(self) -> pa.Table:
         """Distinct (src, dst) pairs included in the view, sorted."""
@@ -367,12 +370,14 @@ class PersistentGraphFrame:
             return b.filter(pc.equal(b["op"], pa.scalar(0, b["op"].type)))
 
         return GraphFrame(self.events.map_batches(
-            adds, batch_format="pyarrow", zero_copy_batch=True), self.n)
+            adds, batch_format="pyarrow", zero_copy_batch=True), self.n,
+            vertices=self.vertices)
 
 
 def persistent_graph(gf) -> PersistentGraphFrame:
     """Event GraphFrame → PersistentGraphFrame (all events are additions)."""
-    return PersistentGraphFrame(gf.edges, gf.n)
+    return PersistentGraphFrame(gf.edges, gf.n,
+                                vertices=getattr(gf, "vertices", None))
 
 
 # ----------------------------------------------------------- remote helpers

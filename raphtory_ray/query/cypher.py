@@ -902,7 +902,10 @@ def _cross_join(left, right, lhint: pa.Table, rhint: pa.Table):
 
     out = mat_l.map_batches(prod, batch_format="pyarrow")
     hint = _cross_schema(lhint, rhint)
-    if out.count() == 0:
+    # emptiness is already known from the side counts — never run the
+    # product pipeline just to test it (count() would execute prod over
+    # every block and downstream consumption would execute it AGAIN)
+    if cl == 0 or cr == 0:
         out = rd.from_arrow(hint)
     return out, hint
 
@@ -1170,7 +1173,12 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
         for name, f in fns:
             v = f(b)
             if not isinstance(v, (pa.Array, pa.ChunkedArray)):
-                v = pa.array([v] * n)
+                # type literal columns FROM THE VALUE even when n == 0 —
+                # pa.array([]) would be null-typed, and this also runs on
+                # the empty schema hint, so a null-typed hint column would
+                # disagree with every real data block downstream
+                v = pa.array([v]).slice(0, 0) if n == 0 \
+                    else pa.array([v] * n)
             cols[name] = v
         if global_agg or not cols:
             cols["__rows"] = pa.array(np.zeros(n, np.int8))
@@ -1279,7 +1287,12 @@ def _apply_with(ds, wc, ctx: _Ctx, hint: pa.Table):
         for name, f in fns:
             v = f(b)
             if not isinstance(v, (pa.Array, pa.ChunkedArray)):
-                v = pa.array([v] * n)
+                # type literal columns FROM THE VALUE even when n == 0 —
+                # pa.array([]) would be null-typed, and this also runs on
+                # the empty schema hint, so a null-typed hint column would
+                # disagree with every real data block downstream
+                v = pa.array([v]).slice(0, 0) if n == 0 \
+                    else pa.array([v] * n)
             cols[name] = v
         if global_agg or not cols:
             cols["__rows"] = pa.array(np.zeros(n, np.int8))

@@ -158,6 +158,12 @@ class GraphWorkDir:
         else:
             from raphtory_ray.sources.loaders import from_parquet
             gf = from_parquet(fs)
+            # vertex-less graphs: from_parquet infers n = max(vid)+1, which
+            # silently drops trailing isolated nodes — the meta sidecar
+            # records the true vid-space size at upload time
+            meta_n = int(meta.get("node_count", 0) or 0)
+            if meta_n > gf.n:
+                gf.n = meta_n
         want = (graph_type or stored).upper()
         if want == stored:
             return gf
@@ -233,6 +239,9 @@ class GraphWorkDir:
         copy of the parquet folder — the driver never materializes the
         graph."""
         src = self._require_graph(path)
+        if os.path.abspath(src) == os.path.abspath(self._fs(new_path)):
+            # overwrite=True would rmtree the SOURCE before copying it
+            raise InvalidPath("source and destination are the same graph")
         dst = self._prepare_insert(new_path, overwrite)
         shutil.rmtree(dst)                      # copytree wants a free dst
         shutil.copytree(src, dst)
@@ -285,8 +294,13 @@ class GraphWorkDir:
             raise InvalidPath("graph path cannot be the root namespace")
         self._check_no_graph_ancestor(comps)
         fs = self._fs(path)
-        if os.path.exists(fs) and not overwrite:
-            raise FileExistsError(f"graph already exists at {path!r}")
+        if os.path.exists(fs):
+            if not self._is_graph(fs):
+                # same guard as _prepare_insert: overwrite must never
+                # rmtree a NAMESPACE (it may hold unrelated graphs)
+                raise InvalidPath(f"{path!r} is a namespace")
+            if not overwrite:
+                raise FileExistsError(f"graph already exists at {path!r}")
         buf = io.BytesIO(base64.b64decode(graph_b64))
         tmp = fs + ".part"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -367,9 +381,15 @@ class GraphWorkDir:
         terms = qt["token"].to_pylist()
         res = search(rd.from_arrow(pq.read_table(idx)), terms, mode="and")
         vids = res["doc_id"].to_pylist()[:limit]
-        gf = self.graph(path)
-        gids = gf.vertices["gid"].to_pylist()
-        return [{"id": int(v), "name": str(gids[int(v)])} for v in vids]
+        # resolve names from the vertices sidecar alone — O(limit) take,
+        # never rebuilds the graph or materializes the full gid column
+        vt = pq.read_table(os.path.join(fs, "vertices.parquet"),
+                           columns=["vid", "gid"])
+        import pyarrow.compute as pc
+        pos = pc.index_in(pa.array(vids, pa.int64()), vt["vid"])
+        names = vt["gid"].take(pos)
+        return [{"id": int(v), "name": str(names[i].as_py())}
+                for i, v in enumerate(vids)]
 
 
 # ------------------------------------------------------------- helpers
@@ -387,6 +407,8 @@ def _count_rows(parquet_dir: str) -> int:
 def _persist_events(pgf, fs: str):
     """Persistent-graph encode: the event stream incl. the op column
     (rap_deleted flag — parquet_encoder layout + deletion marker)."""
+    import pyarrow.parquet as pq
+
     def encode(b: pa.Table) -> pa.Table:
         cols = {
             "rap_time": b["t"],
@@ -402,6 +424,9 @@ def _persist_events(pgf, fs: str):
     (pgf.events.map_batches(encode, batch_format="pyarrow",
                             zero_copy_batch=True)
      .write_parquet(os.path.join(fs, "edges"), row_group_size=100_000))
+    vertices = getattr(pgf, "vertices", None)
+    if vertices is not None:          # same sidecar layout as to_parquet
+        pq.write_table(vertices, os.path.join(fs, "vertices.parquet"))
 
 
 def _empty_graph(graph_type: str, n: int):
@@ -420,9 +445,15 @@ def _empty_graph(graph_type: str, n: int):
 def _to_persistent(fs: str, n: int):
     """Re-hydrate a PERSISTENT-stored folder: decode the rap_deleted flag
     back into the op column."""
+    import pyarrow.parquet as pq
     import ray.data as rd
     from raphtory_ray.graph.persistent import PersistentGraphFrame
     edges = rd.read_parquet(os.path.join(fs, "edges"))
+    vertices = None
+    vp = os.path.join(fs, "vertices.parquet")
+    if os.path.exists(vp):
+        vertices = pq.read_table(vp)
+        n = max(n, vertices.num_rows)
 
     def decode(b: pa.Table) -> pa.Table:
         cols = {"src": b["rap_src_vid"], "dst": b["rap_dst_vid"],
@@ -435,7 +466,7 @@ def _to_persistent(fs: str, n: int):
 
     return PersistentGraphFrame(
         edges.map_batches(decode, batch_format="pyarrow",
-                          zero_copy_batch=True), n=n)
+                          zero_copy_batch=True), n=n, vertices=vertices)
 
 
 def _resolve_node_ids(gf, nodes: list) -> np.ndarray:

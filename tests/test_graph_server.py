@@ -175,3 +175,73 @@ def test_execute_server_document(ray_session, tmp_path):
         wd, 'query { searchNodes(path: "ns/g2", query: "alpha-1", '
             'limit: 2) { id name } }')
     assert r["data"]["searchNodes"] == [{"id": 1, "name": "node alpha-1"}]
+
+
+def test_copy_move_same_path_is_safe(ray_session, tmp_path):
+    """overwrite=True with new_path == path must NOT destroy the source
+    (review: _prepare_insert would rmtree the source before copytree)."""
+    from raphtory_ray.query.server import GraphWorkDir, InvalidPath
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("g", _gf())
+    with pytest.raises(InvalidPath):
+        wd.copy_graph("g", "g", overwrite=True)
+    with pytest.raises(InvalidPath):
+        wd.move_graph("g", "g", overwrite=True)
+    assert wd.graph("g").n == 5          # source intact
+
+
+def test_send_graph_never_clobbers_namespace(ray_session, tmp_path):
+    """sendGraph(overwrite=True) onto a NAMESPACE must refuse — rmtree
+    there would silently delete every graph under it."""
+    from raphtory_ray.query.server import GraphWorkDir, InvalidPath
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("ns/g1", _gf())
+    wd.upload_graph("other", _gf())
+    blob = wd.receive_graph("other")
+    with pytest.raises(InvalidPath):
+        wd.send_graph("ns", blob, overwrite=True)
+    assert wd.graph("ns/g1").n == 5      # namespace intact
+
+
+def test_persistent_upload_keeps_vertices(ray_session, tmp_path):
+    """PERSISTENT storage round-trips the vertices dimension table
+    (review: _persist_events wrote only edges)."""
+    import ray.data as rd
+    from raphtory_ray.graph.persistent import PersistentGraphFrame
+    from raphtory_ray.query.server import GraphWorkDir
+    ev = pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+        "t": pa.array([5, 6], pa.int64()),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "op": pa.array([False, False])})
+    verts = pa.table({
+        "vid": pa.array([0, 1, 2], pa.int64()),
+        "gid": pa.array(["a", "b", "c"], pa.string()),
+        "node_type": pa.array(["x", "y", "x"], pa.string())})
+    pgf = PersistentGraphFrame(rd.from_arrow(ev), n=3, vertices=verts)
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("pg", pgf)
+    back = wd.graph("pg")
+    assert back.vertices is not None
+    assert back.vertices["gid"].to_pylist() == ["a", "b", "c"]
+    assert back.vertices["node_type"].to_pylist() == ["x", "y", "x"]
+    # views carry the dimension table too
+    assert back.window(0, 10).vertices is not None
+
+
+def test_event_reload_honors_meta_node_count(ray_session, tmp_path):
+    """A vertex-less graph whose vid space exceeds max(vid)+1 must not
+    shrink on reload (review: isolated trailing nodes were dropped)."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.server import GraphWorkDir
+    edges = pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+        "t": pa.array([1, 2], pa.int64()),
+        "event_id": pa.array([0, 1], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), n=100)     # 97 isolated nodes
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("g", gf)
+    assert wd.graph("g").n == 100
