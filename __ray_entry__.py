@@ -519,6 +519,17 @@ def _q_cypher_scalar_fns(sf_dir: str):
                   "coalesce(fw, 0.0) AS next_w")
 
 
+def _q_cypher_in_list(sf_dir: str):
+    """IN literal-list membership (round 4; cypher.pest in_op → the
+    reference transpiles to SQL InList, transpiler/mod.rs:1024-1048):
+    membership over a computed expression, filter pushed to the scan."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE id(b) % 10 IN [1, 3, 5] "
+                  "AND NOT e.event_id % 4 IN [0] "
+                  "RETURN b AS dst, count(*) AS n_in")
+
+
 def _q_gql_pagerank(sf_dir: str) -> pa.Table:
     """GraphQL algorithm-plugin field (round 4; reference
     raphtory-graphql/src/model/plugins/algorithms.rs + graph.rs:641-645):
@@ -1619,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_collect_size": _q_cypher_collect,
         "cypher_unwind_thresholds": _q_cypher_unwind,
         "cypher_scalar_fns": _q_cypher_scalar_fns,
+        "cypher_in_list": _q_cypher_in_list,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "user_layered_wcc": _q_user_layered_wcc,
         "user_windowed_pagerank": _q_user_windowed_pagerank,
@@ -2759,6 +2771,12 @@ WITH {_USER_EDGES}
 SELECT th, COUNT(*)::BIGINT AS n
 FROM (VALUES (50.0), (90.0), (150.0)) v(th)
 JOIN user_edges e ON e.w > th GROUP BY th
+""",
+        "cypher_in_list": f"""
+WITH {_USER_EDGES}
+SELECT dst, COUNT(*)::BIGINT AS n_in FROM user_edges
+WHERE dst % 10 IN (1, 3, 5) AND NOT event_id % 4 IN (0)
+GROUP BY dst
 """,
         "user_windowed_wcc": f"""
 WITH RECURSIVE {_USER_EDGES},

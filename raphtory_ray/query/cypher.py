@@ -418,6 +418,30 @@ def _compile_expr(e, ctx: _Ctx):
                     return pa.array([v is None] * t.num_rows)
                 return pc.is_null(v)
             return isnull
+        if e.op == "in":
+            # x IN [literals] — SQL InList semantics (NULL x → NULL, so a
+            # WHERE filter drops it), matching the reference transpiler's
+            # InList (transpiler/mod.rs:1024-1048); literal-list RHS only
+            if not (isinstance(e.right, Lit) and
+                    isinstance(e.right.value, list)):
+                raise SyntaxError("IN needs a literal list on the right")
+            vals = [v for v in e.right.value if v is not None]
+
+            def isin(t, _lf=lf, _vals=vals):
+                v = _lf(t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                if not _vals:
+                    hit = pa.array(np.zeros(len(v), np.bool_))
+                else:
+                    vset = pa.array(_vals)
+                    if pa.types.is_integer(v.type) and \
+                            pa.types.is_integer(vset.type):
+                        vset = vset.cast(v.type)
+                    hit = pc.is_in(v, value_set=vset)
+                null = pa.nulls(len(v), pa.bool_())
+                return pc.if_else(pc.is_null(v), null, hit)
+            return isin
         rf = _compile_expr(e.right, ctx)
         op = e.op
         kernels = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,

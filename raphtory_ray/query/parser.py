@@ -131,7 +131,7 @@ _PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
              "starts", "ends", "with", "null", "optional", "is", "xor",
-             "skip", "union", "all", "unwind"}
+             "skip", "union", "all", "unwind", "in"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 #: scalar (non-aggregate) functions the compiler evaluates per row — the
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
@@ -453,6 +453,11 @@ class _P:
         if t[0] == "punct" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
             return BinOp(t[1], e, self.add_expr())
+        if t == ("kw", "in"):
+            # x IN [list] (cypher.pest in_op; the reference transpiles a
+            # literal-list RHS to SQL InList, transpiler/mod.rs:1024-1048)
+            self.next()
+            return BinOp("in", e, self.add_expr())
         if t == ("kw", "contains"):
             self.next()
             return BinOp("contains", e, self.add_expr())

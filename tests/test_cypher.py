@@ -842,3 +842,38 @@ def test_global_collect_empty_match(ray_session):
                       "RETURN collect(e.t) AS ts, count(*) AS n").take_all()
     assert len(rows) == 1
     assert list(rows[0]["ts"]) == [] and rows[0]["n"] == 0
+
+
+def test_in_list_vs_duckdb(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE id(a) IN [3, 7, 11] "
+           "RETURN id(a) AS a, id(b) AS b, e.event_id AS eid",
+           "SELECT src AS a, dst AS b, event_id AS eid FROM e "
+           "WHERE src IN (3, 7, 11)")
+    # NOT x IN list, and IN over a computed expression
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE NOT e.t % 10 IN [0, 1, 2, 3, 4] "
+           "RETURN count(*) AS n",
+           "SELECT count(*) AS n FROM e WHERE NOT t % 10 IN (0, 1, 2, 3, 4)")
+    # IN as a projected value (null-in semantics don't arise: t not null)
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN e.event_id AS eid, "
+           "e.t IN [5, 6] AS hit",
+           "SELECT event_id AS eid, t IN (5, 6) AS hit FROM e")
+    # string membership on the node_type dimension column
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE a.node_type IN ['hub', 'mid'] "
+           "RETURN count(*) AS n",
+           "SELECT count(*) AS n FROM e JOIN v ON e.src = v.vid "
+           "WHERE v.node_type IN ('hub', 'mid')")
+
+
+def test_in_empty_list_and_rejects(ray_session):
+    gf, edges, verts = _gf()
+    from raphtory_ray.query import cypher
+    got = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t IN [] "
+                     "RETURN count(*) AS n").to_pandas()
+    assert got["n"].tolist() == [0]
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t IN e.w RETURN a")
