@@ -1036,6 +1036,22 @@ def _compile_one(gf, q: Query, P: int | None):
                 items.append(ReturnItem(Var(v), None))
         for v in sorted(ctx.edge_vars):
             items.append(ReturnItem(Var(v), None))
+        if not items:
+            # MATCH ()-[]->() RETURN * — the reference names the anonymous
+            # relationship binding r_1 and selects its columns (transpiler
+            # test select_unnamed: SELECT * FROM r_1); late-name the anon
+            # edges so their scans emit columns
+            k = 0
+            for chains, _w, _o, _wc in segments:
+                for ch in chains:
+                    for ep in ch.edges:
+                        if ep.var is None and ep.var_length is None:
+                            k += 1
+                            ep.var = f"r_{k}"
+                            ctx.edge_vars.add(ep.var)
+                            items.append(ReturnItem(Var(ep.var), None))
+        if not items:
+            raise SyntaxError("RETURN * with no variables in scope")
         q.items = items
 
     needed = _needed_columns(q, ctx)

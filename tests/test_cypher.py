@@ -877,3 +877,18 @@ def test_in_empty_list_and_rejects(ray_session):
     assert got["n"].tolist() == [0]
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t IN e.w RETURN a")
+
+
+def test_return_star_anonymous_edge(ray_session):
+    """MATCH ()-[]->() RETURN * — the reference names the anonymous
+    relationship r_1 and returns its columns (transpiler select_unnamed)."""
+    gf, edges, verts = _gf()
+    from raphtory_ray.query import cypher
+    got = cypher(gf, "MATCH ()-[]->() RETURN *").take_all()
+    assert len(got) == edges.num_rows
+    assert set(got[0]) == {"r_1.src", "r_1.dst", "r_1.t",
+                           "r_1.event_id", "r_1.w"}
+    want = sorted((r["src"], r["dst"], r["event_id"])
+                  for r in edges.to_pylist())
+    assert sorted((r["r_1.src"], r["r_1.dst"], r["r_1.event_id"])
+                  for r in got) == want
