@@ -1027,9 +1027,20 @@ def _compile_one(gf, q: Query, P: int | None):
                             f"edge variable {ep.var!r} bound twice")
                     ctx.edge_vars.add(ep.var)
 
-    if q.star:
-        if q.pre:
-            raise NotImplementedError("RETURN * after WITH")
+    if q.star and q.pre:
+        # RETURN * after WITH: in scope = the last WITH's projected names
+        # plus variables bound by the FINAL MATCH segment
+        wc = q.pre[-1][1]
+        names = {it.alias or expr_text(it.expr) for it in wc.items}
+        for ch in q.chains:
+            for np_ in ch.nodes:
+                if np_.var not in ctx.anon_vars:
+                    names.add(np_.var)
+            for ep in ch.edges:
+                if ep.var is not None:
+                    names.add(ep.var)
+        q.items = [ReturnItem(Var(n), None) for n in sorted(names)]
+    elif q.star:
         items = []
         for v in sorted(ctx.node_vars):
             if v not in ctx.anon_vars:

@@ -892,3 +892,19 @@ def test_return_star_anonymous_edge(ray_session):
                   for r in edges.to_pylist())
     assert sorted((r["r_1.src"], r["r_1.dst"], r["r_1.event_id"])
                   for r in got) == want
+
+
+def test_return_star_after_with(ray_session):
+    """RETURN * after WITH: scope = WITH projections + final-segment
+    MATCH variables."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH b, count(*) AS indeg WHERE indeg >= 8 "
+           "MATCH (b)-[e2]->(c) RETURN *",
+           """WITH ind AS (
+                SELECT dst AS b, COUNT(*) AS indeg FROM e
+                GROUP BY dst HAVING COUNT(*) >= 8)
+              SELECT i.b AS b, i.indeg AS indeg, x.dst AS c,
+                     x.src AS "e2.src", x.dst AS "e2.dst", x.t AS "e2.t",
+                     x.event_id AS "e2.event_id", x.w AS "e2.w"
+              FROM ind i JOIN e x ON x.src = i.b""")
