@@ -1577,6 +1577,18 @@ def _q_scc_small_dist(sf_dir: str) -> pa.Table:
                      "scc": pa.array(ids[comp[keep]], pa.int64())})
 
 
+def _q_copurchase_neighbor_sample(sf_dir: str) -> pa.Table:
+    """GraphSAGE-style deterministic 2-hop fanout sample (round 4):
+    seeds 1..50, fanouts [5, 3], rank = splitmix64((src<<32)+dst+salt)
+    (algorithms/sampling.py) — the SQL oracle mirrors the rank chain in
+    HUGEINT masked arithmetic and picks per-src winners with QUALIFY
+    row_number() ORDER BY (key, dst)."""
+    from raphtory_ray.algorithms.sampling import neighbor_sample
+    from raphtory_ray.pipelines.tpch_graph import copurchase_edges
+    seeds = np.arange(1, 51, dtype=np.int64)
+    return neighbor_sample(copurchase_edges(sf_dir), seeds, [5, 3], seed=4)
+
+
 def entry() -> Any:
     """Flagship: co-purchase graph from sf0.001 → PageRank per vertex."""
     return _q_pagerank("/root/testdata/sf0.001")
@@ -1612,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_betweenness_small": _q_betweenness_small,
         "copurchase_scc_small": _q_scc_small,
         "copurchase_scc_small_dist": _q_scc_small_dist,
+        "copurchase_neighbor_sample": _q_copurchase_neighbor_sample,
         "user_graph_edges": _q_user_edges,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_layer_filter": _q_cypher_layer_filter,
@@ -2332,6 +2345,63 @@ SELECT node AS vec_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """
 
 
+def _neighbor_sample_sql(n_seeds: int = 50, f1: int = 5, f2: int = 3,
+                         seed: int = 4) -> str:
+    """Mirror of algorithms/sampling.py neighbor_sample over the
+    co-purchase simple graph: per-hop rank key =
+    splitmix64((src<<32) + dst + (seed+hop)) in HUGEINT masked
+    arithmetic (same chain as doc_sample_stratified's oracle), per-src
+    top-f by (key, dst) via QUALIFY, hop-2 frontier = distinct hop-1
+    destinations."""
+    M64 = "18446744073709551615"
+    GOLD = "11400714819323198485"
+    MUL1 = "13787848793156543929"
+    MUL2 = "10723151780598845931"
+
+    def chain(prev: str, pfx: str, salt: int) -> str:
+        x = f"(((src::HUGEINT << 32) + dst + {salt}) & {M64})"
+        return f"""{pfx}0 AS (
+  SELECT src, dst, ({x} + {GOLD}) & {M64} AS z0 FROM {prev}
+), {pfx}1 AS (
+  SELECT src, dst, (((z1 & 4294967295) * {MUL1})
+    + ((((z1 >> 32) * {MUL1}) & 4294967295) << 32)) & {M64} AS z2
+  FROM (SELECT src, dst,
+          xor(CAST(z0 AS UBIGINT), CAST((z0 >> 30) AS UBIGINT))::HUGEINT AS z1
+        FROM {pfx}0)
+), {pfx}2 AS (
+  SELECT src, dst, (((z3 & 4294967295) * {MUL2})
+    + ((((z3 >> 32) * {MUL2}) & 4294967295) << 32)) & {M64} AS z4
+  FROM (SELECT src, dst,
+          xor(CAST(z2 AS UBIGINT), CAST((z2 >> 27) AS UBIGINT))::HUGEINT AS z3
+        FROM {pfx}1)
+), {pfx}k AS (
+  SELECT src, dst,
+    xor(CAST(z4 AS UBIGINT), CAST((z4 >> 31) AS UBIGINT))::HUGEINT AS k
+  FROM {pfx}2
+)"""
+
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+seeds AS (SELECT unnest(generate_series(1, {n_seeds})) AS v),
+e1 AS (SELECT d.src, d.dst FROM dedup d JOIN seeds s ON s.v = d.src),
+{chain('e1', 'h1_', seed + 1)},
+h1 AS (
+  SELECT src, dst FROM h1_k
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY k, dst) <= {f1}
+),
+front2 AS (SELECT DISTINCT dst AS v FROM h1),
+e2 AS (SELECT d.src, d.dst FROM dedup d JOIN front2 s ON s.v = d.src),
+{chain('e2', 'h2_', seed + 2)},
+h2 AS (
+  SELECT src, dst FROM h2_k
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY k, dst) <= {f2}
+)
+SELECT src, dst, 1::BIGINT AS hop FROM h1
+UNION ALL
+SELECT src, dst, 2::BIGINT AS hop FROM h2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -2357,6 +2427,7 @@ WITH {_PAIRS}, {_DEDUP}, {_UND},
 deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u)
 SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
+        "copurchase_neighbor_sample": _neighbor_sample_sql(),
         "copurchase_kcore_avg": _kcore_avg_sql(),
         "copurchase_kcore4": _kcore_avg_sql(rounds=8,
                                             k_sql="SELECT 4 AS k"),

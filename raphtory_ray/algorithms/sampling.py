@@ -1,0 +1,151 @@
+"""GraphSAGE-style k-hop neighbor fanout sampling — Ray-Data-native.
+
+A training-data operator for GNN pipelines: from a seed set, sample at
+most ``fanouts[h]`` distinct out-neighbors per frontier node per hop,
+DETERMINISTICALLY — neighbor rank is ``splitmix64((src << 32) + dst +
+hop_salt)``, so re-running, resharding or resuming a job selects the
+same subgraph (no RNG state), the same property the hash-stratified
+document sampler relies on (data/text.py:316).
+
+Scale shape (100-TB design notes):
+- The edge table streams; each hop is ONE ``map_batches`` pass doing a
+  frontier semi-join (np.isin against a plasma-shared frontier array —
+  broadcast once via ``ray.put``, zero-copy read per task, never
+  re-shipped per batch) + block-local (src, dst) dedup + block-local
+  top-f per src, followed by ONE ``groupby(src)`` combine over the
+  already-thinned partials (≤ f rows per src per block) — the standard
+  partial+final pattern, never an all-pairs shuffle of raw events.
+- The frontier itself is bounded by |seeds| x prod(fanouts) — the
+  sampling output, not the graph — so driver-side frontier state is
+  O(sample), matching the no-edge-pull frontier BFS convention
+  (algorithms/components.py).
+
+Reference context: Raphtory has no sampler; semantics follow GraphSAGE
+(Hamilton et al., NeurIPS'17) fixed-fanout neighborhood sampling, made
+deterministic for resumable pipelines.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (identical to data/text.py:316 — keep the
+    SQL oracle's CTE chain valid for both)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _rank_key(src: np.ndarray, dst: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-edge rank: splitmix64((src << 32) + dst + salt)
+    (uint64 wrap-around, mirrored exactly by the HUGEINT & mask chain in
+    the DuckDB oracle)."""
+    x = (src.astype(np.uint64) << np.uint64(32)) + dst.astype(np.uint64) \
+        + np.uint64(salt)
+    return _splitmix64(x)
+
+
+def _topf_per_src(src, dst, key, f: int):
+    """Block-local: distinct (src, dst), then the f smallest keys per
+    src (ties broken by dst). Returns filtered (src, dst, key)."""
+    # distinct (src, dst): sort by (src, dst) and drop consecutive dups
+    o = np.lexsort((dst, src))
+    src, dst, key = src[o], dst[o], key[o]
+    keep = np.ones(len(src), np.bool_)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    src, dst, key = src[keep], dst[keep], key[keep]
+    # top-f per src by (key, dst)
+    o = np.lexsort((dst, key, src))
+    src, dst, key = src[o], dst[o], key[o]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    pos = np.arange(len(src)) - np.repeat(starts, np.diff(np.r_[starts,
+                                                                len(src)]))
+    m = pos < f
+    return src[m], dst[m], key[m]
+
+
+@ray.remote
+def _route_by_src(tbl: pa.Table, P: int):
+    """Map side of the combine shuffle: partials routed by hash(src) so
+    every src's block-local winners meet in one partition (the explicit
+    raw-task shuffle convention — data/dedup.py:177 — because
+    groupby().map_groups dispatches the UDF once PER GROUP and the
+    dispatch would dominate on O(frontier) tiny groups)."""
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    return _route(tbl, _hash_bucket(src, P), P)
+
+
+@ray.remote
+def _combine_topf(f: int, *pieces: pa.Table) -> pa.Table:
+    """Reduce side: one vectorized multi-src top-f pass per partition."""
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    t = pa.concat_tables(good)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    src, dst, _ = _topf_per_src(src, dst, key, f)
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def neighbor_sample(edges, seeds: np.ndarray, fanouts: list[int],
+                    seed: int = 0) -> pa.Table:
+    """Sample a k-hop neighborhood: for hop h (1-based), each frontier
+    node keeps its ``fanouts[h-1]`` lowest-ranked distinct out-neighbors.
+    ``edges`` is a Ray Dataset with int64 ``src``/``dst`` columns (event
+    multiplicities are collapsed — sampling is over the simple graph).
+    Returns a pa.Table (src, dst, hop); hop h+1's frontier is the
+    distinct dst set of hop h's sample. The returned table is the
+    SAMPLE — O(|seeds| x prod(fanouts)) — so driver materialization is
+    bounded by construction."""
+    frontier = np.unique(np.asarray(seeds, np.int64))
+    out = []
+    for h, f in enumerate(fanouts, start=1):
+        if len(frontier) == 0:
+            break
+        salt = seed + h
+        fref = ray.put(frontier)
+
+        def part(b: pa.Table, _fref=fref, _salt=salt, _f=f) -> pa.Table:
+            fr = ray.get(_fref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            m = np.isin(src, fr)
+            src, dst = src[m], dst[m]
+            key = _rank_key(src, dst, _salt)
+            src, dst, key = _topf_per_src(src, dst, key, _f)
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64()),
+                             "key": pa.array(key.astype(np.int64))})
+
+        refs = (edges.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+        P = max(1, min(32, len(refs)))
+        routed = [_route_by_src.options(
+                      num_returns=P if P > 1 else 1).remote(r, P)
+                  for r in refs]
+        if P == 1:
+            cols = [[r] for r in routed]
+        else:
+            cols = [[routed[i][p] for i in range(len(routed))]
+                    for p in range(P)]
+        hop = pa.concat_tables(ray.get(
+            [_combine_topf.remote(f, *c) for c in cols]))
+        out.append(hop.append_column(
+            "hop", pa.array(np.full(hop.num_rows, h, np.int64))))
+        frontier = np.unique(hop["dst"].to_numpy(zero_copy_only=False))
+    if not out:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "hop": pa.array([], pa.int64())})
+    return pa.concat_tables(out)
