@@ -311,6 +311,51 @@ def _q_user_edges(sf_dir: str):
     return user_edges(sf_dir)
 
 
+def _q_user_asof_clicks(sf_dir: str):
+    """Distributed LEFT ASOF JOIN (data/asof.py): each purchase event
+    gets the user's latest click value at or before it (epoch-ms
+    as-of key) — ONE hash(user_id) shuffle per side, per-partition
+    C merge kernel; oracle is DuckDB's native ASOF LEFT JOIN. Clicks
+    sharing an epoch-ms tick collapse to max(value) on both sides
+    (the kernel's greatest-value-tuple tie rule)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raphtory_ray.data.asof import asof_join
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(kind: str, out: dict[str, str]):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], kind))
+            t = pc.divide(pc.cast(b["ts"], pa.int64()), 1000)
+            cols = {"t": t, "event_id": b["event_id"],
+                    "user_id": b["user_id"], "value": b["value"]}
+            return pa.table({name: cols[src] for src, name in out.items()})
+        return fn
+
+    left = ev.map_batches(
+        prep("purchase", {"event_id": "event_id", "user_id": "user_id",
+                          "t": "t", "value": "value"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        prep("click", {"user_id": "user_id", "t": "t",
+                       "value": "click_value"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(left, right, by="user_id", on="t")
+
+    # no-click purchases keep a -1 sentinel instead of null: the gate's
+    # value compare (and NaN-unaware hashers generally) can't equate nulls
+    def fill(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("click_value"), "click_value",
+            pc.fill_null(b["click_value"], -1.0))
+
+    return joined.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # -------------------------------------------------------- cypher queries
 # Cypher-subset surface (reference raphtory-cypher: MATCH chains →
 # relational joins over Arrow edge/node tables; our compiler runs them as
@@ -1626,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_neighbor_sample": _q_copurchase_neighbor_sample,
         "user_graph_edges": _q_user_edges,
+        "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_layer_filter": _q_cypher_layer_filter,
         "cypher_undirected": _q_cypher_undirected,
@@ -2654,6 +2700,18 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_asof_clicks": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t, value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_ms(ts) AS t, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts)
+)
+SELECT l.event_id, l.user_id, l.t, l.value,
+       COALESCE(r.click_value, -1.0) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
 """,
         "cypher_edge_filter": f"""
 WITH {_USER_EDGES}
