@@ -1622,6 +1622,18 @@ def _q_scc_small_dist(sf_dir: str) -> pa.Table:
                      "scc": pa.array(ids[comp[keep]], pa.int64())})
 
 
+def _q_copurchase_random_walks(sf_dir: str) -> pa.Table:
+    """DeepWalk-style deterministic walks (round 4): 2 walks from each
+    of parts 1..20, length 4, rank = splitmix64((u<<32)+v+seed+s*C1+w*C2)
+    (algorithms/sampling.py random_walks) — SQL oracle unrolls the steps
+    as join + rank-chain + QUALIFY top-1 stages."""
+    from raphtory_ray.algorithms.sampling import random_walks
+    from raphtory_ray.pipelines.tpch_graph import copurchase_edges
+    starts = np.arange(1, 21, dtype=np.int64)
+    return random_walks(copurchase_edges(sf_dir), starts, length=4,
+                        seed=2, walks_per_start=2)
+
+
 def _q_copurchase_neighbor_sample(sf_dir: str) -> pa.Table:
     """GraphSAGE-style deterministic 2-hop fanout sample (round 4):
     seeds 1..50, fanouts [5, 3], rank = splitmix64((src<<32)+dst+salt)
@@ -1670,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_scc_small": _q_scc_small,
         "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_neighbor_sample": _q_copurchase_neighbor_sample,
+        "copurchase_random_walks": _q_copurchase_random_walks,
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
@@ -2391,53 +2404,61 @@ SELECT node AS vec_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """
 
 
-def _neighbor_sample_sql(n_seeds: int = 50, f1: int = 5, f2: int = 3,
-                         seed: int = 4) -> str:
-    """Mirror of algorithms/sampling.py neighbor_sample over the
-    co-purchase simple graph: per-hop rank key =
-    splitmix64((src<<32) + dst + (seed+hop)) in HUGEINT masked
-    arithmetic (same chain as doc_sample_stratified's oracle), per-src
-    top-f by (key, dst) via QUALIFY, hop-2 frontier = distinct hop-1
-    destinations."""
+def _sm64_chain(prev: str, pfx: str, xexpr: str, carry: list[str]) -> str:
+    """splitmix64 over ``xexpr`` (already reduced mod 2^64) as a chain of
+    CTE stages in HUGEINT masked arithmetic (same constants as
+    doc_sample_stratified's oracle); the final stage ``{pfx}k`` exposes
+    the rank as ``k`` alongside the ``carry`` columns."""
     M64 = "18446744073709551615"
     GOLD = "11400714819323198485"
     MUL1 = "13787848793156543929"
     MUL2 = "10723151780598845931"
-
-    def chain(prev: str, pfx: str, salt: int) -> str:
-        x = f"(((src::HUGEINT << 32) + dst + {salt}) & {M64})"
-        return f"""{pfx}0 AS (
-  SELECT src, dst, ({x} + {GOLD}) & {M64} AS z0 FROM {prev}
+    c = ", ".join(carry)
+    return f"""{pfx}0 AS (
+  SELECT {c}, (({xexpr}) + {GOLD}) & {M64} AS z0 FROM {prev}
 ), {pfx}1 AS (
-  SELECT src, dst, (((z1 & 4294967295) * {MUL1})
+  SELECT {c}, (((z1 & 4294967295) * {MUL1})
     + ((((z1 >> 32) * {MUL1}) & 4294967295) << 32)) & {M64} AS z2
-  FROM (SELECT src, dst,
+  FROM (SELECT {c},
           xor(CAST(z0 AS UBIGINT), CAST((z0 >> 30) AS UBIGINT))::HUGEINT AS z1
         FROM {pfx}0)
 ), {pfx}2 AS (
-  SELECT src, dst, (((z3 & 4294967295) * {MUL2})
+  SELECT {c}, (((z3 & 4294967295) * {MUL2})
     + ((((z3 >> 32) * {MUL2}) & 4294967295) << 32)) & {M64} AS z4
-  FROM (SELECT src, dst,
+  FROM (SELECT {c},
           xor(CAST(z2 AS UBIGINT), CAST((z2 >> 27) AS UBIGINT))::HUGEINT AS z3
         FROM {pfx}1)
 ), {pfx}k AS (
-  SELECT src, dst,
+  SELECT {c},
     xor(CAST(z4 AS UBIGINT), CAST((z4 >> 31) AS UBIGINT))::HUGEINT AS k
   FROM {pfx}2
 )"""
+
+
+def _neighbor_sample_sql(n_seeds: int = 50, f1: int = 5, f2: int = 3,
+                         seed: int = 4) -> str:
+    """Mirror of algorithms/sampling.py neighbor_sample over the
+    co-purchase simple graph: per-hop rank key =
+    splitmix64((src<<32) + dst + (seed+hop)) via _sm64_chain, per-src
+    top-f by (key, dst) via QUALIFY, hop-2 frontier = distinct hop-1
+    destinations."""
+    M64 = "18446744073709551615"
+
+    def x(salt: int) -> str:
+        return f"(((src::HUGEINT << 32) + dst + {salt}) & {M64})"
 
     return f"""
 WITH {_PAIRS}, {_DEDUP},
 seeds AS (SELECT unnest(generate_series(1, {n_seeds})) AS v),
 e1 AS (SELECT d.src, d.dst FROM dedup d JOIN seeds s ON s.v = d.src),
-{chain('e1', 'h1_', seed + 1)},
+{_sm64_chain('e1', 'h1_', x(seed + 1), ['src', 'dst'])},
 h1 AS (
   SELECT src, dst FROM h1_k
   QUALIFY row_number() OVER (PARTITION BY src ORDER BY k, dst) <= {f1}
 ),
 front2 AS (SELECT DISTINCT dst AS v FROM h1),
 e2 AS (SELECT d.src, d.dst FROM dedup d JOIN front2 s ON s.v = d.src),
-{chain('e2', 'h2_', seed + 2)},
+{_sm64_chain('e2', 'h2_', x(seed + 2), ['src', 'dst'])},
 h2 AS (
   SELECT src, dst FROM h2_k
   QUALIFY row_number() OVER (PARTITION BY src ORDER BY k, dst) <= {f2}
@@ -2446,6 +2467,39 @@ SELECT src, dst, 1::BIGINT AS hop FROM h1
 UNION ALL
 SELECT src, dst, 2::BIGINT AS hop FROM h2
 """
+
+
+def _random_walks_sql(n_starts: int = 20, wps: int = 2, length: int = 4,
+                      seed: int = 2) -> str:
+    """Mirror of algorithms/sampling.py random_walks: per step s, walk w
+    at node u moves to the out-neighbor v minimizing
+    splitmix64((u<<32) + v + seed + s*C1 + w*C2) (ties by v), stopping
+    at sinks — each step is a join + _sm64_chain + QUALIFY top-1."""
+    M64 = "18446744073709551615"
+    C1, C2 = 1315423911, 2654435761
+    parts = [f"""starts AS (
+  SELECT (s.v - 1) * {wps} + r.j AS walk_id, s.v AS node
+  FROM (SELECT unnest(generate_series(1, {n_starts})) AS v) s,
+       (SELECT unnest(generate_series(0, {wps - 1})) AS j) r
+)"""]
+    prev = "starts"
+    for s in range(1, length + 1):
+        x = (f"(((node::HUGEINT << 32) + dst + {seed} + {s * C1}"
+             f" + walk_id * {C2}) & {M64})")
+        parts.append(f"""e{s} AS (
+  SELECT p.walk_id, p.node, d.dst FROM {prev} p
+  JOIN dedup d ON d.src = p.node
+), {_sm64_chain(f'e{s}', f's{s}_', x, ['walk_id', 'dst'])},
+w{s} AS (
+  SELECT walk_id, dst AS node FROM s{s}_k
+  QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY k, dst) = 1
+)""")
+        prev = f"w{s}"
+    unions = ["SELECT walk_id, 0::BIGINT AS pos, node FROM starts"]
+    unions += [f"SELECT walk_id, {s}::BIGINT AS pos, node FROM w{s}"
+               for s in range(1, length + 1)]
+    return (f"WITH {_PAIRS}, {_DEDUP},\n" + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(unions))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2474,6 +2528,7 @@ deg AS (SELECT u AS vid, COUNT(DISTINCT v) AS d FROM und GROUP BY u)
 SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
         "copurchase_neighbor_sample": _neighbor_sample_sql(),
+        "copurchase_random_walks": _random_walks_sql(),
         "copurchase_kcore_avg": _kcore_avg_sql(),
         "copurchase_kcore4": _kcore_avg_sql(rounds=8,
                                             k_sql="SELECT 4 AS k"),

@@ -97,6 +97,129 @@ def _combine_topf(f: int, *pieces: pa.Table) -> pa.Table:
                      "dst": pa.array(dst, pa.int64())})
 
 
+_C1 = np.uint64(1315423911)      # per-step salt stride
+_C2 = np.uint64(2654435761)      # per-walk salt stride
+
+
+@ray.remote
+def _combine_argmin(*pieces: pa.Table) -> pa.Table:
+    """Reduce side of the walk step: one winner (min key, tie dst) per
+    walk_id over the block-local partials."""
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"wid": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    t = pa.concat_tables(good)
+    wid = t["wid"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    o = np.lexsort((dst, key, wid))
+    wid, dst = wid[o], dst[o]
+    first = np.r_[True, wid[1:] != wid[:-1]]
+    return pa.table({"wid": pa.array(wid[first], pa.int64()),
+                     "dst": pa.array(dst[first], pa.int64())})
+
+
+@ray.remote
+def _route_by_wid(tbl: pa.Table, P: int):
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    wid = tbl["wid"].to_numpy(zero_copy_only=False)
+    return _route(tbl, _hash_bucket(wid, P), P)
+
+
+def random_walks(edges, starts: np.ndarray, length: int, seed: int = 0,
+                 walks_per_start: int = 1) -> pa.Table:
+    """DeepWalk-style walks over the simple out-edge graph, fully
+    DETERMINISTIC: at step s, walk w at node u moves to the out-neighbor
+    v minimizing splitmix64((u<<32) + v + seed + s*C1 + w*C2) (ties by
+    v), so re-running, resharding or resuming regenerates the identical
+    corpus — no RNG state (same rank-hash family as neighbor_sample;
+    mirrored bit-exactly by the DuckDB oracle's HUGEINT chain). Walks
+    stop early at sink nodes, matching DeepWalk (Perozzi et al., KDD'14)
+    truncated-walk behavior.
+
+    Scale shape: per step, ONE streaming pass over the edge Dataset — a
+    frontier semi-join against the plasma-broadcast walk table (grouped
+    by current node) + a block-local per-walk argmin — then ONE
+    hash(walk_id) combine over the thinned partials (≤ 1 row per walk
+    per block). Driver state is O(#walks) (the output's own width),
+    never O(V) or O(E).
+
+    Returns a pa.Table (walk_id, pos, node) with pos 0 = start;
+    walk_id = start_index * walks_per_start + replica."""
+    starts = np.asarray(starts, np.int64)
+    wid = np.arange(len(starts) * walks_per_start, dtype=np.int64)
+    cur = np.repeat(starts, walks_per_start)
+    out = [pa.table({"walk_id": pa.array(wid),
+                     "pos": pa.array(np.zeros(len(wid), np.int64)),
+                     "node": pa.array(cur, pa.int64())})]
+    for s in range(1, length + 1):
+        if len(wid) == 0:
+            break
+        # broadcast the walk table grouped by current node
+        o = np.argsort(cur, kind="stable")
+        curs, offs = np.unique(cur[o], return_index=True)
+        offs = np.r_[offs, len(cur)]
+        state = ray.put((curs, offs, wid[o]))
+        salt = np.uint64(seed) + np.uint64(s) * _C1
+
+        def part(b: pa.Table, _state=state, _salt=salt) -> pa.Table:
+            nodes, offsets, wids_by_node = ray.get(_state)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            m = np.isin(src, nodes)
+            src, dst = src[m], dst[m]
+            if len(src) == 0:
+                return pa.table({"wid": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "key": pa.array([], pa.int64())})
+            # block-local distinct (src, dst) — event multiplicities
+            # must not affect the argmin expansion cost
+            oo = np.lexsort((dst, src))
+            src, dst = src[oo], dst[oo]
+            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst = src[keep], dst[keep]
+            # expand each edge by the walks sitting at its src
+            g = np.searchsorted(nodes, src)
+            counts = offsets[g + 1] - offsets[g]
+            eidx = np.repeat(np.arange(len(src)), counts)
+            local = (np.arange(counts.sum())
+                     - np.repeat(np.cumsum(counts) - counts, counts))
+            w = wids_by_node[np.repeat(offsets[g], counts) + local]
+            u, v = src[eidx], dst[eidx]
+            key = _splitmix64((u.astype(np.uint64) << np.uint64(32))
+                              + v.astype(np.uint64) + _salt
+                              + w.astype(np.uint64) * _C2)
+            # block-local argmin per walk
+            oo = np.lexsort((v, key, w))
+            w, v, key = w[oo], v[oo], key[oo]
+            first = np.r_[True, w[1:] != w[:-1]]
+            return pa.table({"wid": pa.array(w[first], pa.int64()),
+                             "dst": pa.array(v[first], pa.int64()),
+                             "key": pa.array(key[first].astype(np.int64))})
+
+        refs = (edges.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+        P = max(1, min(32, len(refs)))
+        routed = [_route_by_wid.options(
+                      num_returns=P if P > 1 else 1).remote(r, P)
+                  for r in refs]
+        if P == 1:
+            cols = [[r] for r in routed]
+        else:
+            cols = [[routed[i][p] for i in range(len(routed))]
+                    for p in range(P)]
+        step = pa.concat_tables(ray.get(
+            [_combine_argmin.remote(*c) for c in cols]))
+        wid = step["wid"].to_numpy(zero_copy_only=False)
+        cur = step["dst"].to_numpy(zero_copy_only=False)
+        out.append(pa.table({"walk_id": pa.array(wid, pa.int64()),
+                             "pos": pa.array(np.full(len(wid), s, np.int64)),
+                             "node": pa.array(cur, pa.int64())}))
+    return pa.concat_tables(out)
+
+
 def neighbor_sample(edges, seeds: np.ndarray, fanouts: list[int],
                     seed: int = 0) -> pa.Table:
     """Sample a k-hop neighborhood: for hop h (1-based), each frontier

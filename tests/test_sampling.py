@@ -70,6 +70,64 @@ def test_neighbor_sample_fanout_bound_and_determinism(ray_session):
     assert h2_src <= h1_dst
 
 
+def _ref_walks(edges: pa.Table, starts, length, seed=0, wps=1):
+    """Single-process reference for random_walks: same rank rule."""
+    import numpy as np
+    from raphtory_ray.algorithms.sampling import _C1, _C2, _splitmix64
+    adj = {}
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        adj.setdefault(s, set()).add(d)
+    rows = []
+    for i, st in enumerate(starts):
+        for j in range(wps):
+            w, cur = i * wps + j, int(st)
+            rows.append((w, 0, cur))
+            for s in range(1, length + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                keys = _splitmix64(
+                    (np.uint64(cur) << np.uint64(32))
+                    + np.array(nbrs, np.uint64) + np.uint64(seed)
+                    + np.uint64(s) * _C1 + np.uint64(w) * _C2)
+                cur = min(zip(keys.tolist(), nbrs))[1]
+                rows.append((w, s, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_reference(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms.sampling import random_walks
+    edges = _edges(m=800, n=50, seed=21)
+    starts = np.arange(0, 50, 5, dtype=np.int64)
+    got = random_walks(rd.from_arrow(edges).repartition(6), starts,
+                       length=6, seed=3, walks_per_start=2)
+    got_rows = sorted(zip(got["walk_id"].to_pylist(),
+                          got["pos"].to_pylist(),
+                          got["node"].to_pylist()))
+    assert got_rows == _ref_walks(edges, starts, 6, seed=3, wps=2)
+
+
+def test_random_walks_sink_stop_and_reshard(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms.sampling import random_walks
+    # a path graph 0->1->2: walks stop at the sink
+    edges = pa.table({"src": pa.array([0, 1], pa.int64()),
+                      "dst": pa.array([1, 2], pa.int64())})
+    t = random_walks(rd.from_arrow(edges), np.array([0], np.int64), 5)
+    rows = sorted(zip(t["pos"].to_pylist(), t["node"].to_pylist()))
+    assert rows == [(0, 0), (1, 1), (2, 2)]
+    big = _edges(m=1500, n=30, seed=8)
+    a = random_walks(rd.from_arrow(big).repartition(9),
+                     np.arange(10, dtype=np.int64), 4, seed=1)
+    b = random_walks(rd.from_arrow(big).repartition(2),
+                     np.arange(10, dtype=np.int64), 4, seed=1)
+    assert sorted(map(tuple, zip(*[a[c].to_pylist() for c in
+                                   a.column_names]))) \
+        == sorted(map(tuple, zip(*[b[c].to_pylist() for c in
+                                   b.column_names])))
+
+
 def test_neighbor_sample_empty_seeds(ray_session):
     import ray.data as rd
     from raphtory_ray.algorithms.sampling import neighbor_sample
