@@ -437,6 +437,30 @@ def _q_cypher_edge_filter(sf_dir: str):
                   "e.event_id AS event_id")
 
 
+def _q_cypher_case_bands(sf_dir: str):
+    """Searched CASE expression under aggregation (openCypher
+    case_expression; the reference transpiles CASE straight to DataFusion
+    SQL, raphtory-cypher/src/transpiler/mod.rs:1082)."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) RETURN "
+                  "CASE WHEN e.w > 200.0 THEN 'high' "
+                  "WHEN e.w > 50.0 THEN 'mid' ELSE 'low' END AS band, "
+                  "count(*) AS n, sum(e.w) AS total_w")
+
+
+def _q_cypher_regex_strfns(sf_dir: str):
+    """=~ whole-string regex + simple-form CASE + string scalar functions
+    (left/toUpper/replace) over the typed (layered) user graph."""
+    from raphtory_ray.query import cypher
+    return cypher(_layered_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) WHERE type(e) =~ '(pur|view).*' "
+                  "RETURN CASE type(e) WHEN 'purchase' THEN 'buy' "
+                  "ELSE 'other' END AS kind, "
+                  "toUpper(left(type(e), 4)) AS tag, "
+                  "replace(type(e), 'e', '_') AS repl, count(*) AS n")
+
+
 def _q_cypher_undirected(sf_dir: str):
     from raphtory_ray.query import cypher
     return cypher(_user_gf(sf_dir),
@@ -1686,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
+        "cypher_case_bands": _q_cypher_case_bands,
+        "cypher_regex_strfns": _q_cypher_regex_strfns,
         "cypher_layer_filter": _q_cypher_layer_filter,
         "cypher_undirected": _q_cypher_undirected,
         "gql_nodes_page": _q_gql_nodes_page,
@@ -2771,6 +2797,26 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
         "cypher_edge_filter": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
+""",
+        "cypher_case_bands": f"""
+WITH {_USER_EDGES}
+SELECT CASE WHEN w > 200.0 THEN 'high'
+            WHEN w > 50.0 THEN 'mid' ELSE 'low' END AS band,
+       COUNT(*)::BIGINT AS n, SUM(w) AS total_w
+FROM user_edges GROUP BY 1
+""",
+        "cypher_regex_strfns": """
+WITH typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst, event_type AS etype
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL
+)
+SELECT CASE etype WHEN 'purchase' THEN 'buy' ELSE 'other' END AS kind,
+       UPPER(LEFT(etype, 4)) AS tag,
+       REPLACE(etype, 'e', '_') AS repl, COUNT(*)::BIGINT AS n
+FROM typed WHERE regexp_full_match(etype, '(pur|view).*')
+GROUP BY 1, 2, 3
 """,
         "cypher_layer_filter": """
 WITH typed AS (

@@ -56,9 +56,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from raphtory_ray.query.parser import (BinOp, Chain, Func, Lit, Not, Prop,
-                                       Query, ReturnItem, Var, expr_text,
-                                       parse_cypher)
+from raphtory_ray.query.parser import (BinOp, Case, Chain, Func, Lit, Not,
+                                       Prop, Query, ReturnItem, Var,
+                                       expr_text, parse_cypher)
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -386,7 +386,9 @@ def _compile_expr(e, ctx: _Ctx):
                 return pc.coalesce(*vals)
             return coalesce
         if e.name in ("abs", "tointeger", "tofloat", "tolower",
-                      "toupper", "trim"):
+                      "toupper", "trim", "ltrim", "rtrim", "reverse",
+                      "tostring", "round", "floor", "ceil", "sqrt",
+                      "sign"):
             af = _compile_expr(e.arg, ctx)
             kern = {"abs": pc.abs,
                     # openCypher toInteger truncates toward zero
@@ -395,7 +397,16 @@ def _compile_expr(e, ctx: _Ctx):
                     "tofloat": lambda v: pc.cast(v, pa.float64()),
                     "tolower": pc.utf8_lower,
                     "toupper": pc.utf8_upper,
-                    "trim": pc.utf8_trim_whitespace}[e.name]
+                    "trim": pc.utf8_trim_whitespace,
+                    "ltrim": pc.utf8_ltrim_whitespace,
+                    "rtrim": pc.utf8_rtrim_whitespace,
+                    "reverse": pc.utf8_reverse,
+                    "tostring": lambda v: pc.cast(v, pa.string()),
+                    "round": pc.round,
+                    "floor": pc.floor,
+                    "ceil": pc.ceil,
+                    "sqrt": pc.sqrt,
+                    "sign": pc.sign}[e.name]
 
             def scalar(t, _af=af, _k=kern):
                 v = _af(t)
@@ -403,7 +414,89 @@ def _compile_expr(e, ctx: _Ctx):
                     v = pa.array([v] * t.num_rows)
                 return _k(v)
             return scalar
+        if e.name in ("replace", "substring", "split", "left", "right"):
+            # multi-arg string functions; trailing args must be literals
+            # (the reference hands these straight to DataFusion SQL too,
+            # transpiler/mod.rs:1082)
+            args = e.arg if isinstance(e.arg, list) else [e.arg]
+            sf = _compile_expr(args[0], ctx)
+            lits = []
+            for a in args[1:]:
+                if not isinstance(a, Lit):
+                    raise SyntaxError(
+                        f"{e.name}() takes literal arguments after the "
+                        f"first")
+                lits.append(a.value)
+
+            def strfn(t, _sf=sf, _name=e.name, _lits=tuple(lits)):
+                v = _sf(t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                if _name == "replace":
+                    return pc.replace_substring(v, pattern=_lits[0],
+                                                replacement=_lits[1])
+                if _name == "substring":
+                    # openCypher substring(s, start[, length]) is 0-based
+                    start = int(_lits[0])
+                    stop = start + int(_lits[1]) if len(_lits) > 1 else None
+                    return pc.utf8_slice_codeunits(v, start=start,
+                                                   stop=stop)
+                if _name == "split":
+                    return pc.split_pattern(v, pattern=_lits[0])
+                if _name == "left":
+                    return pc.utf8_slice_codeunits(v, start=0,
+                                                   stop=int(_lits[0]))
+                # right(s, n) — Python-style negative start handles
+                # strings shorter than n like the openCypher spec
+                return pc.utf8_slice_codeunits(v, start=-int(_lits[0]))
+            return strfn
         raise SyntaxError(f"aggregate {e.name}() only allowed in RETURN")
+    if isinstance(e, Case):
+        opf = _compile_expr(e.operand, ctx) if e.operand is not None \
+            else None
+        branches = [(_compile_expr(w, ctx), _compile_expr(th, ctx))
+                    for w, th in e.whens]
+        dff = _compile_expr(e.default, ctx)
+
+        def case(t, _opf=opf, _br=tuple(branches), _df=dff):
+            n = t.num_rows
+
+            def as_arr(v, typ=None):
+                if isinstance(v, pa.ChunkedArray):
+                    return v.combine_chunks()
+                if isinstance(v, pa.Array):
+                    return v
+                if v is None:
+                    return pa.nulls(n, typ or pa.null())
+                # explicit scalar type so an empty (schema-hint) block
+                # still carries the branch's type
+                return pa.array([v] * n, type=pa.scalar(v).type)
+
+            conds = []
+            ov = as_arr(_opf(t)) if _opf is not None else None
+            for wf, _ in _br:
+                c = as_arr(wf(t))
+                if ov is not None:
+                    c = pc.equal(ov, c)
+                # null predicate falls through to the next branch
+                conds.append(pc.fill_null(c.cast(pa.bool_()), False))
+            vals = [as_arr(tf(t)) for _, tf in _br] + [as_arr(_df(t))]
+            # unify the branch result type (int+float ⇒ float64)
+            types = [v.type for v in vals if not pa.types.is_null(v.type)]
+            if not types:
+                typ = pa.null()
+            elif any(pa.types.is_floating(ty) for ty in types) and \
+                    all(pa.types.is_floating(ty) or pa.types.is_integer(ty)
+                        for ty in types):
+                typ = pa.float64()
+            else:
+                typ = types[0]
+            vals = [v if v.type.equals(typ) else v.cast(typ) for v in vals]
+            out = vals[-1]
+            for c, r in zip(reversed(conds), reversed(vals[:-1])):
+                out = pc.if_else(c, r, out)
+            return out
+        return case
     if isinstance(e, Not):
         f = _compile_expr(e.expr, ctx)
         return lambda t: pc.invert(f(t))
@@ -458,6 +551,14 @@ def _compile_expr(e, ctx: _Ctx):
                     "starts_with": pc.starts_with,
                     "ends_with": pc.ends_with}[op]
             return lambda t: kern(lf(t), pattern=pat)
+        if op == "regex":
+            # x =~ 'pat' matches the WHOLE string in openCypher — anchor
+            # the (partial-match) Arrow kernel; pairs with DuckDB's
+            # regexp_full_match in oracles
+            if not isinstance(e.right, Lit):
+                raise SyntaxError("=~ needs a string literal pattern")
+            pat = f"^(?:{e.right.value})$"
+            return lambda t: pc.match_substring_regex(lf(t), pattern=pat)
         kern = kernels[op]
         return lambda t: kern(lf(t), rf(t))
     raise SyntaxError(f"cannot compile {e!r}")
@@ -478,6 +579,11 @@ def _expr_vars(e) -> set:
         return _expr_vars(e.expr)
     if isinstance(e, BinOp):
         return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, Case):
+        out = _expr_vars(e.operand) if e.operand is not None else set()
+        for w, th in e.whens:
+            out |= _expr_vars(w) | _expr_vars(th)
+        return out | _expr_vars(e.default)
     return set()
 
 
@@ -587,6 +693,13 @@ def _needed_columns(q: Query, ctx: _Ctx) -> set:
         elif isinstance(e, BinOp):
             visit(e.left)
             visit(e.right)
+        elif isinstance(e, Case):
+            if e.operand is not None:
+                visit(e.operand)
+            for w, th in e.whens:
+                visit(w)
+                visit(th)
+            visit(e.default)
 
     if q.where is not None:
         visit(q.where)

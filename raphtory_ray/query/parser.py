@@ -84,6 +84,17 @@ class Not:
 
 
 @dataclass
+class Case:
+    """CASE expression — both forms (cypher.pest `case_expression`):
+    simple ``CASE x WHEN v THEN r ... [ELSE d] END`` (operand set) and
+    searched ``CASE WHEN pred THEN r ... [ELSE d] END`` (operand None).
+    Missing ELSE ⇒ ``Lit(None)``, per openCypher."""
+    operand: object | None
+    whens: list                       # [(when_expr, then_expr)]
+    default: object
+
+
+@dataclass
 class ReturnItem:
     expr: object
     alias: str | None
@@ -126,18 +137,22 @@ class Query:
 
 # ------------------------------------------------------------- tokens
 
-_PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
-          ",", ":", ".", "-", "=", "<", ">", "+", "*", "/", "%"]
+_PUNCT = ["<=", ">=", "<>", "->", "<-", "..", "=~", "(", ")", "[", "]",
+          "{", "}", ",", ":", ".", "-", "=", "<", ">", "+", "*", "/", "%"]
 _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "asc", "desc", "limit", "and", "or", "not", "contains",
              "starts", "ends", "with", "null", "optional", "is", "xor",
-             "skip", "union", "all", "unwind", "in"}
+             "skip", "union", "all", "unwind", "in",
+             "case", "when", "then", "else", "end"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 #: scalar (non-aggregate) functions the compiler evaluates per row — the
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
 #: (transpiler/mod.rs:1082), so this is the equivalent built-in set
 _SCALAR_FNS = {"type", "size", "id", "coalesce", "abs", "tointeger",
-               "tofloat", "tolower", "toupper", "trim"}
+               "tofloat", "tolower", "toupper", "trim",
+               "ltrim", "rtrim", "reverse", "tostring",
+               "round", "floor", "ceil", "sqrt", "sign",
+               "replace", "substring", "split", "left", "right"}
 
 
 def _tokenize(src: str) -> list:
@@ -469,6 +484,10 @@ class _P:
             self.next()
             self.expect("kw", "with")
             return BinOp("ends_with", e, self.add_expr())
+        if t == ("punct", "=~"):
+            # x =~ 'pattern' — whole-string regex match, per openCypher
+            self.next()
+            return BinOp("regex", e, self.add_expr())
         return e
 
     def add_expr(self):
@@ -526,6 +545,23 @@ class _P:
         if t == ("kw", "null"):
             self.next()
             return Lit(None)
+        if t == ("kw", "case"):
+            self.next()
+            operand = None
+            if self.peek() != ("kw", "when"):
+                operand = self.expr()
+            whens = []
+            while self.accept("kw", "when"):
+                w = self.expr()
+                self.expect("kw", "then")
+                whens.append((w, self.expr()))
+            if not whens:
+                raise SyntaxError("CASE needs at least one WHEN branch")
+            default = Lit(None)
+            if self.accept("kw", "else"):
+                default = self.expr()
+            self.expect("kw", "end")
+            return Case(operand, whens, default)
         if t[0] == "ident":
             name = self.next()[1]
             if self.accept("punct", "("):       # function call
@@ -545,8 +581,12 @@ class _P:
                     raise SyntaxError(f"unsupported function {name}")
                 return Func(low, arg, distinct)
             if self.accept("punct", "."):
-                prop = self.expect("ident")[1]
-                return Prop(name, prop)
+                # property names may collide with keywords (n.end, e.case)
+                # — after '.' any word token is a name
+                t2 = self.next()
+                if t2[0] not in ("ident", "kw"):
+                    raise SyntaxError(f"expected property name, got {t2}")
+                return Prop(name, t2[1])
             return Var(name)
         raise SyntaxError(f"unexpected token {t}")
 
@@ -577,4 +617,14 @@ def expr_text(e) -> str:
         return f"{expr_text(e.left)} {e.op} {expr_text(e.right)}"
     if isinstance(e, Not):
         return f"NOT {expr_text(e.expr)}"
+    if isinstance(e, Case):
+        parts = ["CASE"]
+        if e.operand is not None:
+            parts.append(expr_text(e.operand))
+        for w, th in e.whens:
+            parts.append(f"WHEN {expr_text(w)} THEN {expr_text(th)}")
+        if not (isinstance(e.default, Lit) and e.default.value is None):
+            parts.append(f"ELSE {expr_text(e.default)}")
+        parts.append("END")
+        return " ".join(parts)
     return str(e)

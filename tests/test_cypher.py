@@ -908,3 +908,78 @@ def test_return_star_after_with(ray_session):
                      x.src AS "e2.src", x.dst AS "e2.dst", x.t AS "e2.t",
                      x.event_id AS "e2.event_id", x.w AS "e2.w"
               FROM ind i JOIN e x ON x.src = i.b""")
+
+
+# ------------------------------------------- CASE / regex / string fns
+
+def test_case_searched(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN CASE WHEN e.w > 0.5 THEN 'hi' "
+           "ELSE 'lo' END AS band, count(*) AS c",
+           "SELECT CASE WHEN w > 0.5 THEN 'hi' ELSE 'lo' END AS band, "
+           "count(*) AS c FROM e GROUP BY 1")
+
+
+def test_case_simple_operand(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a) RETURN CASE a.node_type WHEN 'hub' THEN 1 "
+           "WHEN 'mid' THEN 2 ELSE 0 END AS k, count(*) AS c",
+           "SELECT CASE node_type WHEN 'hub' THEN 1 WHEN 'mid' THEN 2 "
+           "ELSE 0 END AS k, count(*) AS c FROM v GROUP BY 1")
+
+
+def test_case_no_else_yields_null(ray_session):
+    """Missing ELSE ⇒ NULL, and int/float branch mix unifies to float."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE CASE WHEN e.w > 0.9 THEN e.w END "
+           "IS NOT NULL RETURN count(*) AS c",
+           "SELECT count(*) AS c FROM e WHERE w > 0.9")
+    from raphtory_ray.query import cypher
+    got = cypher(gf, "MATCH (a)-[e]->(b) RETURN sum(CASE WHEN e.w > 0.5 "
+                     "THEN e.w ELSE 0 END) AS s").to_pandas()["s"][0]
+    want = _sql(edges, verts, "SELECT SUM(CASE WHEN w > 0.5 THEN w ELSE 0 "
+                              "END) AS s FROM e")["s"][0].as_py()
+    assert abs(got - want) < 1e-9  # summation-order ulp tolerance
+
+
+def test_regex_match(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a) WHERE a.gid =~ 'u0[01].' RETURN a.gid AS g",
+           "SELECT gid AS g FROM v WHERE regexp_full_match(gid, 'u0[01].')")
+
+
+def test_string_scalar_fns(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a) RETURN replace(a.gid, 'u', 'x') AS r, "
+           "substring(a.gid, 1, 2) AS s, left(a.gid, 2) AS l, "
+           "right(a.gid, 2) AS rr, reverse(a.gid) AS rev",
+           "SELECT replace(gid,'u','x') AS r, substr(gid,2,2) AS s, "
+           "left(gid,2) AS l, right(gid,2) AS rr, reverse(gid) AS rev "
+           "FROM v")
+
+
+def test_numeric_scalar_fns(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN sum(floor(e.w * 10.0)) AS f, "
+           "sum(ceil(e.w)) AS c, sum(round(e.w)) AS r",
+           "SELECT SUM(FLOOR(w * 10.0)) AS f, SUM(CEIL(w)) AS c, "
+           "SUM(ROUND(w, 0)) AS r FROM e")
+    from raphtory_ray.query import cypher
+    got = cypher(gf, "MATCH (a)-[e]->(b) RETURN sum(sqrt(e.w)) AS q"
+                 ).to_pandas()["q"][0]
+    want = _sql(edges, verts,
+                "SELECT SUM(SQRT(w)) AS q FROM e")["q"][0].as_py()
+    assert abs(got - want) < 1e-9  # summation-order ulp tolerance
+
+
+def test_keyword_property_name(ray_session):
+    """Property names that collide with keywords parse after '.'"""
+    from raphtory_ray.query.parser import parse_cypher
+    q = parse_cypher("MATCH (a)-[e]->(b) WHERE e.end > 5 RETURN a")
+    assert q.where.left.name == "end"
