@@ -1295,6 +1295,21 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+def _q_doc_vocab_stats(sf_dir: str):
+    """Corpus vocabulary stats — per-batch partial (term, df, tf) then
+    one vocab-sized groupby-sum (combiner pattern, data/text.py)."""
+    from raphtory_ray.data.text import vocab_stats
+    return vocab_stats(_docs(sf_dir))
+
+
+def _q_doc_tfidf_top3(sf_dir: str):
+    """Top-3 TF-IDF terms per document: broadcast df table (ray.put) +
+    vectorized binary search per batch, per-doc top-k via np.lexsort —
+    no shuffle join (data/text.py tfidf_top_terms)."""
+    from raphtory_ray.data.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 class _HashEmbedModel:
     """Stand-in embedding model for the composed pipeline below — same
     deterministic hash projection as data/vectors.default_embedding,
@@ -1769,6 +1784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_trigram_repetition": _q_doc_trigram_repetition,
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
+        "doc_vocab_stats": _q_doc_vocab_stats,
+        "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_lang_id": _q_doc_lang_id,
@@ -3408,6 +3425,35 @@ FROM documents
 SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id,
        COUNT(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1
+""",
+        "doc_vocab_stats": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS tf
+FROM toks GROUP BY term
+""",
+        "doc_tfidf_top3": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tfs AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+        GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * ln(nd.n::DOUBLE / d.df) AS score
+  FROM tfs t JOIN dfs d USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """,
         "doc_lang_counts": """
 SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang

@@ -257,6 +257,106 @@ def quality_stats(ds, text_col: str = "text"):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------------ TF-IDF / vocab
+
+def _doc_term_tf(batch: pa.Table, text_col: str,
+                 id_col: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (doc, term) pairs with term frequency for one batch —
+    whitespace tokens, vectorized explode (Arrow split + np.repeat) then
+    a C-level pandas groupby. One row == one document, so per-doc counts
+    are complete within the batch."""
+    import pandas as pd
+    txt = pc.utf8_trim_whitespace(batch[text_col].combine_chunks())
+    toks = pc.split_pattern_regex(txt, r"\s+")
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False)
+    docs = np.repeat(batch[id_col].to_numpy(zero_copy_only=False),
+                     lens.astype(np.int64))
+    terms = toks.flatten().to_numpy(zero_copy_only=False)
+    keep = terms != ""                 # blank text splits to ['']
+    docs, terms = docs[keep], terms[keep]
+    g = pd.DataFrame({"d": docs, "t": terms}).groupby(
+        ["d", "t"], sort=False).size()
+    idx = g.index
+    return (idx.get_level_values(0).to_numpy(),
+            idx.get_level_values(1).to_numpy(),
+            g.to_numpy().astype(np.int64))
+
+
+def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary statistics: (term, df, tf) with df = number of
+    documents containing the term and tf = total occurrences.
+
+    Scale shape: the expensive work (tokenize + per-doc dedup) happens
+    inside map_batches as a PARTIAL aggregate — each batch emits one row
+    per distinct term it saw — so the only shuffle is a groupby-sum over
+    vocabulary-sized partials, not over the token stream (the classic
+    combiner pattern; partial dfs sum exactly because a document lives
+    in exactly one row/batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        _, t, tf = _doc_term_tf(b, text_col, id_col)
+        g = pd.DataFrame({"t": t, "tf": tf}).groupby("t", sort=False).agg(
+            df=("tf", "size"), tf=("tf", "sum"))
+        return pa.table({"term": pa.array(g.index.to_numpy(), pa.string()),
+                         "df": pa.array(g["df"].to_numpy(), pa.int64()),
+                         "tf": pa.array(g["tf"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def rn(b: pa.Table) -> pa.Table:
+        m = {"sum(df)": "df", "sum(tf)": "tf"}
+        return b.rename_columns([m.get(c, c) for c in b.column_names])
+
+    return parts.groupby("term").aggregate(Sum("df"), Sum("tf")) \
+        .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k terms per document by tf × ln(N/df), ties broken by term
+    ascending (deterministic at any parallelism).
+
+    The document-frequency table is materialized once (vocabulary-sized
+    — at 100 TB, cap it with a min-df threshold or top-V truncation
+    before this step) and broadcast via ray.put; each batch resolves its
+    terms with a vectorized binary search — no shuffle join. Per-doc
+    top-k is one np.lexsort per batch."""
+    import ray as _ray
+    stats = vocab_stats(ds, text_col, id_col).take_all()
+    terms = np.array([r["term"] for r in stats], dtype=object)
+    dfs = np.array([r["df"] for r in stats], dtype=np.int64)
+    order = np.argsort(terms)
+    n_docs = ds.count()
+    ref = _ray.put((terms[order], dfs[order], n_docs))
+
+    def topk(b: pa.Table, _ref=ref, _k=k) -> pa.Table:
+        vocab, df_sorted, n = _ray.get(_ref)
+        d, t, tf = _doc_term_tf(b, text_col, id_col)
+        pos = np.searchsorted(vocab, t)
+        score = tf * np.log(n / df_sorted[pos])
+        # primary doc, then score desc, then term asc
+        o = np.lexsort((t, -score, d))
+        ds_, ts_, tfs_, sc_ = d[o], t[o], tf[o], score[o]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        sizes = np.diff(np.r_[starts, len(ds_)])
+        rank = np.arange(len(ds_)) - np.repeat(starts, sizes)
+        keep = rank < _k
+        return pa.table({
+            id_col: pa.array(ds_[keep], pa.int64()),
+            "term": pa.array(ts_[keep], pa.string()),
+            "tf": pa.array(tfs_[keep], pa.int64()),
+            "score": pa.array(sc_[keep], pa.float64()),
+            "rk": pa.array(rank[keep] + 1, pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _stage_pool() -> tuple:
     from raphtory_ray.data import stage_pool
     return stage_pool()

@@ -439,3 +439,28 @@ def test_job_data_ops_resumable(ray_session, tmp_path):
     parts = glob.glob(os.path.join(out, "data", "tokens", "*.parquet"))
     t = pa.concat_tables([pq.read_table(p) for p in parts])
     assert t.num_rows == 500 and "n_tokens" in t.column_names
+
+
+def test_vocab_stats_and_tfidf(ray_session):
+    """vocab_stats (df/tf) matches hand counts; tfidf_top_terms ranks by
+    tf*ln(N/df) with term-ascending tie-break, stable at any parallelism."""
+    import math
+
+    from raphtory_ray.data.text import tfidf_top_terms, vocab_stats
+    ds = _doc_ds(["a b b c", "b c c", "a a a d", ""]).repartition(3)
+    stats = {r["term"]: (r["df"], r["tf"])
+             for r in vocab_stats(ds).take_all()}
+    assert stats == {"a": (2, 4), "b": (2, 3), "c": (2, 3), "d": (1, 1)}
+
+    rows = tfidf_top_terms(ds, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"],
+                                                   r["score"]))
+    # doc 0: b tf=2 score 2*ln(2) beats a/c tf=1; a vs c tie → term asc
+    assert [t for _, t, _ in sorted(by_doc[0])] == ["b", "a"]
+    # doc 2: a tf=3 ln(4/2), d tf=1 ln(4/1) → a: 2.079, d: 1.386
+    got = dict((t, s) for _, t, s in by_doc[2])
+    assert abs(got["a"] - 3 * math.log(4 / 2)) < 1e-12
+    assert abs(got["d"] - math.log(4 / 1)) < 1e-12
+    assert 3 not in by_doc  # blank doc yields no terms
