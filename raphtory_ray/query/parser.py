@@ -564,6 +564,10 @@ class _P:
             return Case(operand, whens, default)
         if t[0] == "ident":
             name = self.next()[1]
+            if name.lower() in ("true", "false"):
+                # boolean literals (reference Literal::Bool,
+                # transpiler/mod.rs:1070)
+                return Lit(name.lower() == "true")
             if self.accept("punct", "("):       # function call
                 low = name.lower()
                 distinct = self.accept("kw", "distinct")

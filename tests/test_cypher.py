@@ -983,3 +983,15 @@ def test_keyword_property_name(ray_session):
     from raphtory_ray.query.parser import parse_cypher
     q = parse_cypher("MATCH (a)-[e]->(b) WHERE e.end > 5 RETURN a")
     assert q.where.left.name == "end"
+
+
+def test_bool_literals(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN CASE WHEN e.w > 0.5 THEN true "
+           "ELSE false END AS hot, count(*) AS c",
+           "SELECT w > 0.5 AS hot, count(*) AS c FROM e GROUP BY 1")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE (e.w > 0.5) = true "
+           "RETURN count(*) AS c",
+           "SELECT count(*) AS c FROM e WHERE w > 0.5")
