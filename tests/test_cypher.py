@@ -995,3 +995,41 @@ def test_bool_literals(ray_session):
            "MATCH (a)-[e]->(b) WHERE (e.w > 0.5) = true "
            "RETURN count(*) AS c",
            "SELECT count(*) AS c FROM e WHERE w > 0.5")
+
+
+def test_parser_fuzz_clean_errors():
+    """Any input either parses or raises SyntaxError/NotImplementedError —
+    never an internal exception (seeded random + mutations of a valid
+    query covering CASE/regex/ORDER BY)."""
+    import random
+    import string
+
+    from raphtory_ray.query.parser import parse_cypher
+    random.seed(7)
+    alphabet = string.ascii_letters + string.digits \
+        + " ()[]{}<>-=~.,:'\"*/%+_$#@!"
+    base = ("MATCH (a)-[e:T]->(b) WHERE e.w > 1.5 AND a.gid =~ 'u.*' "
+            "RETURN CASE WHEN e.w > 2 THEN 'x' ELSE 'y' END AS k, "
+            "count(*) AS c ORDER BY c DESC LIMIT 3")
+    for i in range(1000):
+        s = "".join(random.choice(alphabet)
+                    for _ in range(random.randint(1, 60)))
+        try:
+            parse_cypher(s)
+        except (SyntaxError, NotImplementedError):
+            pass
+    for i in range(1000):
+        s = list(base)
+        for _ in range(random.randint(1, 4)):
+            j = random.randrange(len(s))
+            op = random.random()
+            if op < 0.4:
+                s[j] = random.choice(alphabet)
+            elif op < 0.7:
+                del s[j]
+            else:
+                s.insert(j, random.choice(alphabet))
+        try:
+            parse_cypher("".join(s))
+        except (SyntaxError, NotImplementedError):
+            pass
