@@ -163,12 +163,19 @@ def hash_join(left, right, keys: list, P: int | None = None,
     has zero-column blocks and schema() is None — the hints let the
     empty-result path still produce a correctly-schemaed join output."""
     import ray.data as rd
+    auto_p = P is None
     if P is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         P = max(8, cpus)
     mat_l, mat_r = left.materialize(), right.materialize()
     rows_l, rows_r = mat_l._block_num_rows(), mat_r._block_num_rows()
+    if auto_p:
+        # shrink the default fan-out to the input: ~50k rows/partition,
+        # CPU-capped — a 3-hop expansion over a few thousand pairs
+        # shouldn't pay 32-way route+join task waves per hop
+        total = sum(rows_l) + sum(rows_r)
+        P = max(1, min(P, -(-total // 50_000)))
     refs_l = [r for r, c in zip(mat_l.to_arrow_refs(), rows_l) if c]
     refs_r = [r for r, c in zip(mat_r.to_arrow_refs(), rows_r) if c]
     if not refs_l or (not refs_r and join_type == "inner"):
@@ -803,13 +810,8 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
                                  sv, inner, ctx, set())
     hint = scan_hint
 
-    def _first_pair(g: pa.Table) -> pa.Table:
-        return g.select([sv, inner]).slice(0, 1)
-
     # distinct simple edges (after layer/prop filters) — the CTE's base
-    base = (scan.union(rd.from_arrow(hint))
-            .groupby([sv, inner]).map_groups(_first_pair,
-                                             batch_format="pyarrow"))
+    base = _distinct(scan.union(rd.from_arrow(hint)), [sv, inner])
     # path-START restriction: filter the initial frontier only; the
     # intermediate/base edge set stays unrestricted
     start_filtered = any(vs <= {sv} for _t, vs in pending)
@@ -838,20 +840,17 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
     for k in range(2, hi + 1):
         j = hash_join(_ren(cur, inner, mid), _ren(base, sv, mid),
                       [mid], P, lhint, rhint)
-        cur = (j.union(rd.from_arrow(lhint.join(
+        cur = _distinct(j.union(rd.from_arrow(lhint.join(
                    rhint, keys=[mid], join_type="inner",
-                   coalesce_keys=True)))
-               .groupby([sv, inner]).map_groups(_first_pair,
-                                                batch_format="pyarrow"))
+                   coalesce_keys=True))), [sv, inner])
         if k >= lo:
             if k < hi:
                 cur = cur.materialize()    # feeds both levels & next hop
             levels.append(cur)
     ds = levels[0]
     if len(levels) > 1:
-        ds = (ds.union(*levels[1:]).union(rd.from_arrow(hint))
-              .groupby([sv, inner]).map_groups(_first_pair,
-                                               batch_format="pyarrow"))
+        ds = _distinct(ds.union(*levels[1:]).union(rd.from_arrow(hint)),
+                       [sv, inner])
     if inner != dv:                        # (a)-[*..k]->(a): close cycle
         def close(b: pa.Table) -> pa.Table:
             m = pc.fill_null(pc.equal(b[sv], b[inner]), False)
@@ -1382,10 +1381,53 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
     return ds, out_names
 
 
+@ray.remote
+def _distinct_part(cols: list, *parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables(list(parts), promote_options="default")
+    if t.num_rows == 0:
+        return t.select(cols)
+    return t.select(cols).group_by(cols).aggregate([])
+
+
 def _distinct(ds, cols: list):
-    def first(grp: pa.Table) -> pa.Table:
-        return grp.slice(0, 1)
-    return ds.groupby(cols).map_groups(first, batch_format="pyarrow")
+    """DISTINCT over ``cols``: per-block Arrow group_by dedup (combiner —
+    shrinks the shuffle to distinct-per-block), then for all-integer keys
+    ONE raw hash-route + per-partition Arrow dedup (same `_route` tasks
+    as the join; partition count sized to rows like the join's auto-P),
+    else Ray's groupby-Count (sort exchange). Never groupby().map_groups,
+    which dispatches a Python UDF once PER GROUP (one call per distinct
+    row here)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.select(cols).group_by(cols).aggregate([])
+
+    pre = ds.map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    rows = pre._block_num_rows()
+    refs = [r for r, c in zip(pre.to_arrow_refs(), rows) if c]
+    if not refs:
+        return pre
+    schema = pre.schema()
+    try:
+        types = dict(zip(schema.names, schema.types))
+        int_keys = all(pa.types.is_integer(types[c]) for c in cols)
+    except Exception:
+        int_keys = False
+    if not int_keys:
+        return pre.groupby(cols).aggregate(Count()).select_columns(cols)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    P = max(1, min(max(8, cpus), -(-sum(rows) // 50_000)))
+    parts = [_route.options(num_returns=P if P > 1 else 1)
+             .remote(r, cols, P) for r in refs]
+    if P == 1:
+        return rd.from_arrow_refs([_distinct_part.remote(cols, *parts)])
+    return rd.from_arrow_refs(
+        [_distinct_part.remote(cols, *[parts[i][p]
+                                       for i in range(len(refs))])
+         for p in range(P)])
 
 
 def _agg_hint(phint: pa.Table, aggs: list, key_names: list) -> pa.Table:
