@@ -74,10 +74,10 @@ def _nodestate_table(node_ids: np.ndarray, values: np.ndarray, name: str,
 # ------------------------------------------------------------- graph queries
 
 def _q_edge_dedup(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count
     from raphtory_ray.pipelines.tpch_graph import copurchase_edges
-    ds = (copurchase_edges(sf_dir).groupby(["src", "dst"])
-          .aggregate(Count(alias_name="n_events")))
+    from raphtory_ray.query.cypher import group_count
+    ds = group_count(copurchase_edges(sf_dir), ["src", "dst"],
+                     alias="n_events")
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     return t.select(["src", "dst", "n_events"])
 

@@ -1389,6 +1389,65 @@ def _distinct_part(cols: list, *parts: pa.Table) -> pa.Table:
     return t.select(cols).group_by(cols).aggregate([])
 
 
+@ray.remote
+def _count_sum_part(cols: list, alias: str, *parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables(list(parts), promote_options="default")
+    g = t.group_by(cols).aggregate([("__cnt", "sum")])
+    g = g.rename_columns([alias if c == "__cnt_sum" else c
+                          for c in g.column_names])
+    return g.select(cols + [alias])
+
+
+def group_count(ds, cols: list, alias: str = "n"):
+    """COUNT(*) grouped by all-integer key columns: per-block partial
+    counts (combiner — the shuffle moves one row per distinct key per
+    block), then one raw hash-route + per-partition Arrow sum — the same
+    `_route` tasks as the join, no sort exchange. Falls back to Ray's
+    groupby-Count for non-integer keys."""
+    import ray.data as rd
+
+    def local(b: pa.Table) -> pa.Table:
+        g = b.select(cols).group_by(cols).aggregate([([], "count_all")])
+        g = g.rename_columns(["__cnt" if c == "count_all" else c
+                              for c in g.column_names])
+        return g.select(cols + ["__cnt"])
+
+    pre = ds.map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    rows = pre._block_num_rows()
+    refs = [r for r, c in zip(pre.to_arrow_refs(), rows) if c]
+    if not refs:
+        z = {c: pa.array([], pa.int64()) for c in cols}
+        z[alias] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(z))
+    schema = pre.schema()
+    try:
+        types = dict(zip(schema.names, schema.types))
+        int_keys = all(pa.types.is_integer(types[c]) for c in cols)
+    except Exception:
+        int_keys = False
+    if not int_keys:
+        def rn(b: pa.Table) -> pa.Table:
+            g = b.rename_columns([alias if c == "sum(__cnt)" else c
+                                  for c in b.column_names])
+            return g.select(cols + [alias])
+        from ray.data.aggregate import Sum
+        return pre.groupby(cols).aggregate(Sum("__cnt")) \
+            .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    P = max(1, min(max(8, cpus), -(-sum(rows) // 50_000)))
+    parts = [_route.options(num_returns=P if P > 1 else 1)
+             .remote(r, cols, P) for r in refs]
+    if P == 1:
+        return rd.from_arrow_refs([_count_sum_part.remote(cols, alias,
+                                                          *parts)])
+    return rd.from_arrow_refs(
+        [_count_sum_part.remote(cols, alias,
+                                *[parts[i][p] for i in range(len(refs))])
+         for p in range(P)])
+
+
 def _distinct(ds, cols: list):
     """DISTINCT over ``cols``: per-block Arrow group_by dedup (combiner —
     shrinks the shuffle to distinct-per-block), then for all-integer keys
