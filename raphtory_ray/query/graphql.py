@@ -115,8 +115,12 @@ class _Tok:
                 while j < n and (src[j].isdigit() or src[j] == "."):
                     j += 1
                 text = src[i:j]
-                self.toks.append(("num",
-                                  float(text) if "." in text else int(text)))
+                try:
+                    self.toks.append(
+                        ("num", float(text) if "." in text else int(text)))
+                except ValueError:
+                    # bare '-' / '1.2.3' — malformed input, not a crash
+                    raise SyntaxError(f"bad numeric literal {text!r} at {i}")
                 i = j
                 continue
             if c.isalpha() or c == "_":

@@ -686,3 +686,36 @@ def test_in_out_neighbours(ray_session):
     assert n["o"] == []
     page = g["data"]["graph"]["nodes"]
     assert [[x["id"] for x in r["i"]] for r in page] == [[], [0], [0, 1]]
+
+
+def test_graphql_parser_fuzz_clean_errors():
+    """Malformed documents raise SyntaxError, never internal errors
+    (seeded random strings + mutations of a valid document)."""
+    import random
+    import string
+
+    from raphtory_ray.query.graphql import parse_document
+    random.seed(13)
+    alphabet = string.ascii_letters + string.digits + ' {}():[],"#_-.!$@'
+    base = ('{ graph { nodes(offset: 0, limit: 10) { id name inDegree } '
+            'w: window(start: 1, end: 5) { countNodes } } }')
+    for i in range(1500):
+        if i % 2:
+            s = "".join(random.choice(alphabet)
+                        for _ in range(random.randint(1, 80)))
+        else:
+            s = list(base)
+            for _ in range(random.randint(1, 5)):
+                j = random.randrange(len(s))
+                r = random.random()
+                if r < 0.4:
+                    s[j] = random.choice(alphabet)
+                elif r < 0.7:
+                    del s[j]
+                else:
+                    s.insert(j, random.choice(alphabet))
+            s = "".join(s)
+        try:
+            parse_document(s)
+        except (SyntaxError, NotImplementedError):
+            pass
