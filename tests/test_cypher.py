@@ -1033,3 +1033,32 @@ def test_parser_fuzz_clean_errors():
             parse_cypher("".join(s))
         except (SyntaxError, NotImplementedError):
             pass
+
+
+def test_distinct_paths(ray_session):
+    """DISTINCT edge cases across both dedup paths: string keys (Ray
+    groupby fallback), integer keys (raw hash-route fast path), and
+    nullable keys from OPTIONAL MATCH."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN DISTINCT a.node_type AS ty",
+           "SELECT DISTINCT v.node_type AS ty FROM e JOIN v "
+           "ON e.src = v.vid")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN DISTINCT a AS s, b AS d",
+           "SELECT DISTINCT src AS s, dst AS d FROM e")
+
+    def rows_set(x):
+        rows = x.take_all() if hasattr(x, "take_all") else x.to_pylist()
+        return set(tuple(r[k] for k in sorted(r)) for r in rows)
+
+    got = rows_set(cypher(gf, "MATCH (a)-[e]->(b) WHERE e.w > 0.95 "
+                              "OPTIONAL MATCH (b)-[f]->(c) WHERE "
+                              "f.w > 0.95 RETURN DISTINCT a AS s, "
+                              "c AS nxt"))
+    want = rows_set(_sql(edges, verts, """
+        WITH hi AS (SELECT * FROM e WHERE w > 0.95)
+        SELECT DISTINCT l.src AS s, r.dst AS nxt
+        FROM hi l LEFT JOIN hi r ON r.src = l.dst"""))
+    assert got == want
