@@ -261,6 +261,10 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
             return text.sample_documents(ds, 500)
         if op == "pack":
             return text.pack_documents(ds)
+        if op == "vocab":
+            return text.vocab_stats(ds)
+        if op == "tfidf":
+            return text.tfidf_top_terms(ds)
         raise SystemExit(f"unknown data op {op!r}")
 
     for op in ops:
