@@ -499,6 +499,16 @@ def _q_cypher_varlen(sf_dir: str):
                   "RETURN a AS src, count(*) AS n_reach")
 
 
+def _q_cypher_varlen_hops(sf_dir: str):
+    """Named variable-length binding [r*1..3]: length(r) = minimum hop
+    count per reachable pair (BFS level), vs a recursive-CTE MIN(k)
+    oracle."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[r*1..3]->(b) RETURN a AS src, b AS dst, "
+                  "length(r) AS hops")
+
+
 def _q_cypher_with_hubs(sf_dir: str):
     """WITH pipeline (round 4): implicit-group aggregate, HAVING-like
     WHERE, then a second MATCH joined on the carried node variable."""
@@ -1735,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_fanout": _q_cypher_fanout,
         "cypher_cycle": _q_cypher_cycle,
         "cypher_varlen_reach": _q_cypher_varlen,
+        "cypher_varlen_hops": _q_cypher_varlen_hops,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "cypher_isnull_antijoin": _q_cypher_isnull,
@@ -2964,6 +2975,17 @@ r AS (
 ),
 pairs AS (SELECT DISTINCT a, b FROM r)
 SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
+""",
+        "cypher_varlen_hops": f"""
+WITH RECURSIVE {_USER_EDGES},
+base AS (SELECT DISTINCT src, dst FROM user_edges),
+r AS (
+  SELECT src AS a, dst AS b, 1 AS k FROM base
+  UNION
+  SELECT r.a, x.dst, r.k + 1 FROM r JOIN base x ON r.b = x.src
+  WHERE r.k < 3
+)
+SELECT a AS src, b AS dst, MIN(k)::BIGINT AS hops FROM r GROUP BY 1, 2
 """,
         "cypher_with_hubs": f"""
 WITH {_USER_EDGES},

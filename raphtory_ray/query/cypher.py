@@ -251,6 +251,7 @@ class _Ctx:
         self.gf = gf
         self.node_vars: set = set()
         self.edge_vars: set = set()
+        self.varlen_vars: set = set()     # [r*lo..hi] bindings (min-hops)
         self.col_vars: set = set()        # scalar columns bound by WITH
         self.anon = 0
         self.anon_vars: set = set()
@@ -348,6 +349,15 @@ def _compile_expr(e, ctx: _Ctx):
                 col = f"{e.arg.name}__layer"
                 return lambda t: t[col].combine_chunks()
             return lambda t: "_default"
+        if e.name in ("length", "size") and isinstance(e.arg, Var) \
+                and e.arg.name in ctx.varlen_vars:
+            # length(r) on a [r*lo..hi] binding: the pair's minimum hop
+            # count (shortest path length within the bound)
+            col = f"{e.arg.name}__hops"
+            return lambda t: t[col].combine_chunks()
+        if e.name == "length":
+            raise SyntaxError("length() takes a variable-length pattern "
+                              "binding ([r*lo..hi])")
         if e.name == "size":
             # size(list) / size(string) — pc.list_value_length /
             # utf8_length, both int64 per openCypher
@@ -790,10 +800,26 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
     edge set is materialized ONCE and reused by every level. Path-start
     WHERE terms (vars ⊆ {sv}) are consumed here and applied to the
     initial frontier so the expansion never grows paths that would be
-    filtered at the end."""
+    filtered at the end.
+
+    A named binding ``[r*lo..hi]`` additionally carries the MINIMUM hop
+    count per pair as column ``r__hops`` (levels tagged with k, group-min
+    combine) — ``length(r)``/``size(r)`` read it, giving shortest-path
+    length within the bound."""
     import ray.data as rd
     from dataclasses import replace
     lo, hi = ep.var_length
+    hopcol = f"{ep.var}__hops" if ep.var is not None else None
+
+    def _tag(ds_, k: int):
+        if hopcol is None:
+            return ds_
+
+        def f(b: pa.Table, _k=k) -> pa.Table:
+            return b.append_column(
+                hopcol, pa.array(np.full(b.num_rows, _k), pa.int64()))
+        return ds_.map_batches(f, batch_format="pyarrow",
+                               zero_copy_batch=True)
     if hi is None:
         raise NotImplementedError(
             "variable-length pattern needs a bounded upper length "
@@ -806,7 +832,8 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
         raise SyntaxError(f"bad variable-length range *{lo}..{hi}")
 
     inner = dv if dv != sv else ctx.fresh("v")
-    scan, scan_hint = _edge_scan(gf, replace(ep, var_length=None),
+    scan, scan_hint = _edge_scan(gf, replace(ep, var_length=None,
+                                             var=None),
                                  sv, inner, ctx, set())
     hint = scan_hint
 
@@ -822,7 +849,7 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
     if hi > 1:
         base = base.materialize()      # reused by every expansion level
         frontier = frontier.materialize() if start_filtered else base
-    levels = [frontier] if lo <= 1 else []
+    levels = [_tag(frontier, 1)] if lo <= 1 else []
     mid = ctx.fresh("m")
     lhint = hint.rename_columns(
         [mid if c == inner else c for c in hint.column_names])
@@ -846,18 +873,31 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
         if k >= lo:
             if k < hi:
                 cur = cur.materialize()    # feeds both levels & next hop
-            levels.append(cur)
+            levels.append(_tag(cur, k))
+    if hopcol is not None:
+        hint = hint.append_column(hopcol, pa.array([], pa.int64()))
     ds = levels[0]
     if len(levels) > 1:
-        ds = _distinct(ds.union(*levels[1:]).union(rd.from_arrow(hint)),
-                       [sv, inner])
+        u = ds.union(*levels[1:]).union(rd.from_arrow(hint))
+        if hopcol is not None:
+            # min hop count per pair — a pair found at level 2 may
+            # reappear at level 3; shortest wins (BFS level)
+            ds = _hash_group_agg(u, [sv, inner], hopcol, "min", hopcol)
+        else:
+            ds = _distinct(u, [sv, inner])
     if inner != dv:                        # (a)-[*..k]->(a): close cycle
         def close(b: pa.Table) -> pa.Table:
             m = pc.fill_null(pc.equal(b[sv], b[inner]), False)
-            return pa.table({sv: b.filter(m)[sv].combine_chunks()})
+            keep = [sv] + ([hopcol] if hopcol is not None else [])
+            return b.filter(m).select(keep)
         ds = ds.map_batches(close, batch_format="pyarrow",
                             zero_copy_batch=True)
-        hint = pa.table({sv: pa.array([], pa.int64())})
+        if hopcol is not None:
+            ds = _hash_group_agg(ds, [sv], hopcol, "min", hopcol)
+            hint = pa.table({sv: pa.array([], pa.int64()),
+                             hopcol: pa.array([], pa.int64())})
+        else:
+            hint = pa.table({sv: pa.array([], pa.int64())})
     return ds, hint
 
 
@@ -891,7 +931,8 @@ def _compose_chains(gf, ctx: _Ctx, chains: list, pending: list, carry,
             if ep.var_length is not None:
                 scan, scan_hint = _varlen_hop(gf, ep, sv, dv, ctx,
                                               pending, P)
-                scan_vars = set(scan_hint.column_names)
+                scan_vars = set(scan_hint.column_names) \
+                    | ({ep.var} if ep.var else set())
             else:
                 scan, scan_hint = _edge_scan(gf, ep, sv, dv, ctx, needed)
                 # pushdown: terms over only this scan's vars filter the
@@ -1130,14 +1171,17 @@ def _compile_one(gf, q: Query, P: int | None):
                 ctx.node_vars.add(np_.var)
             for ep in ch.edges:
                 if ep.var is not None:
-                    if ep.var_length is not None:
-                        raise NotImplementedError(
-                            "edge variable on a variable-length pattern "
-                            "(list bindings are not supported)")
-                    if ep.var in ctx.edge_vars:
+                    if ep.var in ctx.edge_vars | ctx.varlen_vars:
                         raise SyntaxError(
                             f"edge variable {ep.var!r} bound twice")
-                    ctx.edge_vars.add(ep.var)
+                    if ep.var_length is not None:
+                        # [r*lo..hi]: r binds the pair's MINIMUM hop
+                        # count, readable as length(r)/size(r) — list
+                        # bindings are not supported (reachability
+                        # semantics, see _varlen_hop)
+                        ctx.varlen_vars.add(ep.var)
+                    else:
+                        ctx.edge_vars.add(ep.var)
 
     if q.star and q.pre:
         # RETURN * after WITH: in scope = the last WITH's projected names
@@ -1390,27 +1434,28 @@ def _distinct_part(cols: list, *parts: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _count_sum_part(cols: list, alias: str, *parts: pa.Table) -> pa.Table:
+def _agg_part(cols: list, val: str, fn: str, alias: str,
+              *parts: pa.Table) -> pa.Table:
     t = pa.concat_tables(list(parts), promote_options="default")
-    g = t.group_by(cols).aggregate([("__cnt", "sum")])
-    g = g.rename_columns([alias if c == "__cnt_sum" else c
+    g = t.group_by(cols).aggregate([(val, fn)])
+    g = g.rename_columns([alias if c == f"{val}_{fn}" else c
                           for c in g.column_names])
     return g.select(cols + [alias])
 
 
-def group_count(ds, cols: list, alias: str = "n"):
-    """COUNT(*) grouped by all-integer key columns: per-block partial
-    counts (combiner — the shuffle moves one row per distinct key per
-    block), then one raw hash-route + per-partition Arrow sum — the same
-    `_route` tasks as the join, no sort exchange. Falls back to Ray's
-    groupby-Count for non-integer keys."""
+def _hash_group_agg(ds, cols: list, val: str, fn: str, alias: str):
+    """Grouped decomposable aggregate (fn ∈ sum/min/max — combine of
+    partials equals the total): per-block partial (combiner — the shuffle
+    moves one row per distinct key per block), then for all-integer keys
+    one raw hash-route + per-partition Arrow aggregate — the join's
+    `_route` tasks, no sort exchange. Falls back to Ray's groupby for
+    non-integer keys."""
     import ray.data as rd
 
     def local(b: pa.Table) -> pa.Table:
-        g = b.select(cols).group_by(cols).aggregate([([], "count_all")])
-        g = g.rename_columns(["__cnt" if c == "count_all" else c
-                              for c in g.column_names])
-        return g.select(cols + ["__cnt"])
+        g = b.select(cols + [val]).group_by(cols).aggregate([(val, fn)])
+        return g.rename_columns([val if c == f"{val}_{fn}" else c
+                                 for c in g.column_names])
 
     pre = ds.map_batches(local, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
@@ -1427,12 +1472,14 @@ def group_count(ds, cols: list, alias: str = "n"):
     except Exception:
         int_keys = False
     if not int_keys:
+        from ray.data.aggregate import Max, Min, Sum
+        agg = {"sum": Sum, "min": Min, "max": Max}[fn](val)
+
         def rn(b: pa.Table) -> pa.Table:
-            g = b.rename_columns([alias if c == "sum(__cnt)" else c
+            g = b.rename_columns([alias if c == f"{fn}({val})" else c
                                   for c in b.column_names])
             return g.select(cols + [alias])
-        from ray.data.aggregate import Sum
-        return pre.groupby(cols).aggregate(Sum("__cnt")) \
+        return pre.groupby(cols).aggregate(agg) \
             .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
@@ -1440,12 +1487,26 @@ def group_count(ds, cols: list, alias: str = "n"):
     parts = [_route.options(num_returns=P if P > 1 else 1)
              .remote(r, cols, P) for r in refs]
     if P == 1:
-        return rd.from_arrow_refs([_count_sum_part.remote(cols, alias,
-                                                          *parts)])
+        return rd.from_arrow_refs([_agg_part.remote(cols, val, fn, alias,
+                                                    *parts)])
     return rd.from_arrow_refs(
-        [_count_sum_part.remote(cols, alias,
-                                *[parts[i][p] for i in range(len(refs))])
+        [_agg_part.remote(cols, val, fn, alias,
+                          *[parts[i][p] for i in range(len(refs))])
          for p in range(P)])
+
+
+def group_count(ds, cols: list, alias: str = "n"):
+    """COUNT(*) grouped by key columns — per-block partial counts then
+    the `_hash_group_agg` sum combine."""
+    def local(b: pa.Table) -> pa.Table:
+        g = b.select(cols).group_by(cols).aggregate([([], "count_all")])
+        g = g.rename_columns(["__cnt" if c == "count_all" else c
+                              for c in g.column_names])
+        return g.select(cols + ["__cnt"])
+
+    pre = ds.map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return _hash_group_agg(pre, cols, "__cnt", "sum", alias)
 
 
 def _distinct(ds, cols: list):

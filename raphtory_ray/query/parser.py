@@ -148,7 +148,8 @@ _AGGS = {"count", "sum", "avg", "min", "max", "collect"}
 #: scalar (non-aggregate) functions the compiler evaluates per row — the
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
 #: (transpiler/mod.rs:1082), so this is the equivalent built-in set
-_SCALAR_FNS = {"type", "size", "id", "coalesce", "abs", "tointeger",
+_SCALAR_FNS = {"type", "size", "id", "coalesce", "length",
+               "abs", "tointeger",
                "tofloat", "tolower", "toupper", "trim",
                "ltrim", "rtrim", "reverse", "tostring",
                "round", "floor", "ceil", "sqrt", "sign",

@@ -519,8 +519,10 @@ def test_varlen_requires_bounds(ray_session):
         cypher(gf, "MATCH (a)-[*1..]->(b) RETURN a, b")
     with pytest.raises(NotImplementedError):
         cypher(gf, "MATCH (a)-[*0..2]->(b) RETURN a, b")
-    with pytest.raises(NotImplementedError):
-        cypher(gf, "MATCH (a)-[e*1..2]->(b) RETURN a, b")
+    # named bindings are supported (min-hops); a second bind of the
+    # same name is still rejected
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[e*1..2]->(b), (b)-[e]->(c) RETURN a")
 
 
 def test_optional_match_preserves_unmatched(ray_session):
@@ -1062,3 +1064,37 @@ def test_distinct_paths(ray_session):
         SELECT DISTINCT l.src AS s, r.dst AS nxt
         FROM hi l LEFT JOIN hi r ON r.src = l.dst"""))
     assert got == want
+
+
+def test_varlen_named_binding_hops(ray_session):
+    """[r*1..3]: length(r) = minimum hop count per reachable pair (BFS
+    level), usable in RETURN and WHERE; unnamed patterns unchanged."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[r*1..3]->(b) RETURN a AS src, b AS dst, "
+           "length(r) AS hops",
+           """WITH RECURSIVE dedup AS (SELECT DISTINCT src, dst FROM e),
+              reach AS (
+                SELECT src, dst, 1 AS k FROM dedup
+                UNION
+                SELECT r.src, e2.dst, r.k + 1 FROM reach r
+                JOIN dedup e2 ON e2.src = r.dst WHERE r.k < 3)
+              SELECT src, dst, MIN(k)::BIGINT AS hops FROM reach
+              GROUP BY 1, 2""")
+    _check(gf, edges, verts,
+           "MATCH (a)-[r*1..3]->(b) WHERE length(r) = 2 "
+           "RETURN count(*) AS n",
+           """WITH RECURSIVE dedup AS (SELECT DISTINCT src, dst FROM e),
+              reach AS (SELECT src, dst, 1 AS k FROM dedup
+                UNION SELECT r.src, e2.dst, r.k + 1 FROM reach r
+                JOIN dedup e2 ON e2.src = r.dst WHERE r.k < 3),
+              mins AS (SELECT src, dst, MIN(k) AS hops FROM reach
+                       GROUP BY 1, 2)
+              SELECT COUNT(*)::BIGINT AS n FROM mins WHERE hops = 2""")
+
+
+def test_length_rejects_non_varlen(ray_session):
+    gf, edges, verts = _gf()
+    from raphtory_ray.query import cypher
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN length(e) AS n")
