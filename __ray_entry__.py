@@ -3337,8 +3337,8 @@ LEFT JOIN counts s2 ON s2.slot = 7 - m.motif_id
         "doc_pack_sequences": r"""
 WITH counted AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END::BIGINT
            AS n_tokens
   FROM documents
 )
@@ -3357,8 +3357,8 @@ kept AS (
 ),
 counted AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END::BIGINT
            AS n_tokens
   FROM kept
 ),
@@ -3394,15 +3394,15 @@ FROM sampled
 """,
         "doc_token_counts": r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+            ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END::BIGINT
          AS n_tokens
 FROM documents
 """,
         "doc_trigram_repetition": r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS a
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
 ),
 -- constant bound (range() rejects subquery params); arrays are
 -- 1-indexed in DuckDB
@@ -3450,16 +3450,16 @@ FROM documents GROUP BY 1
 """,
         "doc_vocab_stats": r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
 )
 SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS tf
 FROM toks GROUP BY term
 """,
         "doc_tfidf_top3": r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
 ),
 tfs AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
         GROUP BY 1, 2),

@@ -89,25 +89,16 @@ def copurchase_edges(sf_dir: str) -> rd.Dataset:
     exchange cost ~3× the kernel (5.8 s → 1.4 s at sf0.01), and per-order
     map_groups dispatch would be worse still (orders are tiny and
     numerous)."""
-    from raphtory_ray.query.cypher import _route
+    from raphtory_ray.query.cypher import route_fanout
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_linenumber"]).materialize()
-    rows = li._block_num_rows()
-    refs = [r for r, c in zip(li.to_arrow_refs(), rows) if c]
-    if not refs:
+    out = route_fanout(li, ["l_orderkey"], _pairs_part,
+                       rows_per_part=100_000)
+    if out is None:
         z = pa.array([], pa.int64())
         return rd.from_arrow(pa.table({"src": z, "dst": z}))
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    P = max(1, min(max(8, cpus), -(-sum(rows) // 100_000)))
-    parts = [_route.options(num_returns=P if P > 1 else 1)
-             .remote(r, ["l_orderkey"], P) for r in refs]
-    if P == 1:
-        return rd.from_arrow_refs([_pairs_part.remote(*parts)])
-    return rd.from_arrow_refs(
-        [_pairs_part.remote(*[parts[i][p] for i in range(len(refs))])
-         for p in range(P)])
+    return rd.from_arrow_refs(out)
 
 
 def part_vertex_count(sf_dir: str) -> int:

@@ -419,7 +419,11 @@ def _compile_expr(e, ctx: _Ctx):
                     "rtrim": pc.utf8_rtrim_whitespace,
                     "reverse": pc.utf8_reverse,
                     "tostring": lambda v: pc.cast(v, pa.string()),
-                    "round": pc.round,
+                    # openCypher/DuckDB round halves AWAY from zero
+                    # (Arrow: half_towards_infinity); pc.round's default
+                    # is banker's rounding
+                    "round": lambda v: pc.round(
+                        v, round_mode="half_towards_infinity"),
                     "floor": pc.floor,
                     "ceil": pc.ceil,
                     "sqrt": pc.sqrt,
@@ -436,6 +440,14 @@ def _compile_expr(e, ctx: _Ctx):
             # (the reference hands these straight to DataFusion SQL too,
             # transpiler/mod.rs:1082)
             args = e.arg if isinstance(e.arg, list) else [e.arg]
+            arity = {"replace": (3, 3), "substring": (2, 3),
+                     "split": (2, 2), "left": (2, 2), "right": (2, 2)}
+            lo_n, hi_n = arity[e.name]
+            if not (lo_n <= len(args) <= hi_n):
+                raise SyntaxError(
+                    f"{e.name}() takes {lo_n}"
+                    f"{'' if lo_n == hi_n else f'..{hi_n}'} arguments, "
+                    f"got {len(args)}")
             sf = _compile_expr(args[0], ctx)
             lits = []
             for a in args[1:]:
@@ -464,8 +476,12 @@ def _compile_expr(e, ctx: _Ctx):
                     return pc.utf8_slice_codeunits(v, start=0,
                                                    stop=int(_lits[0]))
                 # right(s, n) — Python-style negative start handles
-                # strings shorter than n like the openCypher spec
-                return pc.utf8_slice_codeunits(v, start=-int(_lits[0]))
+                # strings shorter than n like the openCypher spec;
+                # n == 0 would degenerate to start=0 (whole string)
+                n_ = int(_lits[0])
+                if n_ == 0:
+                    return pc.utf8_slice_codeunits(v, start=0, stop=0)
+                return pc.utf8_slice_codeunits(v, start=-n_)
             return strfn
         raise SyntaxError(f"aggregate {e.name}() only allowed in RETURN")
     if isinstance(e, Case):
@@ -1193,7 +1209,9 @@ def _compile_one(gf, q: Query, P: int | None):
                 if np_.var not in ctx.anon_vars:
                     names.add(np_.var)
             for ep in ch.edges:
-                if ep.var is not None:
+                if ep.var is not None and ep.var not in ctx.varlen_vars:
+                    # a [r*lo..hi] binding is not a projectable scalar
+                    # (length(r) is) — skip it, matching plain RETURN *
                     names.add(ep.var)
         q.items = [ReturnItem(Var(n), None) for n in sorted(names)]
     elif q.star:
@@ -1443,6 +1461,41 @@ def _agg_part(cols: list, val: str, fn: str, alias: str,
     return g.select(cols + [alias])
 
 
+def _int_keys(ds, cols: list) -> bool:
+    """True iff every key column is integer-typed (eligible for the
+    splitmix `_route` fast path, which casts keys to int64)."""
+    try:
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        return all(pa.types.is_integer(types[c]) for c in cols)
+    except Exception:
+        return False
+
+
+def route_fanout(mat, keys: list, task, task_args: tuple = (),
+                 rows_per_part: int = 50_000):
+    """MATERIALIZED Dataset → one ``task(*task_args, *pieces)`` per hash
+    partition of the int64 ``keys`` (the join's `_route` tasks; partition
+    count ~rows_per_part rows each, CPU-capped — the shared fan-out
+    behind `_distinct`, `_hash_group_agg` and the co-purchase pair
+    derivation). Returns the list of result refs, or None when every
+    block is empty."""
+    rows = mat._block_num_rows()
+    refs = [r for r, c in zip(mat.to_arrow_refs(), rows) if c]
+    if not refs:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    P = max(1, min(max(8, cpus), -(-sum(rows) // rows_per_part)))
+    parts = [_route.options(num_returns=P if P > 1 else 1)
+             .remote(r, keys, P) for r in refs]
+    if P == 1:
+        return [task.remote(*task_args, *parts)]
+    return [task.remote(*task_args, *[parts[i][p]
+                                      for i in range(len(refs))])
+            for p in range(P)]
+
+
 def _hash_group_agg(ds, cols: list, val: str, fn: str, alias: str):
     """Grouped decomposable aggregate (fn ∈ sum/min/max — combine of
     partials equals the total): per-block partial (combiner — the shuffle
@@ -1459,19 +1512,17 @@ def _hash_group_agg(ds, cols: list, val: str, fn: str, alias: str):
 
     pre = ds.map_batches(local, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
-    rows = pre._block_num_rows()
-    refs = [r for r, c in zip(pre.to_arrow_refs(), rows) if c]
-    if not refs:
-        z = {c: pa.array([], pa.int64()) for c in cols}
-        z[alias] = pa.array([], pa.int64())
+    if not any(pre._block_num_rows()):
+        # typed empty result (the input schema survives the local pass)
+        try:
+            types = dict(zip(pre.schema().names, pre.schema().types))
+            z = {c: pa.array([], types[c]) for c in cols}
+            z[alias] = pa.array([], types[val])
+        except Exception:
+            z = {c: pa.array([], pa.int64()) for c in cols}
+            z[alias] = pa.array([], pa.int64())
         return rd.from_arrow(pa.table(z))
-    schema = pre.schema()
-    try:
-        types = dict(zip(schema.names, schema.types))
-        int_keys = all(pa.types.is_integer(types[c]) for c in cols)
-    except Exception:
-        int_keys = False
-    if not int_keys:
+    if not _int_keys(pre, cols):
         from ray.data.aggregate import Max, Min, Sum
         agg = {"sum": Sum, "min": Min, "max": Max}[fn](val)
 
@@ -1481,18 +1532,8 @@ def _hash_group_agg(ds, cols: list, val: str, fn: str, alias: str):
             return g.select(cols + [alias])
         return pre.groupby(cols).aggregate(agg) \
             .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    P = max(1, min(max(8, cpus), -(-sum(rows) // 50_000)))
-    parts = [_route.options(num_returns=P if P > 1 else 1)
-             .remote(r, cols, P) for r in refs]
-    if P == 1:
-        return rd.from_arrow_refs([_agg_part.remote(cols, val, fn, alias,
-                                                    *parts)])
     return rd.from_arrow_refs(
-        [_agg_part.remote(cols, val, fn, alias,
-                          *[parts[i][p] for i in range(len(refs))])
-         for p in range(P)])
+        route_fanout(pre, cols, _agg_part, (cols, val, fn, alias)))
 
 
 def group_count(ds, cols: list, alias: str = "n"):
@@ -1525,29 +1566,12 @@ def _distinct(ds, cols: list):
 
     pre = ds.map_batches(local, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
-    rows = pre._block_num_rows()
-    refs = [r for r, c in zip(pre.to_arrow_refs(), rows) if c]
-    if not refs:
+    if not any(pre._block_num_rows()):
         return pre
-    schema = pre.schema()
-    try:
-        types = dict(zip(schema.names, schema.types))
-        int_keys = all(pa.types.is_integer(types[c]) for c in cols)
-    except Exception:
-        int_keys = False
-    if not int_keys:
+    if not _int_keys(pre, cols):
         return pre.groupby(cols).aggregate(Count()).select_columns(cols)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    P = max(1, min(max(8, cpus), -(-sum(rows) // 50_000)))
-    parts = [_route.options(num_returns=P if P > 1 else 1)
-             .remote(r, cols, P) for r in refs]
-    if P == 1:
-        return rd.from_arrow_refs([_distinct_part.remote(cols, *parts)])
-    return rd.from_arrow_refs(
-        [_distinct_part.remote(cols, *[parts[i][p]
-                                       for i in range(len(refs))])
-         for p in range(P)])
+    return rd.from_arrow_refs(route_fanout(pre, cols, _distinct_part,
+                                           (cols,)))
 
 
 def _agg_hint(phint: pa.Table, aggs: list, key_names: list) -> pa.Table:

@@ -1098,3 +1098,23 @@ def test_length_rejects_non_varlen(ray_session):
     from raphtory_ray.query import cypher
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH (a)-[e]->(b) RETURN length(e) AS n")
+
+
+def test_review_fixes_r4(ray_session):
+    """Review regressions: RETURN * after WITH skips varlen bindings;
+    multi-arg string fns validate arity; round() halves away from zero;
+    right(s, 0) is empty."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    got = cypher(gf, "MATCH (a)-[e]->(b) WITH a AS x, b AS y "
+                     "MATCH (y)-[r*1..2]->(c) RETURN *").take_all()
+    assert got and sorted(got[0]) == ["c", "x", "y"]
+    for bad in ["replace(a.gid, 'u')", "substring(a.gid)", "left(a.gid)",
+                "right(a.gid)", "split(a.gid)",
+                "replace(a.gid, 'u', 'x', 'y')"]:
+        with pytest.raises(SyntaxError):
+            cypher(gf, f"MATCH (a) RETURN {bad} AS r")
+    _check(gf, edges, verts,
+           "MATCH (a) RETURN right(a.gid, 0) AS r, "
+           "round(toFloat(a.vid) + 0.5) AS h",
+           "SELECT right(gid, 0) AS r, ROUND(vid + 0.5, 0) AS h FROM v")
