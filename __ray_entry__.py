@@ -442,11 +442,14 @@ def _q_cypher_case_bands(sf_dir: str):
     case_expression; the reference transpiles CASE straight to DataFusion
     SQL, raphtory-cypher/src/transpiler/mod.rs:1082)."""
     from raphtory_ray.query import cypher
+    # sum over floor(w): integer-valued doubles sum EXACTLY in any
+    # order (driver float hashing is bit-exact; a raw float sum differs
+    # from DuckDB in the last ulp depending on reduction order)
     return cypher(_user_gf(sf_dir),
                   "MATCH (a)-[e]->(b) RETURN "
                   "CASE WHEN e.w > 200.0 THEN 'high' "
                   "WHEN e.w > 50.0 THEN 'mid' ELSE 'low' END AS band, "
-                  "count(*) AS n, sum(e.w) AS total_w")
+                  "count(*) AS n, sum(floor(e.w)) AS total_w_fl")
 
 
 def _q_cypher_regex_strfns(sf_dir: str):
@@ -1315,9 +1318,11 @@ def _q_doc_vocab_stats(sf_dir: str):
 def _q_doc_tfidf_top3(sf_dir: str):
     """Top-3 TF-IDF terms per document: broadcast df table (ray.put) +
     vectorized binary search per batch, per-doc top-k via np.lexsort —
-    no shuffle join (data/text.py tfidf_top_terms)."""
+    no shuffle join (data/text.py tfidf_top_terms). Scores quantized to
+    the 1e-9 grid and RANKED on the quantized value (ln() is
+    libm-dependent; the driver hashes floats bit-exactly)."""
     from raphtory_ray.data.text import tfidf_top_terms
-    return tfidf_top_terms(_docs(sf_dir), k=3)
+    return tfidf_top_terms(_docs(sf_dir), k=3, quantize=1e9)
 
 
 class _HashEmbedModel:
@@ -2830,7 +2835,7 @@ SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
 WITH {_USER_EDGES}
 SELECT CASE WHEN w > 200.0 THEN 'high'
             WHEN w > 50.0 THEN 'mid' ELSE 'low' END AS band,
-       COUNT(*)::BIGINT AS n, SUM(w) AS total_w
+       COUNT(*)::BIGINT AS n, SUM(FLOOR(w)) AS total_w_fl
 FROM user_edges GROUP BY 1
 """,
         "cypher_regex_strfns": """
@@ -3467,15 +3472,16 @@ dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 nd AS (SELECT COUNT(*) AS n FROM documents),
 scored AS (
   SELECT t.doc_id, t.term, t.tf,
-         t.tf * ln(nd.n::DOUBLE / d.df) AS score
+         CAST(FLOOR(t.tf * ln(nd.n::DOUBLE / d.df) * 1e9 + 0.5000001)
+              AS BIGINT) AS score_q
   FROM tfs t JOIN dfs d USING (term) CROSS JOIN nd
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY score DESC, term) AS rk
+                               ORDER BY score_q DESC, term) AS rk
   FROM scored
 )
-SELECT doc_id, term, tf, score, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+SELECT doc_id, term, tf, score_q, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """,
         "doc_lang_counts": """
 SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang

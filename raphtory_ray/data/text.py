@@ -316,7 +316,7 @@ def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", quantize: float | None = None):
     """Top-k terms per document by tf × ln(N/df), ties broken by term
     ascending (deterministic at any parallelism).
 
@@ -324,7 +324,12 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
     — at 100 TB, cap it with a min-df threshold or top-V truncation
     before this step) and broadcast via ray.put; each batch resolves its
     terms with a vectorized binary search — no shuffle join. Per-doc
-    top-k is one np.lexsort per batch."""
+    top-k is one np.lexsort per batch.
+
+    ``quantize`` (e.g. 1e9) snaps scores to an integer grid
+    (floor(score·q + 0.5000001), int64 ``score_q``) and RANKS on the
+    quantized value, so ranking and output are bit-identical to any
+    engine whose ln() differs from libm in the last ulp."""
     import ray as _ray
     stats = vocab_stats(ds, text_col, id_col).take_all()
     terms = np.array([r["term"] for r in stats], dtype=object)
@@ -333,11 +338,13 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
     n_docs = ds.count()
     ref = _ray.put((terms[order], dfs[order], n_docs))
 
-    def topk(b: pa.Table, _ref=ref, _k=k) -> pa.Table:
+    def topk(b: pa.Table, _ref=ref, _k=k, _q=quantize) -> pa.Table:
         vocab, df_sorted, n = _ray.get(_ref)
         d, t, tf = _doc_term_tf(b, text_col, id_col)
         pos = np.searchsorted(vocab, t)
         score = tf * np.log(n / df_sorted[pos])
+        if _q is not None:
+            score = np.floor(score * _q + 0.5000001).astype(np.int64)
         # primary doc, then score desc, then term asc
         o = np.lexsort((t, -score, d))
         ds_, ts_, tfs_, sc_ = d[o], t[o], tf[o], score[o]
@@ -345,13 +352,17 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
         sizes = np.diff(np.r_[starts, len(ds_)])
         rank = np.arange(len(ds_)) - np.repeat(starts, sizes)
         keep = rank < _k
-        return pa.table({
+        cols = {
             id_col: pa.array(ds_[keep], pa.int64()),
             "term": pa.array(ts_[keep], pa.string()),
             "tf": pa.array(tfs_[keep], pa.int64()),
-            "score": pa.array(sc_[keep], pa.float64()),
-            "rk": pa.array(rank[keep] + 1, pa.int64()),
-        })
+        }
+        if _q is not None:
+            cols["score_q"] = pa.array(sc_[keep], pa.int64())
+        else:
+            cols["score"] = pa.array(sc_[keep], pa.float64())
+        cols["rk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(topk, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -464,3 +464,11 @@ def test_vocab_stats_and_tfidf(ray_session):
     assert abs(got["a"] - 3 * math.log(4 / 2)) < 1e-12
     assert abs(got["d"] - math.log(4 / 1)) < 1e-12
     assert 3 not in by_doc  # blank doc yields no terms
+
+    # quantized path: int64 score_q on the 1e-9 grid, same ranking
+    qrows = tfidf_top_terms(ds, k=2, quantize=1e9).take_all()
+    q2 = {r["term"]: r["score_q"] for r in qrows if r["doc_id"] == 2}
+    assert q2["a"] == math.floor(3 * math.log(4 / 2) * 1e9 + 0.5000001)
+    assert all(isinstance(r["score_q"], int) for r in qrows)
+    assert sorted((r["doc_id"], r["rk"], r["term"]) for r in qrows) == \
+        sorted((r["doc_id"], r["rk"], r["term"]) for r in rows)
