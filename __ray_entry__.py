@@ -452,6 +452,21 @@ def _q_cypher_case_bands(sf_dir: str):
                   "count(*) AS n, sum(floor(e.w)) AS total_w_fl")
 
 
+def _q_cypher_stdev(sf_dir: str):
+    """stDev/stDevP aggregates (Neo4j aggregate set; the reference
+    transpiles any aggregate FunctionInvocation to DataFusion SQL,
+    raphtory-cypher/src/transpiler/mod.rs:1082). Decomposed as
+    (n, Σx, Σx²) combines; over floor(w) every partial is an exact
+    float64 integer, so sqrt((n·Σx²−(Σx)²)/(n·(n−ddof))) is bit-exact
+    against DuckDB evaluating the same closed form."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) "
+                  "WITH id(b) % 16 AS g, floor(e.w) AS wf "
+                  "RETURN g, count(*) AS n, "
+                  "stDev(wf) AS sd, stDevP(wf) AS sdp")
+
+
 def _q_cypher_regex_strfns(sf_dir: str):
     """=~ whole-string regex + simple-form CASE + string scalar functions
     (left/toUpper/replace) over the typed (layered) user graph."""
@@ -1741,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_case_bands": _q_cypher_case_bands,
+        "cypher_stdev": _q_cypher_stdev,
         "cypher_regex_strfns": _q_cypher_regex_strfns,
         "cypher_layer_filter": _q_cypher_layer_filter,
         "cypher_undirected": _q_cypher_undirected,
@@ -2837,6 +2853,22 @@ SELECT CASE WHEN w > 200.0 THEN 'high'
             WHEN w > 50.0 THEN 'mid' ELSE 'low' END AS band,
        COUNT(*)::BIGINT AS n, SUM(FLOOR(w)) AS total_w_fl
 FROM user_edges GROUP BY 1
+""",
+        # stDev/stDevP: same closed form as the engine's finalize —
+        # over FLOOR(w) every SUM/COUNT partial is an exact integer in
+        # float64, so sub/mul are exact and div/sqrt correctly rounded:
+        # bit-identical in any summation order
+        "cypher_stdev": f"""
+WITH {_USER_EDGES},
+w AS (SELECT (dst % 16) AS g, FLOOR(w) AS wf FROM user_edges)
+SELECT g, COUNT(*)::BIGINT AS n,
+  CASE WHEN COUNT(*) > 1 THEN
+    sqrt(GREATEST(COUNT(*)*SUM(wf*wf) - SUM(wf)*SUM(wf), 0)
+         / (COUNT(*)*(COUNT(*)-1.0)))
+  ELSE 0.0 END AS sd,
+  sqrt(GREATEST(COUNT(*)*SUM(wf*wf) - SUM(wf)*SUM(wf), 0)
+       / (COUNT(*)*COUNT(*)*1.0)) AS sdp
+FROM w GROUP BY g
 """,
         "cypher_regex_strfns": """
 WITH typed AS (

@@ -1313,7 +1313,8 @@ def _out_name(it: ReturnItem) -> str:
     return it.alias or expr_text(it.expr)
 
 
-_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect"}
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect",
+            "stdev", "stdevp"}
 
 
 def _is_agg(e) -> bool:
@@ -1584,7 +1585,7 @@ def _agg_hint(phint: pa.Table, aggs: list, key_names: list) -> pa.Table:
         name = _out_name(it)
         if f.name == "count":
             t = pa.int64()
-        elif f.name == "avg":
+        elif f.name in ("avg", "stdev", "stdevp"):
             t = pa.float64()
         elif f.name == "collect":
             t = pa.list_(phint[f"__agg{i}"].type)
@@ -1717,12 +1718,39 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
     if any(it.expr.name == "collect" for it in aggs):
         return _aggregate_with_collect(ds, aggs, key_names, phint)
 
+    # stDev/stDevP decompose as (n, Σx, Σx²) — three Sum/Count combines
+    # feeding sqrt((n·Σx² − (Σx)²) / (n·(n−ddof))) in ONE finalize pass.
+    # On integral inputs every partial is an exact float64 integer, so
+    # the result is bit-identical to any engine evaluating the same
+    # closed form (libm-free: sub/mul exact, div and sqrt correctly
+    # rounded). Neo4j semantics: n ≤ ddof (empty group / single sample
+    # for stDev) → 0.0.
+    sd_plan = [(i, _out_name(it), 1 if it.expr.name == "stdev" else 0)
+               for i, it in enumerate(aggs)
+               if it.expr.name in ("stdev", "stdevp")]
+    if sd_plan:
+        sq = [f"__agg{i}" for i, _, _ in sd_plan]
+
+        def add_squares(b: pa.Table, _sq=sq) -> pa.Table:
+            for c in _sq:
+                x = pc.cast(b[c], pa.float64())
+                b = b.append_column(c + "q", pc.multiply(x, x))
+            return b
+
+        ds = ds.map_batches(add_squares, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
     specs = []
     for i, it in enumerate(aggs):
         f: Func = it.expr
         name = _out_name(it)
         col = f"__agg{i}"
-        if f.name == "count":
+        if f.name in ("stdev", "stdevp"):
+            specs.append(Sum(col, alias_name=f"__sd_s1_{i}"))
+            specs.append(Sum(col + "q", alias_name=f"__sd_s2_{i}"))
+            specs.append(Count(on=col, ignore_nulls=True,
+                               alias_name=f"__sd_n_{i}"))
+        elif f.name == "count":
             if f.arg is None:
                 specs.append(Count(alias_name=name) if key_names else
                              Count(on="__rows", ignore_nulls=False,
@@ -1742,11 +1770,48 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
             raise NotImplementedError(f"aggregate {f.name}()")
 
     if key_names:
-        return ds.groupby(key_names).aggregate(*specs)
+        out = ds.groupby(key_names).aggregate(*specs)
+        if sd_plan:
+            order = key_names + [_out_name(it) for it in aggs]
+            out = out.map_batches(
+                lambda b, _o=order: _finish_stdev(b, sd_plan).select(_o),
+                batch_format="pyarrow", zero_copy_batch=True)
+        return out
     res = ds.aggregate(*specs)
-    names = [_out_name(it) for it in aggs]
-    return rd.from_arrow(pa.table(
-        {n: pa.array([res.get(n)]) for n in names}))
+    cols = {}
+    for i, it in enumerate(aggs):
+        name = _out_name(it)
+        if it.expr.name in ("stdev", "stdevp"):
+            ddof = 1 if it.expr.name == "stdev" else 0
+            n = res.get(f"__sd_n_{i}") or 0
+            s1 = res.get(f"__sd_s1_{i}") or 0.0
+            s2 = res.get(f"__sd_s2_{i}") or 0.0
+            den = n * (n - ddof)
+            v = float(np.sqrt(max(n * s2 - s1 * s1, 0.0) / den)) \
+                if den > 0 else 0.0
+            cols[name] = pa.array([v], pa.float64())
+        else:
+            cols[name] = pa.array([res.get(name)])
+    return rd.from_arrow(pa.table(cols))
+
+
+def _finish_stdev(b: pa.Table, plan: list) -> pa.Table:
+    """Turn the (n, Σx, Σx²) combine columns into the stdev column(s)
+    and drop the scaffolding. All-null groups have Sum = null → 0."""
+    for i, name, ddof in plan:
+        n = b[f"__sd_n_{i}"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s1 = pc.fill_null(pc.cast(b[f"__sd_s1_{i}"], pa.float64()),
+                          0.0).to_numpy(zero_copy_only=False)
+        s2 = pc.fill_null(pc.cast(b[f"__sd_s2_{i}"], pa.float64()),
+                          0.0).to_numpy(zero_copy_only=False)
+        den = n * (n - ddof)
+        num = np.maximum(n * s2 - s1 * s1, 0.0)
+        res = np.where(den > 0,
+                       np.sqrt(num / np.where(den > 0, den, 1.0)), 0.0)
+        b = b.append_column(name, pa.array(res, pa.float64()))
+    return b.drop_columns([c for c in b.column_names
+                           if c.startswith("__sd_")])
 
 
 def _aggregate_with_collect(ds, aggs: list, key_names: list,
@@ -1796,6 +1861,15 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
                 cols[name] = pa.array([pc.min(v).as_py()], v.type)
             elif fn == "max":
                 cols[name] = pa.array([pc.max(v).as_py()], v.type)
+            elif fn in ("stdev", "stdevp"):
+                x = pc.cast(pc.drop_null(v), pa.float64()).to_numpy(
+                    zero_copy_only=False)
+                ddof = 1 if fn == "stdev" else 0
+                den = len(x) * (len(x) - ddof)
+                val = float(np.sqrt(max(
+                    len(x) * (x * x).sum() - x.sum() ** 2, 0.0) / den)) \
+                    if den > 0 else 0.0
+                cols[name] = pa.array([val], pa.float64())
             else:
                 raise NotImplementedError(f"aggregate {fn}()")
         return pa.table(cols)
@@ -1823,6 +1897,8 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
             cols[name] = pa.array([0], pa.int64())
         elif fn == "sum":
             cols[name] = pa.array([0], t)     # Cypher: sum of empty = 0
+        elif fn in ("stdev", "stdevp"):
+            cols[name] = pa.array([0.0], pa.float64())
         elif fn == "avg":
             cols[name] = pa.array([None], pa.float64())
         else:
@@ -1838,7 +1914,7 @@ def _collect_empty(g: pa.Table, plan, key_names, grouped) -> pa.Table:
             cols[name] = pa.array([], pa.list_(t))
         elif fn == "count":
             cols[name] = pa.array([], pa.int64())
-        elif fn == "avg":
+        elif fn in ("avg", "stdev", "stdevp"):
             cols[name] = pa.array([], pa.float64())
         else:
             cols[name] = pa.array([], t)

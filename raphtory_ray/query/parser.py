@@ -144,7 +144,8 @@ _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "starts", "ends", "with", "null", "optional", "is", "xor",
              "skip", "union", "all", "unwind", "in",
              "case", "when", "then", "else", "end"}
-_AGGS = {"count", "sum", "avg", "min", "max", "collect"}
+_AGGS = {"count", "sum", "avg", "min", "max", "collect",
+         "stdev", "stdevp"}
 #: scalar (non-aggregate) functions the compiler evaluates per row — the
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
 #: (transpiler/mod.rs:1082), so this is the equivalent built-in set

@@ -717,6 +717,63 @@ def test_collect_mixed_aggs_and_global(ray_session):
     assert [list(g[0]["ids"])] == [w["ids"] for w in want]
 
 
+_SD_SQL = ("CASE WHEN COUNT(*) > 1 THEN "
+           "sqrt(GREATEST(COUNT(*)*SUM(t*t) - SUM(t)*SUM(t), 0)"
+           " / (COUNT(*)*(COUNT(*)-1.0))) ELSE 0.0 END")
+_SDP_SQL = ("sqrt(GREATEST(COUNT(*)*SUM(t*t) - SUM(t)*SUM(t), 0)"
+            " / (COUNT(*)*COUNT(*)*1.0))")
+
+
+def test_stdev_grouped_vs_duckdb(ray_session):
+    """stDev/stDevP over integer inputs are bit-exact against the same
+    (n·Σx²−(Σx)²)/(n·(n−ddof)) closed form in DuckDB (every partial is
+    an exact float64 integer; div and sqrt correctly rounded)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a AS src, count(*) AS n, "
+           "stDev(e.t) AS sd, stDevP(e.t) AS sdp",
+           f"SELECT src, COUNT(*)::BIGINT AS n, {_SD_SQL} AS sd, "
+           f"{_SDP_SQL} AS sdp FROM e GROUP BY src")
+
+
+def test_stdev_global_and_numpy(ray_session):
+    import numpy as np
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    t = edges["t"].to_numpy()
+    row = cypher(gf, "MATCH (a)-[e]->(b) RETURN stDev(e.t) AS sd, "
+                     "stDevP(e.t) AS sdp, avg(e.t) AS m").take_all()[0]
+    assert row["sd"] == pytest.approx(np.std(t, ddof=1), rel=1e-12)
+    assert row["sdp"] == pytest.approx(np.std(t, ddof=0), rel=1e-12)
+    # single sample → 0.0 (Neo4j), empty match → 0.0
+    one = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.event_id = 3 "
+                     "RETURN stDev(e.t) AS sd").take_all()
+    assert one == [{"sd": 0.0}]
+    empty = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t > 10000 "
+                       "RETURN stDev(e.t) AS sd, count(*) AS n").take_all()
+    assert empty == [{"sd": 0.0, "n": 0}]
+
+
+def test_stdev_through_with_and_collect_mix(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    # WITH carry: stdev of a projected expression, then HAVING-filter
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WITH a, stDevP(e.t) AS sdp "
+           "WHERE sdp > 10.0 RETURN a AS src, sdp",
+           f"SELECT src, sdp FROM (SELECT src, {_SDP_SQL} AS sdp "
+           "FROM e GROUP BY src) WHERE sdp > 10.0")
+    # mixed with collect routes through the map_groups path
+    rows = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t < 20 "
+                      "RETURN a, collect(e.t) AS ts, "
+                      "stDev(e.t) AS sd").take_all()
+    import numpy as np
+    for r in rows:
+        want = float(np.std(np.asarray(r["ts"], float), ddof=1)) \
+            if len(r["ts"]) > 1 else 0.0
+        assert r["sd"] == pytest.approx(want, rel=1e-12)
+
+
 def test_size_of_collect_through_with(ray_session):
     gf, edges, verts = _gf()
     _check(gf, edges, verts,

@@ -49,8 +49,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-                ok = np.allclose(av.astype(float), bv.astype(float),
-                                 rtol=1e-12, atol=1e-12)
+                import os
+                if os.environ.get("ORACLE_BITEXACT"):
+                    # predict the driver's value-hash: floats compare
+                    # bit-for-bit (NaN==NaN, -0.0 != 0.0)
+                    ok = (av.astype(float).tobytes()
+                          == bv.astype(float).tobytes())
+                else:
+                    ok = np.allclose(av.astype(float), bv.astype(float),
+                                     rtol=1e-12, atol=1e-12)
             else:
                 ok = (av.astype(str) == bv.astype(str)).all() \
                     if av.dtype == object or bv.dtype == object \
