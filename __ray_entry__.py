@@ -1571,6 +1571,14 @@ def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     return embedding_dedup(_embs(sf_dir))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style two-phase dedup: seeded direction-bank clustering
+    (one map_batches pass) + within-cluster min-id epsilon-ball pruning
+    (one hash shuffle, per-cluster matmul)."""
+    from raphtory_ray.data.semdedup import semantic_dedup
+    return semantic_dedup(_embs(sf_dir), n_seeds=8, threshold=0.9)
+
+
 # ------------------------------------------------------------ corpus queries
 
 def _corpus_sf(sf_dir: str) -> float:
@@ -1829,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_knn_ivf,
         "emb_knn_ivf_full": _q_knn_ivf_full,
         "emb_cosine_dedup": _q_embedding_dedup,
+        "emb_semantic_dedup": _q_semantic_dedup,
         "corpus_files": _q_corpus_files,
         "corpus_pagerank_5iter": _q_corpus_pagerank5,
         "corpus_wcc": _q_corpus_wcc,
@@ -2479,6 +2488,48 @@ SELECT node AS vec_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
 """
 
 
+def _emb_semantic_dedup_sql(n_seeds: int = 8, threshold: float = 0.9,
+                            seed: int = 11, quant: float = 1e4,
+                            dim: int = 64) -> str:
+    """Faithful mirror of semdedup.semantic_dedup: the seeded gaussian
+    direction bank (same RNG stream as semdedup.seed_bank) is inlined as
+    literal DOUBLE[] vectors; cluster = argmax of floor(dot * quant) with
+    lowest-seed-index tie-break (row_number ORDER BY q DESC, j ASC);
+    keep = no lower-vec_id same-cluster member with
+    floor(cosine * quant) >= floor-grid threshold."""
+    from raphtory_ray.data.semdedup import seed_bank
+    S = seed_bank(dim, n_seeds, seed)
+    qthr = int(round(threshold * quant))
+
+    def vec(j: int) -> str:
+        return "[" + ",".join(repr(float(v)) for v in S[:, j]) + "]::DOUBLE[]"
+
+    scores = "\nUNION ALL\n".join(
+        f"SELECT vec_id, e, {j} AS j, CAST(floor(list_dot_product(e, "
+        f"{vec(j)}) * {quant}) AS BIGINT) AS q FROM emb"
+        for j in range(n_seeds))
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), sc AS MATERIALIZED (
+  {scores}
+), asg AS MATERIALIZED (
+  SELECT vec_id, e, j AS cluster FROM sc
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY q DESC, j ASC) = 1
+), dom AS (
+  SELECT DISTINCT y.vec_id
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE CAST(floor(list_cosine_similarity(x.e, y.e) * {quant}) AS BIGINT)
+        >= {qthr}
+)
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       (a.vec_id NOT IN (SELECT vec_id FROM dom)) AS keep
+FROM asg a
+"""
+
+
 def _sm64_chain(prev: str, pfx: str, xexpr: str, carry: list[str]) -> str:
     """splitmix64 over ``xexpr`` (already reduced mod 2^64) as a chain of
     CTE stages in HUGEINT masked arithmetic (same constants as
@@ -2680,6 +2731,7 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "doc_minhash_dedup": _minhash_sql(),
         "doc_simhash_dedup": _simhash_sql(),
         "emb_cosine_dedup": _emb_cosine_dedup_sql(),
+        "emb_semantic_dedup": _emb_semantic_dedup_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),

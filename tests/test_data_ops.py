@@ -189,6 +189,36 @@ def test_embedding_dedup_planted(emb_ds):
     assert cl[81] == cl[9] == 9
 
 
+def test_semantic_dedup_planted(emb_ds):
+    """Planted near-dups (80~5 perturbed, 81=9 scaled) must land in the
+    same cluster (scaling never changes the argmax; the perturbation is
+    tiny) and the HIGHER vec_id of each pair must be dropped; every
+    numpy brute-force keep decision must match (min-id epsilon-ball)."""
+    from raphtory_ray.data.semdedup import semantic_dedup, seed_bank
+    ds, mat = emb_ds
+    t = (semantic_dedup(ds, n_seeds=4, threshold=0.98, seed=3)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(t) == len(mat)
+    cl = dict(zip(t["vec_id"], t["cluster"]))
+    keep = dict(zip(t["vec_id"], t["keep"]))
+    assert cl[81] == cl[9]
+    assert keep[9] and not keep[81]
+    assert cl[80] == cl[5]
+    assert keep[5] and not keep[80]
+    # full numpy oracle on the same quantized grid
+    m = mat.astype(np.float64)
+    S = seed_bank(16, 4, 3)
+    q = np.floor(m @ S * 1e4).astype(np.int64)
+    exp_cl = np.argmax(q, axis=1)
+    assert (t["cluster"].to_numpy() == exp_cl).all()
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    g = np.floor(unit @ unit.T * 1e4).astype(np.int64)
+    for v in range(len(m)):
+        dom = any(g[u, v] >= 9800 and exp_cl[u] == exp_cl[v]
+                  for u in range(v))
+        assert keep[v] == (not dom), v
+
+
 def test_multimodal_pipeline(ray_session):
     import ray.data as rd
     from raphtory_ray.data.multimodal import (DecodeAudioStage,
