@@ -619,6 +619,21 @@ def run_scaling_weak(cpus=(8, 32)) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if (os.environ.get("RA_AFFINITY") == "1"
+            and hasattr(os, "sched_setaffinity")
+            and ("--scaling-single" in sys.argv
+                 or "--scaling-compute-single" in sys.argv)):
+        # Affinity-pinned protocol: confine the N-CPU level to exactly N
+        # physical cores. The north rule compares an N-node cluster to a
+        # 4N-node cluster — per-worker HARDWARE share is constant across
+        # levels there, but on one 32-core box a free-floating 8-worker run
+        # spreads over all 32 cores' L2/LLC and turbo headroom, inflating
+        # the low level (and so deflating measured efficiency). Pinning the
+        # driver before ray.init makes raylet + workers inherit the mask,
+        # so an "8-node" run really runs on 8 cores. DRAM bandwidth stays
+        # shared either way (single socket), so this remains a LOWER bound
+        # on real-cluster weak scaling for compute-bound stages.
+        os.sched_setaffinity(0, set(range(num_cpus)))
     if "--scaling-single" in sys.argv:
         print(json.dumps(run_scaling_single(num_cpus)))
     elif "--scaling-compute-single" in sys.argv:

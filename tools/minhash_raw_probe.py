@@ -54,6 +54,11 @@ def _shard(args):
 
 
 def run(nproc: int) -> dict:
+    if (os.environ.get("RA_AFFINITY") == "1"
+            and hasattr(os, "sched_setaffinity")):
+        # match bench.py's affinity-pinned protocol: the N-worker level
+        # runs on exactly N cores (pool children inherit the mask)
+        os.sched_setaffinity(0, set(range(nproc)))
     import ray  # only to reuse the cached corpus generator
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
