@@ -165,6 +165,19 @@ def _q_pagerank5(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_ppr5(sf_dir: str) -> pa.Table:
+    """Personalized PageRank forced to exactly 5 supersteps: teleport and
+    sink mass restart to the seed set {part ids ≡ 0 (mod 50)} instead of
+    uniformly (state/shards.py pagerank(personalization=...)). Same 1e-9
+    quantization grid as copurchase_pagerank_5iter."""
+    _, g, ids = _copurchase(sf_dir)
+    pv = (ids % 50 == 0).astype(np.float64)
+    scores, _it, _ = g.pagerank(iter_count=5, tol=0.0, personalization=pv)
+    q = np.floor(scores * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "pr_q": pa.array(q, pa.int64())})
+
+
 def _q_lpa3(sf_dir: str) -> pa.Table:
     """LPA forced to exactly 3 synchronous iterations — the full
     mode-with-tiebreak update (self + distinct und-neighbour labels, max
@@ -1742,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_reciprocity": _q_reciprocity,
         "copurchase_pagerank": _q_pagerank,
         "copurchase_pagerank_5iter": _q_pagerank5,
+        "copurchase_ppr_5iter": _q_ppr5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa_3iter": _q_lpa3,
         "copurchase_hits_3iter": _q_hits3,
@@ -1946,6 +1960,64 @@ r0 AS MATERIALIZED (
 ),
 {chain}
 {final.replace('{prev}', prev)}
+"""
+
+
+def _ppr5_sql(iters: int = 5, d: float = 0.85, seed_mod: int = 50) -> str:
+    """Unrolled PERSONALIZED PageRank: teleport and sink mass restart to
+    the seed distribution p (uniform over {node ≡ 0 mod seed_mod}) —
+    r_{k+1} = (1-d)·p + d·Aᵀ D⁻¹ r_k + d·sink_k·p, r_0 = p. Float-op
+    order mirrors shards.py pagerank(personalization=...) exactly; same
+    1e-9 grid as _pagerank5_sql."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        steps.append(f"""sink{k} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.score), 0) AS s
+  FROM {prev} r LEFT JOIN od ON r.node = od.node
+  WHERE od.node IS NULL
+),
+{cur} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {d}) * pv.p
+         + {d} * COALESCE(c.contrib, 0)
+         + {d} * (SELECT s FROM sink{k}) * pv.p AS score
+  FROM nodes JOIN pvec pv ON nodes.node = pv.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.score / od.od) AS contrib
+    FROM dedup e
+    JOIN {prev} r ON e.src = r.node
+    JOIN od ON e.src = od.node
+    GROUP BY e.dst
+  ) c ON nodes.node = c.node
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+),
+seeds AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node % {seed_mod} = 0
+),
+ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds),
+pvec AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT n FROM ns) END AS p
+  FROM nodes LEFT JOIN seeds s ON nodes.node = s.node
+),
+od AS MATERIALIZED (
+  SELECT src AS node, COUNT(*)::DOUBLE AS od FROM dedup GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, p AS score FROM pvec
+),
+{chain}
+SELECT node AS vid,
+       CAST(FLOOR(score * 1e9 + 0.5000001) AS BIGINT) AS pr_q FROM {prev}
 """
 
 
@@ -2733,6 +2805,7 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "emb_cosine_dedup": _emb_cosine_dedup_sql(),
         "emb_semantic_dedup": _emb_semantic_dedup_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
+        "copurchase_ppr_5iter": _ppr5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
         "user_dijkstra_cents": _dijkstra_sql(),

@@ -564,9 +564,16 @@ class BspGraph:
 
     # ------------------------------------------------------------ algorithms
     def pagerank(self, damping=0.85, iter_count=20, tol=1e-6, use_l2_norm=True,
-                 checkpoint=None):
+                 checkpoint=None, personalization=None):
         """Reference-exact PageRank (pagerank.rs:55-179). Returns
-        (scores, iterations, per-superstep seconds list)."""
+        (scores, iterations, per-superstep seconds list).
+
+        ``personalization`` (beyond the reference — pagerank.rs has no
+        restart vector; standard PPR used for seed-biased relevance in
+        training-data curation): a length-n non-negative weight vector;
+        teleport AND sink mass restart proportionally to it instead of
+        uniformly. ``None`` keeps the reference's uniform recurrence on the
+        exact same float-op order as before (bit-stable oracles)."""
         import time
         n = self.n
         outdeg = self.out_degree
@@ -574,7 +581,16 @@ class BspGraph:
         nz = outdeg > 0
         inv_outdeg[nz] = 1.0 / outdeg[nz]
         sink_mask = ~nz
-        prev = np.full(n, 1.0 / n)
+        pv = None
+        if personalization is not None:
+            pv = np.asarray(personalization, np.float64)
+            if pv.shape != (n,):
+                raise ValueError(f"personalization must be length {n}")
+            s = pv.sum()
+            if not s > 0:
+                raise ValueError("personalization must have positive mass")
+            pv = pv / s
+        prev = np.full(n, 1.0 / n) if pv is None else pv.copy()
         it0, it = 0, 0
         if checkpoint is not None:
             st = checkpoint.load_latest()
@@ -594,7 +610,12 @@ class BspGraph:
                 # O(V) total driver work per superstep
                 contrib[uds] = sums
             sink = prev[sink_mask].sum()
-            cur = (1.0 - damping) / n + damping * contrib + (damping / n) * sink
+            if pv is None:
+                cur = (1.0 - damping) / n + damping * contrib \
+                    + (damping / n) * sink
+            else:
+                cur = (1.0 - damping) * pv + damping * contrib \
+                    + damping * sink * pv
             diff = cur - prev
             norm = float(np.sqrt(np.square(diff).sum())) if use_l2_norm \
                 else float(np.abs(diff).sum())

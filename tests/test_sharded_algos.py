@@ -63,3 +63,50 @@ def test_wcc_disconnected_and_isolated(ray_session):
     with ShardedAlgos(g, num_workers=2) as eng:
         labels = eng.wcc()
     assert labels.tolist() == [0, 0, 0, 0, 4, 5, 5, 5, 8]
+
+
+def test_personalized_pagerank_brute_force(rnd_graph):
+    """PPR (personalization restart) vs a dense numpy reference on the
+    random fixture: r_{k+1} = (1-d)p + d AᵀD⁻¹ r_k + d·sink·p, r_0 = p."""
+    g = rnd_graph
+    n = g.n
+    pv = np.zeros(n)
+    pv[::7] = 1.0                      # arbitrary seed set
+    got, iters, _ = g.pagerank(iter_count=4, tol=0.0, personalization=pv)
+    assert iters == 4
+    # dense reference
+    src = np.concatenate([t["src"].to_numpy() for t in
+                          __import__("ray").get(list(g.refs))])
+    dst = np.concatenate([t["dst"].to_numpy() for t in
+                          __import__("ray").get(list(g.refs))])
+    pair = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    s, d2 = pair // n, pair % n
+    od = np.bincount(s, minlength=n).astype(float)
+    p = pv / pv.sum()
+    r = p.copy()
+    damp = 0.85
+    for _ in range(4):
+        contrib = np.zeros(n)
+        np.add.at(contrib, d2, r[s] / od[s])
+        sink = r[od == 0].sum()
+        r = (1 - damp) * p + damp * contrib + damp * sink * p
+    assert np.allclose(got, r, atol=1e-12)
+    # mass conservation: PPR scores sum to 1
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_uniform_equals_default(rnd_graph):
+    """A uniform personalization vector reproduces the reference-uniform
+    recurrence (up to float-op-order ulps)."""
+    g = rnd_graph
+    want, _, _ = g.pagerank(iter_count=5, tol=0.0)
+    got, _, _ = g.pagerank(iter_count=5, tol=0.0,
+                           personalization=np.ones(g.n))
+    assert np.allclose(got, want, atol=1e-14)
+
+
+def test_personalized_pagerank_validates_input(rnd_graph):
+    with pytest.raises(ValueError):
+        rnd_graph.pagerank(personalization=np.ones(3))
+    with pytest.raises(ValueError):
+        rnd_graph.pagerank(personalization=np.zeros(rnd_graph.n))
