@@ -1724,6 +1724,19 @@ def _q_copurchase_random_walks(sf_dir: str) -> pa.Table:
                         seed=2, walks_per_start=2)
 
 
+def _q_copurchase_node2vec_walks(sf_dir: str) -> pa.Table:
+    """node2vec-style biased walks (round 4): 2 walks from each of parts
+    1..20, length 4, shifts (1, 2, 0) — return-class rank halved twice...
+    i.e. return edges 2× and triadic edges 4× more likely than explore
+    (algorithms/sampling.py node2vec_walks); SQL oracle adds a LEFT JOIN
+    d-class probe + integer right-shift to the walk rank chain."""
+    from raphtory_ray.algorithms.sampling import node2vec_walks
+    from raphtory_ray.pipelines.tpch_graph import copurchase_edges
+    starts = np.arange(1, 21, dtype=np.int64)
+    return node2vec_walks(copurchase_edges(sf_dir), starts, length=4,
+                          seed=7, walks_per_start=2, shifts=(1, 2, 0))
+
+
 def _q_copurchase_neighbor_sample(sf_dir: str) -> pa.Table:
     """GraphSAGE-style deterministic 2-hop fanout sample (round 4):
     seeds 1..50, fanouts [5, 3], rank = splitmix64((src<<32)+dst+salt)
@@ -1774,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_scc_small_dist": _q_scc_small_dist,
         "copurchase_neighbor_sample": _q_copurchase_neighbor_sample,
         "copurchase_random_walks": _q_copurchase_random_walks,
+        "copurchase_node2vec_walks": _q_copurchase_node2vec_walks,
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
@@ -2700,6 +2714,58 @@ w{s} AS (
             + "\nUNION ALL\n".join(unions))
 
 
+def _node2vec_walks_sql(n_starts: int = 20, wps: int = 2, length: int = 4,
+                        seed: int = 7, shifts=(1, 2, 0)) -> str:
+    """Mirror of algorithms/sampling.py node2vec_walks: step 1 is the
+    unbiased DeepWalk rank; steps ≥ 2 shift the rank right by the
+    d-class of the candidate against the walk's previous node t —
+    d=0 (v = t) → shifts[0], d=1 (edge t→v exists, LEFT JOIN probe)
+    → shifts[1], d=2 → shifts[2] — then QUALIFY top-1 by (k, dst).
+    Integer shifts keep the HUGEINT rank exact."""
+    M64 = "18446744073709551615"
+    C1, C2 = 1315423911, 2654435761
+    s0, s1, s2 = shifts
+    parts = [f"""starts AS (
+  SELECT (s.v - 1) * {wps} + r.j AS walk_id, s.v AS node,
+         -1::BIGINT AS prev
+  FROM (SELECT unnest(generate_series(1, {n_starts})) AS v) s,
+       (SELECT unnest(generate_series(0, {wps - 1})) AS j) r
+)"""]
+    prev = "starts"
+    for s in range(1, length + 1):
+        x = (f"(((node::HUGEINT << 32) + dst + {seed} + {s * C1}"
+             f" + walk_id * {C2}) & {M64})")
+        if s == 1:
+            tstage = f"""t{s} AS (
+  SELECT walk_id, node, dst, k AS bk FROM s{s}_k
+)"""
+        else:
+            # dedup is distinct, so the probe join cannot fan out rows
+            tstage = f"""t{s} AS (
+  SELECT e.walk_id, e.node, e.dst,
+         (e.k >> (CASE WHEN e.dst = e.prev THEN {s0}
+                       WHEN tr.src IS NOT NULL THEN {s1}
+                       ELSE {s2} END)) AS bk
+  FROM s{s}_k e LEFT JOIN dedup tr
+    ON tr.src = e.prev AND tr.dst = e.dst
+)"""
+        parts.append(f"""e{s} AS (
+  SELECT p.walk_id, p.node, p.prev, d.dst FROM {prev} p
+  JOIN dedup d ON d.src = p.node
+), {_sm64_chain(f'e{s}', f's{s}_', x, ['walk_id', 'node', 'prev', 'dst'])},
+{tstage},
+w{s} AS (
+  SELECT walk_id, dst AS node, node AS prev FROM t{s}
+  QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY bk, dst) = 1
+)""")
+        prev = f"w{s}"
+    unions = ["SELECT walk_id, 0::BIGINT AS pos, node FROM starts"]
+    unions += [f"SELECT walk_id, {s}::BIGINT AS pos, node FROM w{s}"
+               for s in range(1, length + 1)]
+    return (f"WITH {_PAIRS}, {_DEDUP},\n" + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(unions))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "copurchase_edge_dedup": f"""
@@ -2727,6 +2793,7 @@ SELECT vid, d::DOUBLE / (SELECT MAX(d) FROM deg) AS degree_centrality FROM deg
 """,
         "copurchase_neighbor_sample": _neighbor_sample_sql(),
         "copurchase_random_walks": _random_walks_sql(),
+        "copurchase_node2vec_walks": _node2vec_walks_sql(),
         "copurchase_kcore_avg": _kcore_avg_sql(),
         "copurchase_kcore4": _kcore_avg_sql(rounds=8,
                                             k_sql="SELECT 4 AS k"),

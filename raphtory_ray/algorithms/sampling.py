@@ -272,3 +272,155 @@ def neighbor_sample(edges, seeds: np.ndarray, fanouts: list[int],
                          "dst": pa.array([], pa.int64()),
                          "hop": pa.array([], pa.int64())})
     return pa.concat_tables(out)
+
+
+@ray.remote
+def _gather_adj(tbl: pa.Table, fref) -> pa.Table:
+    """Adjacency-gather pass for node2vec bias: distinct out-edges whose
+    src is in the walk frontier (block-local thin; driver unions)."""
+    fr = ray.get(fref) if not isinstance(fref, np.ndarray) else fref
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    m = np.isin(src, fr)
+    src, dst = src[m], dst[m]
+    if len(src):
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        src, dst = src[keep], dst[keep]
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def node2vec_walks(edges, starts: np.ndarray, length: int, seed: int = 0,
+                   walks_per_start: int = 1,
+                   shifts: tuple[int, int, int] = (0, 2, 0)) -> pa.Table:
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec,
+    KDD'16), deterministic: at step s ≥ 2 the candidate v's rank is
+    ``splitmix64((u<<32)+v+seed+s*C1+w*C2) >> shifts[d]`` where d
+    classifies v against the walk's PREVIOUS node t — d=0: v == t
+    (return), d=1: edge t→v exists (triadic), d=2: otherwise (explore) —
+    and the walk takes the argmin (ties by v). A class with shift b is
+    2^b× more likely than shift 0 (argmin of key/weight with weight
+    2^b), so (p, q) are expressible as powers of two: node2vec's
+    1/p = 2^shifts[0], 1/q = 2^shifts[2] relative to 2^shifts[1] = the
+    in-between class. Step 1 has no previous node and is unbiased,
+    matching node2vec's uniform first step. The integer shift keeps the
+    rank EXACT (no float weights), so the DuckDB oracle mirrors it
+    bit-for-bit with HUGEINT ``>>``.
+
+    Scale shape: like random_walks (one streaming edge pass per step +
+    O(#walks) combine), plus ONE extra adjacency-gather pass per step
+    whose output is the distinct out-neighborhood of the CURRENT
+    frontier — O(Σ deg(frontier)) rows, bounded by #walks × max-degree,
+    broadcast once via ray.put for the next step's d-classification
+    (never re-shipped per batch).
+    """
+    starts = np.asarray(starts, np.int64)
+    wid = np.arange(len(starts) * walks_per_start, dtype=np.int64)
+    cur = np.repeat(starts, walks_per_start)
+    prev = np.full(len(wid), -1, np.int64)      # step 1: no prev
+    s0, s1, s2 = (np.uint64(b) for b in shifts)
+    out = [pa.table({"walk_id": pa.array(wid),
+                     "pos": pa.array(np.zeros(len(wid), np.int64)),
+                     "node": pa.array(cur, pa.int64())})]
+    # (src<<32)+dst packed adjacency keys of the frontier's prev set
+    # (ids < 2^32, the loaders' vid contract)
+    adj_keys = np.empty(0, np.uint64)
+    edges = edges.materialize()     # blocks pinned once; each step streams
+    edge_refs = edges.to_arrow_refs()
+    for s in range(1, length + 1):
+        if len(wid) == 0:
+            break
+        o = np.argsort(cur, kind="stable")
+        curs, offs = np.unique(cur[o], return_index=True)
+        offs = np.r_[offs, len(cur)]
+        state = ray.put((curs, offs, wid[o], prev[o], adj_keys))
+        salt = np.uint64(seed) + np.uint64(s) * _C1
+        biased = s > 1
+
+        def part(b: pa.Table, _state=state, _salt=salt,
+                 _biased=biased) -> pa.Table:
+            nodes, offsets, wids_by_node, prevs_by_node, akeys = \
+                ray.get(_state)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            m = np.isin(src, nodes)
+            src, dst = src[m], dst[m]
+            if len(src) == 0:
+                return pa.table({"wid": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "key": pa.array([], pa.int64())})
+            oo = np.lexsort((dst, src))
+            src, dst = src[oo], dst[oo]
+            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst = src[keep], dst[keep]
+            g = np.searchsorted(nodes, src)
+            counts = offsets[g + 1] - offsets[g]
+            eidx = np.repeat(np.arange(len(src)), counts)
+            local = (np.arange(counts.sum())
+                     - np.repeat(np.cumsum(counts) - counts, counts))
+            slot = np.repeat(offsets[g], counts) + local
+            w = wids_by_node[slot]
+            u, v = src[eidx], dst[eidx]
+            key = _splitmix64((u.astype(np.uint64) << np.uint64(32))
+                              + v.astype(np.uint64) + _salt
+                              + w.astype(np.uint64) * _C2)
+            if _biased:
+                t = prevs_by_node[slot]              # walk's prev node
+                # d-class: 0 = return, 1 = edge t→v exists, 2 = explore
+                pk = (t.astype(np.uint64) << np.uint64(32)) \
+                    + v.astype(np.uint64)
+                i = np.searchsorted(akeys, pk)
+                tri = i < len(akeys)
+                tri[tri] = akeys[i[tri]] == pk[tri]
+                shift = np.where(v == t, s0, np.where(tri, s1, s2))
+                key = key >> shift
+            oo = np.lexsort((v, key, w))
+            w, v, key = w[oo], v[oo], key[oo]
+            first = np.r_[True, w[1:] != w[:-1]]
+            return pa.table({"wid": pa.array(w[first], pa.int64()),
+                             "dst": pa.array(v[first], pa.int64()),
+                             "key": pa.array(key[first].astype(np.int64))})
+
+        refs = (edges.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+        P = max(1, min(32, len(refs)))
+        routed = [_route_by_wid.options(
+                      num_returns=P if P > 1 else 1).remote(r, P)
+                  for r in refs]
+        if P == 1:
+            cols = [[r] for r in routed]
+        else:
+            cols = [[routed[i][p] for i in range(len(routed))]
+                    for p in range(P)]
+        step = pa.concat_tables(ray.get(
+            [_combine_argmin.remote(*c) for c in cols]))
+        nwid = step["wid"].to_numpy(zero_copy_only=False)
+        ncur = step["dst"].to_numpy(zero_copy_only=False)
+        # prev of a surviving walk = the node it sat on entering this step
+        back = np.argsort(wid, kind="stable")
+        prev = cur[back[np.searchsorted(wid[back], nwid)]]
+        wid, cur = nwid, ncur
+        out.append(pa.table({"walk_id": pa.array(wid, pa.int64()),
+                             "pos": pa.array(np.full(len(wid), s, np.int64)),
+                             "node": pa.array(cur, pa.int64())}))
+        if s < length and len(wid):
+            # adjacency of the NEXT step's prev set (= this step's prev
+            # values): gather once over the pinned edge blocks, broadcast
+            # with the next step's state
+            fref = ray.put(np.unique(prev))
+            parts_ = ray.get([_gather_adj.remote(r, fref)
+                              for r in edge_refs])
+            good = [t for t in parts_ if t.num_rows]
+            if good:
+                t = pa.concat_tables(good)
+                asrc = t["src"].to_numpy(zero_copy_only=False)
+                adst = t["dst"].to_numpy(zero_copy_only=False)
+                pk = (asrc.astype(np.uint64) << np.uint64(32)) \
+                    + adst.astype(np.uint64)
+                adj_keys = np.unique(pk)
+            else:
+                adj_keys = np.empty(0, np.uint64)
+    return pa.concat_tables(out)

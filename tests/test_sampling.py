@@ -135,3 +135,83 @@ def test_neighbor_sample_empty_seeds(ray_session):
                           [3, 2])
     assert out.num_rows == 0
     assert out.column_names == ["src", "dst", "hop"]
+
+
+def _ref_node2vec(edges: pa.Table, starts, length, seed=0, wps=1,
+                  shifts=(0, 2, 0)):
+    """Single-process reference for node2vec_walks: same biased rank."""
+    import numpy as np
+    from raphtory_ray.algorithms.sampling import _C1, _C2, _splitmix64
+    adj = {}
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        adj.setdefault(s, set()).add(d)
+    s0, s1, s2 = shifts
+    rows = []
+    for i, st in enumerate(starts):
+        for j in range(wps):
+            w, cur, prev = i * wps + j, int(st), None
+            rows.append((w, 0, cur))
+            for s in range(1, length + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                keys = _splitmix64(
+                    (np.uint64(cur) << np.uint64(32))
+                    + np.array(nbrs, np.uint64) + np.uint64(seed)
+                    + np.uint64(s) * _C1 + np.uint64(w) * _C2).tolist()
+                if prev is not None:
+                    keys = [k >> (s0 if v == prev
+                                  else s1 if v in adj.get(prev, ())
+                                  else s2)
+                            for k, v in zip(keys, nbrs)]
+                prev = cur
+                cur = min(zip(keys, nbrs))[1]
+                rows.append((w, s, cur))
+    return sorted(rows)
+
+
+def test_node2vec_walks_match_reference(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms.sampling import node2vec_walks
+    edges = _edges(m=800, n=50, seed=11)
+    starts = np.arange(0, 50, 5, dtype=np.int64)
+    for shifts in [(0, 2, 0), (3, 0, 1), (0, 0, 4)]:
+        got = node2vec_walks(rd.from_arrow(edges).repartition(6), starts,
+                             length=6, seed=5, walks_per_start=2,
+                             shifts=shifts)
+        got_rows = sorted(zip(got["walk_id"].to_pylist(),
+                              got["pos"].to_pylist(),
+                              got["node"].to_pylist()))
+        assert got_rows == _ref_node2vec(edges, starts, 6, seed=5, wps=2,
+                                         shifts=shifts), shifts
+
+
+def test_node2vec_zero_shifts_equal_deepwalk(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms.sampling import node2vec_walks, random_walks
+    edges = _edges(m=600, n=40, seed=9)
+    starts = np.arange(8, dtype=np.int64)
+    a = node2vec_walks(rd.from_arrow(edges), starts, length=5, seed=2,
+                       shifts=(0, 0, 0))
+    b = random_walks(rd.from_arrow(edges), starts, length=5, seed=2)
+    ka = sorted(zip(a["walk_id"].to_pylist(), a["pos"].to_pylist(),
+                    a["node"].to_pylist()))
+    kb = sorted(zip(b["walk_id"].to_pylist(), b["pos"].to_pylist(),
+                    b["node"].to_pylist()))
+    assert ka == kb
+
+
+def test_node2vec_reshard_invariance(ray_session):
+    import ray.data as rd
+    from raphtory_ray.algorithms.sampling import node2vec_walks
+    big = _edges(m=1500, n=30, seed=8)
+    a = node2vec_walks(rd.from_arrow(big).repartition(9),
+                       np.arange(10, dtype=np.int64), 4, seed=1,
+                       shifts=(1, 3, 0))
+    b = node2vec_walks(rd.from_arrow(big).repartition(2),
+                       np.arange(10, dtype=np.int64), 4, seed=1,
+                       shifts=(1, 3, 0))
+    assert sorted(map(tuple, zip(*[a[c].to_pylist() for c in
+                                   a.column_names]))) \
+        == sorted(map(tuple, zip(*[b[c].to_pylist() for c in
+                                   b.column_names])))
