@@ -178,6 +178,20 @@ def _q_ppr5(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_katz5(sf_dir: str) -> pa.Table:
+    """Katz centrality forced to exactly 5 supersteps (x_{k+1} = 1 +
+    1e-4·Aᵀx_k), built on the user superstep API (run_supersteps) —
+    value-checks the generic message/combine/apply path against an
+    independent unrolled SQL recurrence. α=1e-4 keeps scores O(1) so the
+    1e-9 grid sits ~7 orders above cross-system summation noise."""
+    from raphtory_ray.algorithms import katz_centrality
+    _, g, ids = _copurchase(sf_dir)
+    st = katz_centrality(g, alpha=1e-4, beta=1.0, iter_count=5, tol=0.0)
+    q = np.floor(st.values * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "katz_q": pa.array(q, pa.int64())})
+
+
 def _q_lpa3(sf_dir: str) -> pa.Table:
     """LPA forced to exactly 3 synchronous iterations — the full
     mode-with-tiebreak update (self + distinct und-neighbour labels, max
@@ -1769,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": _q_pagerank,
         "copurchase_pagerank_5iter": _q_pagerank5,
         "copurchase_ppr_5iter": _q_ppr5,
+        "copurchase_katz_5iter": _q_katz5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa_3iter": _q_lpa3,
         "copurchase_hits_3iter": _q_hits3,
@@ -1974,6 +1989,37 @@ r0 AS MATERIALIZED (
 ),
 {chain}
 {final.replace('{prev}', prev)}
+"""
+
+
+def _katz5_sql(iters: int = 5, alpha: float = 1e-4, beta: float = 1.0) -> str:
+    """Unrolled Katz recurrence x_{k+1} = β + α·Aᵀx_k, x_0 = β·1 over the
+    dedup'd directed graph — mirrors run_supersteps' sum-combine exactly
+    (same 1e-9 grid)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT nodes.node,
+         {beta} + {alpha} * COALESCE(c.contrib, 0) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.score) AS contrib
+    FROM dedup e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON nodes.node = c.node
+)""")
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+),
+r0 AS MATERIALIZED (SELECT node, {beta}::DOUBLE AS score FROM nodes),
+{chain}
+SELECT node AS vid,
+       CAST(FLOOR(score * 1e9 + 0.5000001) AS BIGINT) AS katz_q FROM {prev}
 """
 
 
@@ -2873,6 +2919,7 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "emb_semantic_dedup": _emb_semantic_dedup_sql(),
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_ppr_5iter": _ppr5_sql(),
+        "copurchase_katz_5iter": _katz5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
         "user_dijkstra_cents": _dijkstra_sql(),

@@ -59,6 +59,29 @@ def pagerank(gf, iter_count: int = 20, tol: float = 1e-6,
     return st
 
 
+def katz_centrality(gf, alpha: float = 1e-4, beta: float = 1.0,
+                    iter_count: int = 20, tol: float = 0.0) -> NodeState:
+    """Katz centrality (beyond reference — Katz 1953), built ON the user
+    superstep API (state/supersteps.py run_supersteps — the ATask/Job
+    equivalent): x_{k+1} = β + α·Aᵀx_k over the simple directed graph,
+    x_0 = β·1. Converges for α < 1/λ_max; with ``tol=0`` runs exactly
+    ``iter_count`` supersteps (the oracle-gated mode)."""
+    from raphtory_ray.state.supersteps import run_supersteps
+    g = _bsp(gf)
+    check = None
+    if tol > 0:
+        check = lambda old, new: float(np.abs(new - old).sum()) <= tol  # noqa: E731
+    scores, iters = run_supersteps(
+        g, np.full(g.n, beta, np.float64),
+        message=lambda src_state, src, dst: src_state,
+        combine="sum",
+        apply=lambda old, msg, got: beta + alpha * np.where(got, msg, 0.0),
+        iter_count=iter_count, check=check)
+    st = NodeState(scores, gf if isinstance(gf, GraphFrame) else None, "katz")
+    st.iterations = iters
+    return st
+
+
 def weakly_connected_components(gf) -> NodeState:
     return NodeState(_bsp(gf).wcc(), gf if isinstance(gf, GraphFrame) else None,
                      "component")

@@ -58,3 +58,27 @@ def test_user_wcc_min_label(ray_session):
         iter_count=50,
         check=lambda old, new: np.array_equal(old, new))
     np.testing.assert_array_equal(state, g.wcc().astype(float))
+
+
+def test_katz_centrality_brute_force(ray_session):
+    """Katz via run_supersteps vs a dense numpy recurrence; convergent
+    mode stops early."""
+    import numpy as np
+    from raphtory_ray.algorithms import katz_centrality
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 300, 1500)
+    dst = rng.integers(0, 300, 1500)
+    g = BspGraph.from_arrays(src, dst, 300, num_blocks=4)
+    st = katz_centrality(g, alpha=1e-3, beta=2.0, iter_count=6, tol=0.0)
+    assert st.iterations == 6
+    pair = np.unique(src.astype(np.int64) * 300 + dst.astype(np.int64))
+    s, d = pair // 300, pair % 300
+    x = np.full(300, 2.0)
+    for _ in range(6):
+        contrib = np.zeros(300)
+        np.add.at(contrib, d, x[s])
+        x = 2.0 + 1e-3 * contrib
+    assert np.allclose(st.values, x, atol=1e-12)
+    st2 = katz_centrality(g, alpha=1e-3, beta=2.0, iter_count=500, tol=1e-12)
+    assert st2.iterations < 500          # fixpoint reached early
