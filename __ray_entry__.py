@@ -1350,6 +1350,18 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+def _q_doc_gopher(sf_dir: str):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted): five
+    integer-exact rule booleans + keep per doc (data/text.py
+    gopher_rules_batch). min_words=5 suits the synthetic corpus' short
+    docs; every comparison is an integer cross-multiply so the SQL
+    oracle hash-matches bit-for-bit. min_stopwords=1: the synthetic
+    vocabulary carries only 'the' from the Gopher stop list, so the
+    paper's 2 would make the rule constant-false."""
+    from raphtory_ray.data.text import gopher_filter
+    return gopher_filter(_docs(sf_dir), min_stopwords=1)
+
+
 def _q_doc_vocab_stats(sf_dir: str):
     """Corpus vocabulary stats — per-batch partial (term, df, tf) then
     one vocab-sized groupby-sum (combiner pattern, data/text.py)."""
@@ -1867,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_trigram_repetition": _q_doc_trigram_repetition,
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
+        "doc_gopher_filter": _q_doc_gopher,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -3718,6 +3731,49 @@ SELECT doc_id,
          AS n_punct,
        length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper
 FROM documents
+""",
+        "doc_gopher_filter": r"""
+WITH words AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, text,
+         len(ws)::BIGINT AS nw,
+         COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT
+           AS sum_len,
+         COALESCE(len(list_filter(ws,
+             w -> regexp_matches(w, '[A-Za-z]'))), 0)::BIGINT AS n_alpha,
+         ((CASE WHEN position(' the ' IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' be '   IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' to '   IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' of '   IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' and '  IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' that ' IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' have ' IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN position(' with ' IN ' '||lower(text)||' ') > 0 THEN 1 ELSE 0 END)
+         )::BIGINT AS n_stop,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+           AS n_sym
+  FROM words
+)
+SELECT doc_id,
+       nw AS n_words,
+       (nw >= 5 AND nw <= 100000) AS rule_words,
+       (sum_len >= 3 * nw AND sum_len <= 10 * nw AND nw > 0)
+         AS rule_mean_word_len,
+       (n_alpha * 100 >= 80 * nw AND nw > 0) AS rule_alpha_words,
+       (n_stop >= 1) AS rule_stopwords,
+       (n_sym * 100 <= 10 * nw) AS rule_symbols,
+       ((nw >= 5 AND nw <= 100000)
+        AND (sum_len >= 3 * nw AND sum_len <= 10 * nw AND nw > 0)
+        AND (n_alpha * 100 >= 80 * nw AND nw > 0)
+        AND (n_stop >= 1)
+        AND (n_sym * 100 <= 10 * nw)) AS keep
+FROM stats
 """,
         "doc_exact_dedup": """
 SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id,

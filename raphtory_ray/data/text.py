@@ -560,3 +560,90 @@ def _pack_block(b: pa.Table, start: int, budget: int) -> pa.Table:
     return pa.table({"doc_id": b["doc_id"],
                      "n_tokens": b["n_tokens"],
                      "seq_id": pa.array(excl // budget, pa.int64())})
+
+
+# Gopher-style rule filter (Rae et al. 2021, Table A1) -----------------------
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
+                       min_words: int = 5, max_words: int = 100000,
+                       min_mwl: int = 3, max_mwl: int = 10,
+                       min_alpha_pct: int = 80,
+                       min_stopwords: int = 2,
+                       max_symbol_pct: int = 10) -> pa.Table:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    adapted to single-line docs — the line-level bullet/ellipsis rules
+    degenerate without newlines and are omitted):
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mwl, max_mwl]
+    - ≥ min_alpha_pct % of words contain an alphabetic character
+    - ≥ min_stopwords distinct Gopher stop words present (whole-word)
+    - symbols (# and ...) ≤ max_symbol_pct % of words
+
+    ALL comparisons are integer cross-multiplications (no float ratios),
+    so the DuckDB oracle is bit-exact. Emits one row per doc with the
+    five rule booleans and the conjunction ``keep``. Vectorized: one
+    split kernel; flattened-token regex + segment reduction for the
+    alpha rule (no per-row Python)."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(txt)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nw = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    nw = np.where(blank, 0, nw)
+    # per-token stats on the flattened values, segment-reduced per doc
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values.slice(offs[0], offs[-1] - offs[0])
+    seg = offs - offs[0]
+    tok_len = pc.utf8_length(vals).cast(pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tok_alpha = pc.match_substring_regex(vals, "[A-Za-z]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cum_len = np.concatenate([[0], np.cumsum(tok_len)])
+    cum_alpha = np.concatenate([[0], np.cumsum(tok_alpha)])
+    sum_len = cum_len[seg[1:]] - cum_len[seg[:-1]]
+    n_alpha = cum_alpha[seg[1:]] - cum_alpha[seg[:-1]]
+    sum_len = np.where(blank, 0, sum_len)
+    n_alpha = np.where(blank, 0, n_alpha)
+    # whole-word stopword presence against the padded text
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * len(txt)), pc.utf8_lower(txt),
+        pa.array([" "] * len(txt)), "")
+    n_stop = np.zeros(len(txt), np.int64)
+    for w in _GOPHER_STOPWORDS:
+        n_stop += (pc.count_substring(padded, f" {w} ").to_numpy(
+            zero_copy_only=False) > 0).astype(np.int64)
+    n_sym = (pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+             + pc.count_substring(txt, "...").to_numpy(
+                 zero_copy_only=False)).astype(np.int64)
+    r_words = (nw >= min_words) & (nw <= max_words)
+    r_mwl = (sum_len >= min_mwl * nw) & (sum_len <= max_mwl * nw) & (nw > 0)
+    r_alpha = (n_alpha * 100 >= min_alpha_pct * nw) & (nw > 0)
+    r_stop = n_stop >= min_stopwords
+    r_sym = n_sym * 100 <= max_symbol_pct * nw
+    keep = r_words & r_mwl & r_alpha & r_stop & r_sym
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(nw, pa.int64()),
+        "rule_words": pa.array(r_words),
+        "rule_mean_word_len": pa.array(r_mwl),
+        "rule_alpha_words": pa.array(r_alpha),
+        "rule_stopwords": pa.array(r_stop),
+        "rule_symbols": pa.array(r_sym),
+        "keep": pa.array(keep),
+    })
+
+
+def gopher_filter(ds, text_col: str = "text", **kwargs):
+    """Streaming Gopher rule evaluation: one zero-copy Arrow pass."""
+    return ds.map_batches(
+        lambda b: gopher_rules_batch(b, text_col, **kwargs),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -502,3 +502,38 @@ def test_vocab_stats_and_tfidf(ray_session):
     assert all(isinstance(r["score_q"], int) for r in qrows)
     assert sorted((r["doc_id"], r["rk"], r["term"]) for r in qrows) == \
         sorted((r["doc_id"], r["rk"], r["term"]) for r in rows)
+
+
+def test_gopher_rules_edge_cases(ray_session):
+    import pyarrow as pa
+    from raphtory_ray.data.text import gopher_rules_batch
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over and over",   # clean: keep
+            "",                                          # blank: all fail
+            "a b c d e f g h",                           # mwl < 3: fail
+            "the ### ## # fox ... jumps ... and ...",    # symbols: fail
+            "12 34 56 78 90 11 22",                      # no alpha/stop: fail
+        ]),
+    })
+    out = gopher_rules_batch(docs, min_stopwords=1)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["keep"]
+    assert not rows[1]["rule_words"] and not rows[1]["keep"]
+    assert not rows[2]["rule_mean_word_len"]
+    assert not rows[3]["rule_symbols"]
+    assert not rows[4]["rule_alpha_words"] and not rows[4]["rule_stopwords"]
+    assert rows[0]["n_words"] == 8 and rows[1]["n_words"] == 0
+
+
+def test_gopher_filter_streaming(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from raphtory_ray.data.text import gopher_filter
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = gopher_filter(ds, min_stopwords=1)
+    t = pa.concat_tables(__import__("ray").get(out.to_arrow_refs()))
+    assert t.num_rows == 500
+    keep = sum(t["keep"].to_pylist())
+    assert 0 < keep < 500          # the filter discriminates
