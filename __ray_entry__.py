@@ -192,6 +192,18 @@ def _q_katz5(sf_dir: str) -> pa.Table:
                      "katz_q": pa.array(q, pa.int64())})
 
 
+def _q_eig5(sf_dir: str) -> pa.Table:
+    """Eigenvector centrality forced to exactly 5 L2-normalized power
+    iterations (x_k = Aᵀx/‖Aᵀx‖₂) on the user superstep API — values in
+    [0,1] keep the 1e-9 grid far above summation noise."""
+    from raphtory_ray.algorithms import eigenvector_centrality
+    _, g, ids = _copurchase(sf_dir)
+    st = eigenvector_centrality(g, iter_count=5, tol=0.0)
+    q = np.floor(st.values * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "eig_q": pa.array(q, pa.int64())})
+
+
 def _q_lpa3(sf_dir: str) -> pa.Table:
     """LPA forced to exactly 3 synchronous iterations — the full
     mode-with-tiebreak update (self + distinct und-neighbour labels, max
@@ -1796,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank_5iter": _q_pagerank5,
         "copurchase_ppr_5iter": _q_ppr5,
         "copurchase_katz_5iter": _q_katz5,
+        "copurchase_eig_5iter": _q_eig5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa_3iter": _q_lpa3,
         "copurchase_hits_3iter": _q_hits3,
@@ -2033,6 +2046,45 @@ r0 AS MATERIALIZED (SELECT node, {beta}::DOUBLE AS score FROM nodes),
 {chain}
 SELECT node AS vid,
        CAST(FLOOR(score * 1e9 + 0.5000001) AS BIGINT) AS katz_q FROM {prev}
+"""
+
+
+def _eig5_sql(iters: int = 5) -> str:
+    """Unrolled L2-normalized power iteration (eigenvector centrality):
+    x_k = Aᵀx_{k-1} / ‖Aᵀx_{k-1}‖₂, x_0 = 1/√n. Values live in [0,1], so
+    the 1e-9 grid sits far above summation-order noise."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""x{k} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(c.contrib, 0)::DOUBLE AS x
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.score) AS contrib
+    FROM dedup e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON nodes.node = c.node
+),
+nrm{k} AS MATERIALIZED (SELECT SQRT(SUM(x * x)) AS v FROM x{k}),
+r{k} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT v FROM nrm{k}) > 0
+              THEN x / (SELECT v FROM nrm{k}) ELSE x END AS score
+  FROM x{k}
+)""")
+        prev = f"r{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_PAIRS}, {_DEDUP},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / SQRT((SELECT n FROM nn)) AS score FROM nodes
+),
+{chain}
+SELECT node AS vid,
+       CAST(FLOOR(score * 1e9 + 0.5000001) AS BIGINT) AS eig_q FROM {prev}
 """
 
 
@@ -2933,6 +2985,7 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_ppr_5iter": _ppr5_sql(),
         "copurchase_katz_5iter": _katz5_sql(),
+        "copurchase_eig_5iter": _eig5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),
         "user_dijkstra_cents": _dijkstra_sql(),

@@ -82,6 +82,35 @@ def katz_centrality(gf, alpha: float = 1e-4, beta: float = 1.0,
     return st
 
 
+def eigenvector_centrality(gf, iter_count: int = 20,
+                           tol: float = 0.0) -> NodeState:
+    """Eigenvector centrality (beyond reference) via L2-normalized power
+    iteration on Aᵀ over the simple directed graph, x_0 = 1/√n — also
+    built on the user superstep API. Nodes with no in-paths decay to 0,
+    the standard directed-graph behavior. ``tol=0`` runs exactly
+    ``iter_count`` supersteps (the oracle-gated mode)."""
+    from raphtory_ray.state.supersteps import run_supersteps
+    g = _bsp(gf)
+    n = g.n
+
+    def apply(old, msg, got):
+        x = np.where(got, msg, 0.0)
+        norm = np.sqrt(np.square(x).sum())
+        return x / norm if norm > 0 else x
+
+    check = None
+    if tol > 0:
+        check = lambda old, new: float(np.abs(new - old).sum()) <= tol  # noqa: E731
+    scores, iters = run_supersteps(
+        g, np.full(n, 1.0 / np.sqrt(n), np.float64),
+        message=lambda src_state, src, dst: src_state,
+        combine="sum", apply=apply, iter_count=iter_count, check=check)
+    st = NodeState(scores, gf if isinstance(gf, GraphFrame) else None,
+                   "eigenvector")
+    st.iterations = iters
+    return st
+
+
 def weakly_connected_components(gf) -> NodeState:
     return NodeState(_bsp(gf).wcc(), gf if isinstance(gf, GraphFrame) else None,
                      "component")

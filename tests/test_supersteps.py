@@ -82,3 +82,24 @@ def test_katz_centrality_brute_force(ray_session):
     assert np.allclose(st.values, x, atol=1e-12)
     st2 = katz_centrality(g, alpha=1e-3, beta=2.0, iter_count=500, tol=1e-12)
     assert st2.iterations < 500          # fixpoint reached early
+
+
+def test_eigenvector_centrality_brute_force(ray_session):
+    import numpy as np
+    from raphtory_ray.algorithms import eigenvector_centrality
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 250, 1200)
+    dst = rng.integers(0, 250, 1200)
+    g = BspGraph.from_arrays(src, dst, 250, num_blocks=4)
+    st = eigenvector_centrality(g, iter_count=6, tol=0.0)
+    pair = np.unique(src.astype(np.int64) * 250 + dst.astype(np.int64))
+    s, d = pair // 250, pair % 250
+    x = np.full(250, 1.0 / np.sqrt(250))
+    for _ in range(6):
+        nxt = np.zeros(250)
+        np.add.at(nxt, d, x[s])
+        nrm = np.sqrt(np.square(nxt).sum())
+        x = nxt / nrm if nrm > 0 else nxt
+    assert np.allclose(st.values, x, atol=1e-12)
+    assert abs(float(np.square(st.values).sum()) - 1.0) < 1e-9  # unit norm
