@@ -476,6 +476,16 @@ def _q_cypher_edge_filter(sf_dir: str):
                   "e.event_id AS event_id")
 
 
+def _q_cypher_endpoints(sf_dir: str):
+    """startNode(r)/endNode(r) scalar functions (openCypher 9 §4.4) —
+    grouped per endpoint pair so the oracle is a plain GROUP BY."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[r]->(b) WHERE r.w < 20.0 "
+                  "RETURN startNode(r) AS s, endNode(r) AS d, "
+                  "count(*) AS n")
+
+
 def _q_cypher_case_bands(sf_dir: str):
     """Searched CASE expression under aggregation (openCypher
     case_expression; the reference transpiles CASE straight to DataFusion
@@ -1831,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
         "cypher_edge_filter": _q_cypher_edge_filter,
+        "cypher_endpoints": _q_cypher_endpoints,
         "cypher_case_bands": _q_cypher_case_bands,
         "cypher_stdev": _q_cypher_stdev,
         "cypher_regex_strfns": _q_cypher_regex_strfns,
@@ -3151,6 +3162,11 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
         "cypher_edge_filter": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id FROM user_edges WHERE w > 90.0
+""",
+        "cypher_endpoints": f"""
+WITH {_USER_EDGES}
+SELECT src AS s, dst AS d, COUNT(*)::BIGINT AS n
+FROM user_edges WHERE w < 20.0 GROUP BY src, dst
 """,
         "cypher_case_bands": f"""
 WITH {_USER_EDGES}

@@ -349,6 +349,15 @@ def _compile_expr(e, ctx: _Ctx):
                 col = f"{e.arg.name}__layer"
                 return lambda t: t[col].combine_chunks()
             return lambda t: "_default"
+        if e.name in ("startnode", "endnode"):
+            # startNode(r)/endNode(r) → the edge's src/dst vid columns
+            # (openCypher 9 §4.4; the reference transpiles the relationship
+            # binding's own src/dst columns the same way)
+            if not isinstance(e.arg, Var) or e.arg.name not in ctx.edge_vars:
+                raise SyntaxError(f"{e.name}() takes an edge variable")
+            col = f"{e.arg.name}__src" if e.name == "startnode" \
+                else f"{e.arg.name}__dst"
+            return lambda t: t[col].combine_chunks()
         if e.name in ("length", "size") and isinstance(e.arg, Var) \
                 and e.arg.name in ctx.varlen_vars:
             # length(r) on a [r*lo..hi] binding: the pair's minimum hop
@@ -716,6 +725,11 @@ def _needed_columns(q: Query, ctx: _Ctx) -> set:
             if e.name == "type" and isinstance(e.arg, Var) \
                     and "layer" in ctx.edge_cols:
                 needed.add(f"{e.arg.name}__layer")
+            elif e.name in ("startnode", "endnode") \
+                    and isinstance(e.arg, Var):
+                needed.add(f"{e.arg.name}__src"
+                           if e.name == "startnode"
+                           else f"{e.arg.name}__dst")
             elif isinstance(e.arg, list):
                 for a in e.arg:
                     visit(a)

@@ -150,6 +150,7 @@ _AGGS = {"count", "sum", "avg", "min", "max", "collect",
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
 #: (transpiler/mod.rs:1082), so this is the equivalent built-in set
 _SCALAR_FNS = {"type", "size", "id", "coalesce", "length",
+               "startnode", "endnode",
                "abs", "tointeger",
                "tofloat", "tolower", "toupper", "trim",
                "ltrim", "rtrim", "reverse", "tostring",

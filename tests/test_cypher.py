@@ -1175,3 +1175,28 @@ def test_review_fixes_r4(ray_session):
            "MATCH (a) RETURN right(a.gid, 0) AS r, "
            "round(toFloat(a.vid) + 0.5) AS h",
            "SELECT right(gid, 0) AS r, ROUND(vid + 0.5, 0) AS h FROM v")
+
+
+def test_startnode_endnode(ray_session):
+    from raphtory_ray.query.cypher import cypher
+    gf, edges, verts = _gf()
+    got = _rows(cypher(
+        gf, "MATCH (a)-[r]->(b) WHERE a.vid < 4 "
+            "RETURN startNode(r) AS s, endNode(r) AS d, a.vid AS av"))
+    want = _rows(_sql(edges, verts, """
+        SELECT src AS s, dst AS d, src AS av
+        FROM e WHERE src < 4"""))
+    assert got == want
+    # startNode equals the left binding, endNode the right one
+    t = cypher(gf, "MATCH (a)-[r]->(b) "
+                   "RETURN a.vid AS av, startNode(r) AS s, "
+                   "b.vid AS bv, endNode(r) AS d")
+    rows = t.take_all() if hasattr(t, "take_all") else t.to_pylist()
+    assert all(r["av"] == r["s"] and r["bv"] == r["d"] for r in rows)
+
+
+def test_startnode_requires_edge_var(ray_session):
+    from raphtory_ray.query.cypher import cypher
+    gf, _e, _v = _gf()
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[r]->(b) RETURN startNode(a)")
