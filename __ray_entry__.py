@@ -1372,6 +1372,14 @@ def _q_doc_quality(sf_dir: str):
     return quality_stats(_docs(sf_dir))
 
 
+def _q_doc_leakage_split(sf_dir: str):
+    """Leakage-safe train/val split (data/dedup.py leakage_safe_split):
+    the coin is thrown on the md5-cluster id (min doc_id of the exact-dup
+    group), so duplicates never straddle the split. val_permille=250."""
+    from raphtory_ray.data.dedup import leakage_safe_split
+    return leakage_safe_split(_docs(sf_dir), val_permille=250, seed=3)
+
+
 def _q_doc_gopher(sf_dir: str):
     """Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted): five
     integer-exact rule booleans + keep per doc (data/text.py
@@ -1904,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_vector_search": _q_chunk_vector_search,
         "doc_quality_stats": _q_doc_quality,
         "doc_gopher_filter": _q_doc_gopher,
+        "doc_leakage_split": _q_doc_leakage_split,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -3800,6 +3809,17 @@ SELECT doc_id,
          AS n_punct,
        length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper
 FROM documents
+""",
+        "doc_leakage_split": f"""
+WITH cl AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+  FROM documents
+), {_sm64_chain('cl', 'sp_', '((cluster_id + 3) & 18446744073709551615)',
+                ['doc_id', 'cluster_id'])}
+SELECT doc_id, cluster_id,
+       CASE WHEN k % 1000 < 250 THEN 'val' ELSE 'train' END AS split
+FROM sp_k
 """,
         "doc_gopher_filter": r"""
 WITH words AS (

@@ -795,3 +795,73 @@ def _embbucket_verify_part(threshold: float, max_bucket: int,
         return empty
     return pa.table({"a": pa.array(np.concatenate(oa), pa.int64()),
                      "b": pa.array(np.concatenate(ob), pa.int64())})
+
+
+# ------------------------------------------------- leakage-safe split
+
+@ray.remote
+def _split_assign(val_permille: int, seed: int, *pieces: pa.Table) -> pa.Table:
+    """Reduce side of the split shuffle: all rows of an md5 group land in
+    one partition (routed by the hash), so the group min here IS the
+    global cluster id; the split coin is thrown on the CLUSTER id, never
+    the doc id, so exact duplicates can never straddle the split."""
+    from raphtory_ray.data.text import _splitmix64 as sm
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "split": pa.array([], pa.string())})
+    t = pa.concat_tables(good)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["h"].to_numpy(zero_copy_only=False)
+    o = np.argsort(h, kind="stable")
+    hs, ids_s = h[o], ids[o]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    counts = np.diff(np.r_[starts, len(hs)])
+    cluster = np.repeat(np.minimum.reduceat(ids_s, starts), counts)
+    coin = sm(cluster + np.int64(seed)) % np.uint64(1000)
+    split = np.where(coin < np.uint64(val_permille), "val", "train")
+    return pa.table({"doc_id": pa.array(ids_s, pa.int64()),
+                     "cluster_id": pa.array(cluster, pa.int64()),
+                     "split": pa.array(split.tolist(), pa.string())})
+
+
+@ray.remote
+def _route_by_md5(tbl: pa.Table, P: int):
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    # first 8 hex chars → uint32-ish int; md5 is uniform so this bucket
+    # key is skew-free by construction
+    key = np.array([int(x[:8], 16) for x in h], dtype=np.int64)
+    return _route(tbl, _hash_bucket(key, P), P)
+
+
+def leakage_safe_split(ds, val_permille: int = 100, seed: int = 0,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Contamination-safe train/val split: exact duplicates (same md5)
+    always land on the SAME side, so validation never sees a copy of a
+    training document. The coin is ``splitmix64(cluster_id + seed) %
+    1000 < val_permille`` where cluster_id = min doc_id of the md5
+    group — deterministic per cluster (resumable, reshard-invariant).
+
+    Scale shape: one md5 pass (streaming), ONE hash(md5) route wave so
+    each group meets in exactly one partition (16-byte uniform key — no
+    skew), vectorized group-min + coin per partition. Driver never holds
+    doc ids; output stays a Dataset of (doc_id, cluster_id, split)."""
+    import ray.data as rd
+    hashed = ds.map_batches(lambda b: md5_batch(b, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    if id_col != "doc_id":
+        hashed = hashed.rename_columns({id_col: "doc_id"})
+    refs = hashed.materialize().to_arrow_refs()
+    P = _dedup_parallelism(sum(1 for _ in refs) * 50_000)
+    P = max(1, min(P, len(refs) * 4, 32))
+    routed = [_route_by_md5.options(
+                  num_returns=P if P > 1 else 1).remote(r, P)
+              for r in refs]
+    if P == 1:
+        cols = [[r] for r in routed]
+    else:
+        cols = [[routed[i][p] for i in range(len(routed))]
+                for p in range(P)]
+    out = [_split_assign.remote(val_permille, seed, *c) for c in cols]
+    return rd.from_arrow_refs(out)

@@ -537,3 +537,34 @@ def test_gopher_filter_streaming(ray_session):
     assert t.num_rows == 500
     keep = sum(t["keep"].to_pylist())
     assert 0 < keep < 500          # the filter discriminates
+
+
+def test_leakage_safe_split_invariants(ray_session):
+    """Duplicates stay on one side; split is deterministic and
+    reshard-invariant; permille controls the val fraction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from raphtory_ray.data.dedup import leakage_safe_split
+    rng = np.random.default_rng(4)
+    texts = [f"doc body {i}" for i in range(200)]
+    # inject exact duplicates across distant ids
+    dup_of = {150 + i: i for i in range(30)}
+    rows = [texts[dup_of.get(i, i)] for i in range(200)]
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(rows)})
+    a = pa.concat_tables(ray.get(leakage_safe_split(
+        rd.from_arrow(tbl).repartition(5), val_permille=300, seed=1)
+        .to_arrow_refs())).sort_by("doc_id")
+    b = pa.concat_tables(ray.get(leakage_safe_split(
+        rd.from_arrow(tbl).repartition(2), val_permille=300, seed=1)
+        .to_arrow_refs())).sort_by("doc_id")
+    assert a.equals(b)                       # reshard-invariant
+    split = dict(zip(a["doc_id"].to_pylist(), a["split"].to_pylist()))
+    clus = dict(zip(a["doc_id"].to_pylist(), a["cluster_id"].to_pylist()))
+    for d, orig in dup_of.items():
+        assert split[d] == split[orig]       # never straddles
+        assert clus[d] == clus[orig] == orig
+    frac = sum(1 for v in split.values() if v == "val") / len(split)
+    assert 0.15 < frac < 0.45                # ~300 permille
