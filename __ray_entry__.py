@@ -178,6 +178,20 @@ def _q_ppr5(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_harmonic(sf_dir: str) -> pa.Table:
+    """Sampled-source harmonic centrality: H(v) = Σ 1/d(s,v) over the
+    deterministic source sample {part ids ≡ 0 (mod 97)} — source-parallel
+    BFS tasks (algorithms/extra.py harmonic_centrality). Sums of ≤|S|
+    small rationals on the 1e-9 grid (+boundary shift for exact .5s)."""
+    from raphtory_ray.algorithms.extra import harmonic_centrality
+    _, g, ids = _copurchase(sf_dir)
+    srcs = np.flatnonzero(ids % 97 == 0)
+    st = harmonic_centrality(g, sources=srcs)
+    q = np.floor(st.values * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(ids, pa.int64()),
+                     "harm_q": pa.array(q, pa.int64())})
+
+
 def _q_katz5(sf_dir: str) -> pa.Table:
     """Katz centrality forced to exactly 5 supersteps (x_{k+1} = 1 +
     1e-4·Aᵀx_k), built on the user superstep API (run_supersteps) —
@@ -1826,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank_5iter": _q_pagerank5,
         "copurchase_ppr_5iter": _q_ppr5,
         "copurchase_katz_5iter": _q_katz5,
+        "copurchase_harmonic_sampled": _q_harmonic,
         "copurchase_eig_5iter": _q_eig5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa_3iter": _q_lpa3,
@@ -3005,6 +3020,27 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_ppr_5iter": _ppr5_sql(),
         "copurchase_katz_5iter": _katz5_sql(),
+        "copurchase_harmonic_sampled": f"""
+WITH RECURSIVE {_PAIRS}, {_DEDUP},
+-- UNION ALL + DISTINCT: under WITH RECURSIVE DuckDB treats a top-level
+-- UNION CTE as a recursive union and skips the dedup
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM dedup UNION ALL SELECT dst FROM dedup)),
+walk AS (
+  SELECT node AS s, node AS v, 0 AS hops FROM nodes WHERE node % 97 = 0
+  UNION
+  SELECT walk.s, dedup.dst, walk.hops + 1
+  FROM walk JOIN dedup ON dedup.src = walk.v
+  WHERE walk.hops < 64
+),
+dist AS (SELECT s, v, MIN(hops) AS d FROM walk GROUP BY s, v)
+SELECT nodes.node AS vid,
+       CAST(FLOOR(COALESCE(h.hsum, 0) * 1e9 + 0.5000001) AS BIGINT)
+         AS harm_q
+FROM nodes LEFT JOIN (
+  SELECT v, SUM(1.0 / d) AS hsum FROM dist WHERE d > 0 GROUP BY v
+) h ON nodes.node = h.v
+""",
         "copurchase_eig_5iter": _eig5_sql(),
         "copurchase_lpa_3iter": _lpa3_sql(),
         "copurchase_hits_3iter": _hits3_sql(),

@@ -36,3 +36,51 @@ def test_betweenness_matches_networkx(ray_session, seed, normalized):
     want = nx.betweenness_centrality(g, normalized=normalized)
     for v in range(n):
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_harmonic_centrality_brute_force(ray_session):
+    import numpy as np
+    from raphtory_ray.algorithms.extra import harmonic_centrality
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(13)
+    n = 120
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, n, 500)
+    g = BspGraph.from_arrays(src, dst, n, num_blocks=3)
+    srcs = np.arange(0, n, 9)
+    st = harmonic_centrality(g, sources=srcs, num_tasks=4)
+    # dense BFS reference
+    pair = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    s2, d2 = pair // n, pair % n
+    adj = {}
+    for a, b in zip(s2.tolist(), d2.tolist()):
+        adj.setdefault(a, []).append(b)
+    H = np.zeros(n)
+    for s in srcs:
+        dist = {int(s): 0}
+        q = [int(s)]
+        while q:
+            nq = []
+            for v in q:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nq.append(w)
+            q = nq
+        for v, d in dist.items():
+            if d > 0:
+                H[v] += 1.0 / d
+    assert np.allclose(st.values, H, atol=1e-12)
+
+
+def test_harmonic_unreachable_contributes_zero(ray_session):
+    import numpy as np
+    from raphtory_ray.algorithms.extra import harmonic_centrality
+    from raphtory_ray.state.shards import BspGraph
+    # two disjoint chains: sources in one never score the other
+    src = np.array([0, 1, 5, 6])
+    dst = np.array([1, 2, 6, 7])
+    g = BspGraph.from_arrays(src, dst, 8, num_blocks=2)
+    st = harmonic_centrality(g, sources=np.array([0]))
+    assert st.values[1] == 1.0 and st.values[2] == 0.5
+    assert st.values[5] == st.values[6] == st.values[7] == 0.0
