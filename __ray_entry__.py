@@ -794,6 +794,22 @@ def _q_user_layered_wcc(sf_dir: str) -> pa.Table:
                             keep=keep)
 
 
+def _q_user_windowed_layer_wcc(sf_dir: str) -> pa.Table:
+    """COMPOSED view conformance (round 4): layer('purchase') THEN
+    window(t0, t1) — the reference runs algorithms on arbitrarily nested
+    views (LayeredGraph<WindowedGraph<...>>); WCC over the intersection
+    edge set, reported for view-active nodes."""
+    from raphtory_ray.state.shards import BspGraph
+    t0, t1 = _user_window(sf_dir)
+    gf = _layered_user_gf(sf_dir).layer("purchase").window(t0, t1)
+    g = BspGraph.from_graph(gf)
+    labels = g.wcc()
+    vids = np.arange(gf.n, dtype=np.int64)
+    keep = (g.out_degree + g.in_degree) > 0
+    return _nodestate_table(vids, vids[labels], "component", pa.int64(),
+                            keep=keep)
+
+
 def _q_user_windowed_pagerank(sf_dir: str) -> pa.Table:
     """Windowed PageRank, value-checked (round 4): the windowed view's
     node universe is its ACTIVE nodes (graph.rs windowed semantics), so
@@ -1888,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_in_list": _q_cypher_in_list,
         "user_windowed_wcc": _q_user_windowed_wcc,
         "user_layered_wcc": _q_user_layered_wcc,
+        "user_windowed_layer_wcc": _q_user_windowed_layer_wcc,
         "user_windowed_pagerank": _q_user_windowed_pagerank,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
@@ -3474,6 +3491,36 @@ wlab AS (
 ),
 wcomp AS (SELECT node AS vid, MIN(label) AS component FROM wlab GROUP BY node)
 SELECT vid, component FROM wcomp
+""",
+        "user_windowed_layer_wcc": """
+WITH RECURSIVE typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst, epoch_ms(ts) AS t
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL AND event_type = 'purchase'
+),
+bounds AS (
+  SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
+),
+win AS (
+  SELECT tmin + (tmax - tmin) // 4 AS t0,
+         tmin + (3 * (tmax - tmin)) // 4 AS t1 FROM bounds
+),
+wldedup AS (
+  SELECT DISTINCT src, dst FROM typed, win WHERE t >= t0 AND t < t1
+),
+wlund AS (
+  SELECT src AS u, dst AS v FROM wldedup
+  UNION
+  SELECT dst AS u, src AS v FROM wldedup
+),
+wllab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM wlund GROUP BY u
+  UNION
+  SELECT wlund.u, wllab.label FROM wllab JOIN wlund ON wllab.node = wlund.v
+),
+wlcomp AS (SELECT node AS vid, MIN(label) AS component FROM wllab GROUP BY node)
+SELECT vid, component FROM wlcomp
 """,
         "user_layered_wcc": """
 WITH RECURSIVE typed AS (
