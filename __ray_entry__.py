@@ -955,6 +955,24 @@ def _q_user_temporal_reach(sf_dir: str) -> pa.Table:
     return pa.table({"vid": pa.array(np.sort(reached), pa.int64())})
 
 
+def _q_user_earliest_arrival(sf_dir: str) -> pa.Table:
+    """Distributed earliest-arrival times over time-respecting paths
+    (algorithms/earliest_arrival — the arrival-time refinement of
+    user_temporal_reach, same seed/start): integer ms, exact hash
+    compare."""
+    from raphtory_ray.algorithms import earliest_arrival
+    from raphtory_ray.algorithms.extra import _time_bounds
+    from raphtory_ray.pipelines.tpch_graph import user_graph
+    gf = user_graph(sf_dir)
+    gf.edges = gf.edges.materialize()
+    lo, _hi = _time_bounds(gf, None, None)
+    seed = _min_src_user(gf)
+    st = earliest_arrival(gf, seed, start_time=lo)
+    reached = np.flatnonzero(st.values < np.iinfo(np.int64).max)
+    return pa.table({"vid": pa.array(reached, pa.int64()),
+                     "arrival": pa.array(st.values[reached], pa.int64())})
+
+
 def _min_src_user(gf) -> int:
     import pyarrow.compute as pc
     best = None
@@ -1915,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_exclude_layer_edges": _q_user_exclude_layer,
         "user_rolling_edge_counts": _q_user_rolling_counts,
         "user_temporal_reach": _q_user_temporal_reach,
+        "user_earliest_arrival": _q_user_earliest_arrival,
         "user_filtered_out_degree": _q_user_filtered_out_degree,
         "user_edge_latest_filter": _q_user_edge_latest_filter,
         "user_props_sum": _q_user_props_sum,
@@ -3731,6 +3750,18 @@ SELECT e - win AS t0, e AS t1,
        (SELECT COUNT(*) FROM user_edges ue
         WHERE ue.t >= m.e - m.win AND ue.t < m.e)::BIGINT AS n_edges
 FROM marks m
+""",
+        "user_earliest_arrival": f"""
+WITH RECURSIVE {_USER_EDGES},
+start_t AS (SELECT MIN(t) AS t0 FROM user_edges),
+seed AS (SELECT MIN(src) AS v FROM user_edges),
+reach AS (
+  SELECT v AS node, (SELECT t0 FROM start_t) AS tt FROM seed
+  UNION
+  SELECT e.dst, e.t FROM reach r JOIN user_edges e
+  ON e.src = r.node AND e.t >= r.tt
+)
+SELECT node AS vid, MIN(tt)::BIGINT AS arrival FROM reach GROUP BY node
 """,
         "user_temporal_reach": f"""
 WITH RECURSIVE {_USER_EDGES},

@@ -525,6 +525,60 @@ def temporally_reachable_nodes(gf, start_time: int, seeds: list[int],
     return np.flatnonzero(taint_time < np.iinfo(np.int64).max)
 
 
+def earliest_arrival(gf, source: int, start_time: int) -> NodeState:
+    """Earliest-arrival times over TIME-RESPECTING paths from ``source``
+    (the arrival-time refinement of temporally_reachable_nodes: an event
+    (u, v, t) relaxes v to t when t ≥ arrival[u] and t ≥ start_time).
+    Earliest arrival has optimal substructure under min (a departure valid
+    for a later arrival is valid for an earlier one), so monotone
+    min-relaxation converges to the exact answer in ≤ temporal-diameter
+    rounds.
+
+    DISTRIBUTED, unlike the reference's sequential taint pass
+    (temporal_reachability.rs:78-219): per round, ONE streaming
+    map_batches pass over the event Dataset against the plasma-broadcast
+    arrival array (ray.put once per round, zero-copy per task), each
+    block emitting per-dst min-t partials (≤ distinct-dst rows); the
+    driver merge is O(V). Unreached nodes hold int64 max."""
+    INF = np.iinfo(np.int64).max
+    arr = np.full(gf.n, INF, dtype=np.int64)
+    arr[source] = int(start_time)
+    edges = gf.edges.select_columns(["src", "dst", "t"]).materialize()
+    while True:
+        ref = ray.put(arr)
+
+        def part(b: pa.Table, _ref=ref) -> pa.Table:
+            a = ray.get(_ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            t = b["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+            asrc = a[s]
+            ok = (asrc != np.iinfo(np.int64).max) & (t >= asrc)
+            d2, t2 = d[ok], t[ok]
+            if len(d2) == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "t": pa.array([], pa.int64())})
+            o = np.lexsort((t2, d2))
+            d2, t2 = d2[o], t2[o]
+            first = np.r_[True, d2[1:] != d2[:-1]]
+            return pa.table({"dst": pa.array(d2[first], pa.int64()),
+                             "t": pa.array(t2[first], pa.int64())})
+
+        parts = ray.get(edges.map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize().to_arrow_refs())
+        new = arr.copy()
+        for p in parts:
+            dd = p["dst"].to_numpy(zero_copy_only=False)
+            tt = p["t"].to_numpy(zero_copy_only=False)
+            np.minimum.at(new, dd, tt)
+        if np.array_equal(new, arr):
+            break
+        arr = new
+    return NodeState(arr, gf if isinstance(gf, GraphFrame) else None,
+                     "arrival")
+
+
 def fast_rp(gf, embedding_dim: int = 16, normalization_strength: float = 0.5,
             iter_weights: list[float] = (1.0, 1.0), seed: int = 42) -> NodeState:
     """FastRP embeddings (fast_rp.rs:40-114): seeded sparse random init,

@@ -190,3 +190,37 @@ def test_window_reports_requested_bounds(ray_session):
     assert s2.edges.count() == 5
     s3 = w.shrink_start(3)
     assert (s3.start, s3.end) == (3, 6)
+
+
+def test_earliest_arrival_matches_reachability(ray_session):
+    """Arrival times refine temporally_reachable_nodes: same reached set,
+    and each arrival is the min over brute-force time-respecting paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.algorithms import (earliest_arrival,
+                                         temporally_reachable_nodes)
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    rng = np.random.default_rng(7)
+    m, n = 300, 40
+    edges = pa.table({"src": pa.array(rng.integers(0, n, m), pa.int64()),
+                      "dst": pa.array(rng.integers(0, n, m), pa.int64()),
+                      "t": pa.array(rng.integers(0, 50, m), pa.int64()),
+                      "event_id": pa.array(np.arange(m), pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges).repartition(4), n, None)
+    st = earliest_arrival(gf, source=0, start_time=0)
+    INF = np.iinfo(np.int64).max
+    reached = set(np.flatnonzero(st.values < INF).tolist())
+    assert reached == set(
+        temporally_reachable_nodes(gf, 0, [0]).tolist()) | {0}
+    # brute-force label-correcting reference
+    s = edges["src"].to_numpy()
+    d = edges["dst"].to_numpy()
+    t = edges["t"].to_numpy()
+    arr = np.full(n, INF, np.int64)
+    arr[0] = 0
+    for _ in range(n):
+        for i in range(m):
+            if arr[s[i]] != INF and t[i] >= arr[s[i]] and t[i] < arr[d[i]]:
+                arr[d[i]] = t[i]
+    assert np.array_equal(st.values, arr)
