@@ -178,6 +178,26 @@ def _q_ppr5(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_link_features(sf_dir: str) -> pa.Table:
+    """Link-prediction features over the sampled candidate set
+    {part ids ≡ 0 (mod 29)}: common-out-neighbour count (exact int) and
+    Adamic-Adar Σ 1/ln(deg⁺(c)) (1e-9 grid) per unordered pair —
+    wedge-local on dst-owned blocks (algorithms/linkpred.py)."""
+    from raphtory_ray.algorithms.linkpred import link_prediction_features
+    _, g, ids = _copurchase(sf_dir)
+    sample = np.flatnonzero(ids % 29 == 0)
+    t = link_prediction_features(g, sample)
+    a = ids[t["a"].to_numpy(zero_copy_only=False)]
+    b = ids[t["b"].to_numpy(zero_copy_only=False)]
+    aa = t["aa"].to_numpy(zero_copy_only=False)
+    # vids are rank-isomorphic to part ids, so a < b is preserved
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(b, pa.int64()),
+                     "cn": t["cn"],
+                     "aa_q": pa.array(np.floor(aa * 1e9 + 0.5000001)
+                                      .astype(np.int64), pa.int64())})
+
+
 def _q_harmonic(sf_dir: str) -> pa.Table:
     """Sampled-source harmonic centrality: H(v) = Σ 1/d(s,v) over the
     deterministic source sample {part ids ≡ 0 (mod 97)} — source-parallel
@@ -1875,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_ppr_5iter": _q_ppr5,
         "copurchase_katz_5iter": _q_katz5,
         "copurchase_harmonic_sampled": _q_harmonic,
+        "copurchase_link_features": _q_link_features,
         "copurchase_eig_5iter": _q_eig5,
         "copurchase_wcc": _q_wcc,
         "copurchase_lpa_3iter": _q_lpa3,
@@ -3056,6 +3077,23 @@ SELECT node AS doc_id, MIN(l)::BIGINT AS cluster_id FROM lab GROUP BY node
         "copurchase_pagerank_5iter": _pagerank5_sql(),
         "copurchase_ppr_5iter": _ppr5_sql(),
         "copurchase_katz_5iter": _katz5_sql(),
+        "copurchase_link_features": f"""
+WITH {_PAIRS}, {_DEDUP},
+od AS (SELECT src AS node, COUNT(*)::BIGINT AS od FROM dedup GROUP BY src),
+w AS (
+  SELECT e1.src AS a, e2.src AS b, e1.dst AS c
+  FROM dedup e1 JOIN dedup e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  WHERE e1.src % 29 = 0 AND e2.src % 29 = 0
+)
+SELECT w.a, w.b, COUNT(*)::BIGINT AS cn,
+       CAST(FLOOR(SUM(CASE WHEN od.od >= 2 THEN 1.0 / LN(od.od)
+                           ELSE 0.0 END) * 1e9 + 0.5000001) AS BIGINT)
+         AS aa_q
+-- LEFT JOIN: a sink common-neighbour (no out-edges) still counts toward
+-- cn; its AA weight is 0 (CASE falls through on NULL)
+FROM w LEFT JOIN od ON w.c = od.node
+GROUP BY w.a, w.b
+""",
         "copurchase_harmonic_sampled": f"""
 WITH RECURSIVE {_PAIRS}, {_DEDUP},
 -- UNION ALL + DISTINCT: under WITH RECURSIVE DuckDB treats a top-level

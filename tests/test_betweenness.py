@@ -84,3 +84,35 @@ def test_harmonic_unreachable_contributes_zero(ray_session):
     st = harmonic_centrality(g, sources=np.array([0]))
     assert st.values[1] == 1.0 and st.values[2] == 0.5
     assert st.values[5] == st.values[6] == st.values[7] == 0.0
+
+
+def test_link_prediction_features_brute_force(ray_session):
+    import numpy as np
+    from raphtory_ray.algorithms.linkpred import link_prediction_features
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(21)
+    n = 80
+    src = rng.integers(0, n, 600)
+    dst = rng.integers(0, n, 600)
+    g = BspGraph.from_arrays(src, dst, n, num_blocks=4)
+    S = np.arange(0, n, 3)
+    t = link_prediction_features(g, S)
+    got = {(r["a"], r["b"]): (r["cn"], r["aa"]) for r in t.to_pylist()}
+    # dense reference
+    pair = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    s2, d2 = pair // n, pair % n
+    out = {v: set(d2[s2 == v].tolist()) for v in range(n)}
+    od = {v: len(out[v]) for v in range(n)}
+    want = {}
+    Sset = sorted(S.tolist())
+    for i, a in enumerate(Sset):
+        for b in Sset[i + 1:]:
+            common = out[a] & out[b]
+            if common:
+                aa = sum(1.0 / np.log(od[c]) for c in sorted(common)
+                         if od[c] >= 2)
+                want[(a, b)] = (len(common), aa)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
