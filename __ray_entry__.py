@@ -190,12 +190,16 @@ def _q_link_features(sf_dir: str) -> pa.Table:
     a = ids[t["a"].to_numpy(zero_copy_only=False)]
     b = ids[t["b"].to_numpy(zero_copy_only=False)]
     aa = t["aa"].to_numpy(zero_copy_only=False)
+    jac = t["jaccard"].to_numpy(zero_copy_only=False)
     # vids are rank-isomorphic to part ids, so a < b is preserved
     return pa.table({"a": pa.array(a, pa.int64()),
                      "b": pa.array(b, pa.int64()),
                      "cn": t["cn"],
                      "aa_q": pa.array(np.floor(aa * 1e9 + 0.5000001)
-                                      .astype(np.int64), pa.int64())})
+                                      .astype(np.int64), pa.int64()),
+                     "jac_q": pa.array(np.floor(jac * 1e9 + 0.5000001)
+                                       .astype(np.int64), pa.int64()),
+                     "pref_attach": t["pref_attach"]})
 
 
 def _q_harmonic(sf_dir: str) -> pa.Table:
@@ -3084,15 +3088,22 @@ w AS (
   SELECT e1.src AS a, e2.src AS b, e1.dst AS c
   FROM dedup e1 JOIN dedup e2 ON e1.dst = e2.dst AND e1.src < e2.src
   WHERE e1.src % 29 = 0 AND e2.src % 29 = 0
+),
+g AS (
+  SELECT w.a, w.b, COUNT(*)::BIGINT AS cn,
+         CAST(FLOOR(SUM(CASE WHEN od.od >= 2 THEN 1.0 / LN(od.od)
+                             ELSE 0.0 END) * 1e9 + 0.5000001) AS BIGINT)
+           AS aa_q
+  -- LEFT JOIN: a sink common-neighbour (no out-edges) still counts toward
+  -- cn; its AA weight is 0 (CASE falls through on NULL)
+  FROM w LEFT JOIN od ON w.c = od.node
+  GROUP BY w.a, w.b
 )
-SELECT w.a, w.b, COUNT(*)::BIGINT AS cn,
-       CAST(FLOOR(SUM(CASE WHEN od.od >= 2 THEN 1.0 / LN(od.od)
-                           ELSE 0.0 END) * 1e9 + 0.5000001) AS BIGINT)
-         AS aa_q
--- LEFT JOIN: a sink common-neighbour (no out-edges) still counts toward
--- cn; its AA weight is 0 (CASE falls through on NULL)
-FROM w LEFT JOIN od ON w.c = od.node
-GROUP BY w.a, w.b
+SELECT g.a, g.b, g.cn, g.aa_q,
+       CAST(FLOOR(g.cn / (da.od + db.od - g.cn) * 1e9 + 0.5000001)
+            AS BIGINT) AS jac_q,
+       (da.od * db.od)::BIGINT AS pref_attach
+FROM g JOIN od da ON g.a = da.node JOIN od db ON g.b = db.node
 """,
         "copurchase_harmonic_sampled": f"""
 WITH RECURSIVE {_PAIRS}, {_DEDUP},

@@ -108,15 +108,23 @@ def _combine_pairs(*pieces: pa.Table) -> pa.Table:
 
 
 def link_prediction_features(g, sample: np.ndarray) -> pa.Table:
-    """(a, b, cn, aa) for every unordered pair a < b from ``sample`` with
-    ≥1 common OUT-neighbour: cn = |N⁺(a) ∩ N⁺(b)|, aa = Σ_c 1/ln(deg⁺(c))
-    over common neighbours with deg⁺(c) ≥ 2. ``g`` is a BspGraph (or a
-    GraphFrame with `_bsp`); output is bounded by |sample|²."""
+    """(a, b, cn, aa, jaccard, pref_attach) for every unordered pair
+    a < b from ``sample`` with ≥1 common OUT-neighbour:
+
+    - cn = |N⁺(a) ∩ N⁺(b)| (exact int)
+    - aa = Σ_c 1/ln(deg⁺(c)) over common neighbours with deg⁺(c) ≥ 2
+    - jaccard = cn / (deg⁺(a) + deg⁺(b) − cn)
+    - pref_attach = deg⁺(a)·deg⁺(b) (exact int)
+
+    ``g`` is a BspGraph (or a GraphFrame with `_bsp`); output is bounded
+    by |sample|². The two degree-based scores are a driver-free final map
+    over the combined pairs (degrees come from the broadcast array)."""
     from raphtory_ray.algorithms import _bsp
     g = _bsp(g)
     S = np.unique(np.asarray(sample, np.int64))
     sref = ray.put(S)
-    dref = ray.put(g.out_degree)
+    outdeg = g.out_degree
+    dref = ray.put(outdeg)
     parts = [_wedge_partials.remote(r, sref, dref) for r in g.refs]
     P = max(1, min(16, len(parts)))
     routed = [_route_pairs.options(
@@ -127,5 +135,13 @@ def link_prediction_features(g, sample: np.ndarray) -> pa.Table:
     else:
         cols = [[routed[i][p] for i in range(len(routed))]
                 for p in range(P)]
-    return pa.concat_tables(ray.get([_combine_pairs.remote(*c)
-                                     for c in cols]))
+    t = pa.concat_tables(ray.get([_combine_pairs.remote(*c)
+                                  for c in cols]))
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    cn = t["cn"].to_numpy(zero_copy_only=False)
+    da = outdeg[a].astype(np.int64)
+    db = outdeg[b].astype(np.int64)
+    jac = cn / (da + db - cn)       # union ≥ cn ≥ 1 on every output row
+    return t.append_column("jaccard", pa.array(jac, pa.float64())) \
+            .append_column("pref_attach", pa.array(da * db, pa.int64()))
