@@ -202,6 +202,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     knn_bruteforce(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qm, k=5)
     queries["emb_knn_bruteforce"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    from raphtory_ray.data.text import gopher_filter
+    from raphtory_ray.data.dedup import leakage_safe_split
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    gopher_filter(docs, min_stopwords=1).materialize()
+    queries["doc_gopher_filter"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    leakage_safe_split(docs).materialize()
+    queries["doc_leakage_split"] = time.perf_counter() - t0
+
     headline = queries["ingest"] + queries["graph_build_dedup_shuffle"] + \
         queries["pagerank_10_supersteps"]
     return {
