@@ -178,6 +178,22 @@ def _q_ppr5(sf_dir: str) -> pa.Table:
                      "pr_q": pa.array(q, pa.int64())})
 
 
+def _q_emb_pca_cov(sf_dir: str) -> pa.Table:
+    """Distributed PCA moments (data/projection.py pca_moments — per-block
+    (n, Σx, ΣXᵀX) combiner partials): the covariance upper triangle on the
+    1e-9 grid. The eigensolve itself is a 64×64 driver op gated by
+    invariant tests; the DISTRIBUTED part is these sums."""
+    from raphtory_ray.data.projection import pca_moments
+    n, s, ss = pca_moments(_embs(sf_dir))
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    iu = np.triu_indices(cov.shape[0])
+    q = np.floor(cov[iu] * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"i": pa.array(iu[0] + 1, pa.int64()),
+                     "j": pa.array(iu[1] + 1, pa.int64()),
+                     "cov_q": pa.array(q, pa.int64())})
+
+
 def _q_link_features(sf_dir: str) -> pa.Table:
     """Link-prediction features over the sampled candidate set
     {part ids ≡ 0 (mod 29)}: common-out-neighbour count (exact int) and
@@ -2001,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_bruteforce": _q_knn_bruteforce,
         "emb_knn_ivf": _q_knn_ivf,
         "emb_knn_ivf_full": _q_knn_ivf_full,
+        "emb_pca_cov": _q_emb_pca_cov,
         "emb_cosine_dedup": _q_embedding_dedup,
         "emb_semantic_dedup": _q_semantic_dedup,
         "corpus_files": _q_corpus_files,
@@ -4187,6 +4204,23 @@ SELECT qid AS query_id, nid AS neighbor_id, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {KNN_K}
 """,
         # nprobe = n_clusters makes IVF exhaustive -> must equal brute force
+        "emb_pca_cov": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+m AS (SELECT i, SUM(x) AS sx FROM ex GROUP BY i)
+SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       CAST(FLOOR((SUM(a.x * b.x) / (SELECT n FROM nn)
+                   - (ma.sx / (SELECT n FROM nn))
+                     * (mb.sx / (SELECT n FROM nn)))
+                  * 1e9 + 0.5000001) AS BIGINT) AS cov_q
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+GROUP BY a.i, b.i, ma.sx, mb.sx
+""",
         "emb_knn_ivf_full": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id < {N_KNN_QUERIES}),

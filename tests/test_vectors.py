@@ -220,3 +220,41 @@ def test_embedding_cache_memoizes(tmp_path):
     calls = [l for l in open(log).read().splitlines() if l.startswith("call")]
     # 1st instance: one call for 2 texts; 2nd: one call for ONLY the miss
     assert calls == ["call 2", "call 1"]
+
+
+def test_pca_fit_transform_invariants(ray_session):
+    """Components orthonormal, variances sorted, projection reproduces a
+    local-numpy PCA, transform streams (no driver rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from raphtory_ray.data.projection import pca_fit, pca_transform
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: PCA direction is unambiguous
+    X = rng.normal(size=(400, 8)) * np.array([10, 5, 2, 1, .5, .2, .1, .05])
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(list(X.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(5)
+    model = pca_fit(ds, k=3)
+    w = model["components"]
+    assert np.allclose(w.T @ w, np.eye(3), atol=1e-10)
+    ev = model["explained_variance"]
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    # local reference on the SAME float32-rounded data
+    Xd = X.astype(np.float32).astype(np.float64)
+    mu = Xd.mean(axis=0)
+    cov = (Xd.T @ Xd) / len(Xd) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argsort(vals)[::-1][:3]]
+    # compare up to per-column sign
+    for j in range(3):
+        c = np.abs(top[:, j] @ w[:, j])
+        assert c > 1 - 1e-8
+    out = pa.concat_tables(ray.get(
+        pca_transform(ds, model).to_arrow_refs())).sort_by("vec_id")
+    Y = np.array(out["pca"].to_pylist())
+    want = (Xd - model["mean"]) @ w
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    assert np.allclose(Y, want[order], atol=1e-9)
