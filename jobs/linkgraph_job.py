@@ -94,7 +94,7 @@ def main() -> None:
                     help="comma list of training-data pipeline stages to "
                          "run over --docs, each resumable under "
                          "<output>/data/<op>/: exact_dedup, minhash_dedup, "
-                         "langid, quality, tokens, fingerprints, redact, "
+                         "langid, quality, tokens, fingerprints, redact, gopher, split, pca, "
                          "sample, pack")
     args = ap.parse_args()
 
@@ -265,6 +265,17 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
             return text.vocab_stats(ds)
         if op == "tfidf":
             return text.tfidf_top_terms(ds)
+        if op == "gopher":
+            return text.gopher_filter(ds, min_stopwords=1)
+        if op == "split":
+            return dedup.leakage_safe_split(ds)
+        if op == "pca":
+            import ray.data as rd
+            from raphtory_ray.data.projection import pca_fit, pca_transform
+            # graph-less docs table has no embeddings; this op expects an
+            # embedding column (use --docs on an embeddings parquet)
+            model = pca_fit(ds, k=8)
+            return pca_transform(ds, model)
         raise SystemExit(f"unknown data op {op!r}")
 
     for op in ops:
