@@ -431,3 +431,37 @@ def to_networkx(gf: GraphFrame, directed: bool = True):
 
 def to_df(gf: GraphFrame):
     return gf.edges.to_pandas()
+
+
+def save_to_zip(gf: GraphFrame, path: str):
+    """Zip snapshot of the canonical parquet layout (the reference's
+    ``save_to_zip``, serialise/serialise.rs + graph_folder.rs — there a
+    proto folder, here the engine's to_parquet directory zipped
+    deflate-compressed). The heavy encode is the distributed to_parquet
+    pass; zipping is driver-side file IO over the already-written
+    fragments (metadata-scale, like the server's send_graph transport,
+    query/server.py)."""
+    import os
+    import tempfile
+    import zipfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "graph")
+        to_parquet(gf, d)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(d):
+                for f in sorted(files):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, d))
+
+
+def load_from_zip(path: str) -> GraphFrame:
+    """Inverse of save_to_zip: extract the parquet folder and from_parquet
+    it (serialise.rs load_from_zip equivalent)."""
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="rap_zip_")
+    with zipfile.ZipFile(path) as z:
+        z.extractall(tmp)
+    return from_parquet(tmp)

@@ -142,3 +142,33 @@ def test_load_edges_from_csv_and_json(ray_session, tmp_path):
     key = lambda r: (r["t"], r["src"], r["dst"], r["w"])
     assert sorted(map(key, got_csv)) == sorted(map(key, got_json)) == [
         (1, 0, 1, 2.5), (2, 1, 2, 0.5), (3, 2, 0, 1.0)]
+
+
+def test_save_load_zip_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.sources.loaders import load_from_zip, save_to_zip
+    rng = np.random.default_rng(2)
+    edges = pa.table({
+        "src": pa.array(rng.integers(0, 20, 100), pa.int64()),
+        "dst": pa.array(rng.integers(0, 20, 100), pa.int64()),
+        "t": pa.array(rng.integers(0, 50, 100), pa.int64()),
+        "event_id": pa.array(np.arange(100), pa.int64()),
+    })
+    verts = pa.table({"vid": pa.array(range(20), pa.int64()),
+                      "gid": pa.array([f"g{i}" for i in range(20)])})
+    gf = GraphFrame(rd.from_arrow(edges).repartition(3), 20, verts)
+    zp = str(tmp_path / "g.zip")
+    save_to_zip(gf, zp)
+    back = load_from_zip(zp)
+    import ray
+    a = pa.concat_tables(ray.get(gf.edges.to_arrow_refs())) \
+        .select(["src", "dst", "t", "event_id"]) \
+        .sort_by([("event_id", "ascending")])
+    b = pa.concat_tables(ray.get(back.edges.to_arrow_refs())) \
+        .select(["src", "dst", "t", "event_id"]) \
+        .sort_by([("event_id", "ascending")])
+    assert a.equals(b)
+    assert back.n == 20
