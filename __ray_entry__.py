@@ -4004,8 +4004,12 @@ FROM sp_k
         "doc_gopher_filter": r"""
 WITH words AS (
   SELECT doc_id, text,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+         -- regexp trim, not trim(): DuckDB trim() strips spaces only,
+         -- while the engine's utf8_trim_whitespace strips ALL whitespace
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
   FROM documents
 ),
 stats AS (

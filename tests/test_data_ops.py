@@ -568,3 +568,42 @@ def test_leakage_safe_split_invariants(ray_session):
         assert clus[d] == clus[orig] == orig
     frac = sum(1 for v in split.values() if v == "val") / len(split)
     assert 0.15 < frac < 0.45                # ~300 permille
+
+
+def test_gopher_rules_duckdb_parity_random_text(ray_session):
+    """Engine gopher rules vs an independent DuckDB evaluation on
+    adversarial random strings (multi-space runs, punctuation, digits,
+    empty/whitespace-only rows) — the same SQL the gated oracle uses."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.text import gopher_rules_batch
+    rng = np.random.default_rng(99)
+    words = ["the", "fox", "a", "##", "...", "12", "be", "zq",
+             "hello,", "(x)", "abcdefghijklm", "...word", "#tag", ""]
+    texts = []
+    for _ in range(300):
+        k = int(rng.integers(0, 30))
+        toks = [words[int(i)] for i in rng.integers(0, len(words), k)]
+        sep = ["  " if rng.random() < 0.2 else " " for _ in toks]
+        texts.append("".join(t + s for t, s in zip(toks, sep)).strip())
+    texts += ["", "   ", "\tthe fox\t", "the  the   the"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = gopher_rules_batch(tbl, min_stopwords=1).to_pylist()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    want = con.execute(m.oracle_sql()["doc_gopher_filter"]).arrow().to_pylist()
+    gd = {r["doc_id"]: r for r in got}
+    wd = {r["doc_id"]: r for r in want}
+    assert set(gd) == set(wd)
+    for k in gd:
+        for col in ("n_words", "rule_words", "rule_mean_word_len",
+                    "rule_alpha_words", "rule_stopwords", "rule_symbols",
+                    "keep"):
+            assert gd[k][col] == wd[k][col], (k, col, texts[k])
