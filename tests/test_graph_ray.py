@@ -203,3 +203,40 @@ def test_local_clustering_batch_subset(rand_gf):
     np.testing.assert_allclose(allt["clustering"].to_numpy(), full, atol=1e-12)
     with pytest.raises(KeyError):
         alg.local_clustering_coefficient_batch(gf, [99999])
+
+
+def test_incremental_append_equals_batch(ray_session):
+    """Mutation semantics (addition_ops.rs): appending an event fragment
+    to an existing GraphFrame (Dataset union — the engine's add_edge arm)
+    yields the SAME algorithm results as building from the full event set
+    at once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(31)
+    n, m = 60, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t = rng.integers(0, 100, m)
+
+    def tbl(lo, hi):
+        return pa.table({"src": pa.array(src[lo:hi], pa.int64()),
+                         "dst": pa.array(dst[lo:hi], pa.int64()),
+                         "t": pa.array(t[lo:hi], pa.int64()),
+                         "event_id": pa.array(np.arange(lo, hi), pa.int64())})
+
+    full = GraphFrame(rd.from_arrow(tbl(0, m)).repartition(4), n, None)
+    base = GraphFrame(rd.from_arrow(tbl(0, 250)).repartition(3), n, None)
+    appended = GraphFrame(base.edges.union(rd.from_arrow(tbl(250, m))),
+                          n, None)
+    ga, gb = BspGraph.from_graph(appended), BspGraph.from_graph(full)
+    assert np.array_equal(ga.wcc(), gb.wcc())
+    sa, _, _ = ga.pagerank(iter_count=5, tol=0.0)
+    sb, _, _ = gb.pagerank(iter_count=5, tol=0.0)
+    assert np.allclose(sa, sb, atol=0)          # identical dedup topology
+    # windowed view over the appended union matches too
+    wa = BspGraph.from_graph(appended.window(20, 70))
+    wb = BspGraph.from_graph(full.window(20, 70))
+    assert np.array_equal(wa.wcc(), wb.wcc())
