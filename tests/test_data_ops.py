@@ -607,3 +607,44 @@ def test_gopher_rules_duckdb_parity_random_text(ray_session):
                     "rule_alpha_words", "rule_stopwords", "rule_symbols",
                     "keep"):
             assert gd[k][col] == wd[k][col], (k, col, texts[k])
+
+
+def test_text_oracles_duckdb_parity_random_text(ray_session):
+    """token counts / quality stats / trigram repetition vs their gated
+    DuckDB oracles on adversarial strings (tabs, multi-space, unicode,
+    blank rows) — extends the gopher parity net to the whole text-stats
+    family."""
+    import duckdb
+    import importlib.util
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.text import (quality_stats_batch,
+                                        token_count_batch,
+                                        trigram_stats_batch)
+    rng = np.random.default_rng(5)
+    words = ["the", "fox", "a", "##", "...", "12", "be", "héllo",
+             "x,y", "(z)", "tab\tin", "reallyreallylongword"]
+    texts = []
+    for _ in range(250):
+        k = int(rng.integers(0, 25))
+        toks = [words[int(i)] for i in rng.integers(0, len(words), k)]
+        texts.append(" ".join(toks))
+    texts += ["", "   ", " the the the ", "a  b\tc"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod2", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    oracles = m.oracle_sql()
+    for name, fn in [("doc_token_counts", token_count_batch),
+                     ("doc_quality_stats", quality_stats_batch),
+                     ("doc_trigram_repetition", trigram_stats_batch)]:
+        got = {r["doc_id"]: r for r in fn(tbl).to_pylist()}
+        want = {r["doc_id"]: r for r in
+                con.execute(oracles[name]).arrow().to_pylist()}
+        assert set(got) == set(want), name
+        for k in got:
+            assert got[k] == want[k], (name, k, texts[k])
