@@ -1100,14 +1100,30 @@ def _resolve_algorithms(ctx: _GraphCtx, sel: list):
         elif f.name == "shortestPath":
             from raphtory_ray.algorithms import single_source_shortest_path
             direction = f.args.get("direction", "out")
-            if direction != "out":
-                raise NotImplementedError(
-                    "shortestPath: only direction \"out\" is supported")
+            if direction not in ("out", "in", "both"):
+                raise KeyError(f"invalid direction {direction!r}")
             src = ctx.vid_of(f.args["source"])
             if src is None:
                 raise KeyError(f"unknown source node "
                                f"{f.args['source']!r}")
-            paths = single_source_shortest_path(gf, src)
+            g2 = gf
+            if direction != "out":
+                # in/both (plugins/algorithms.rs:136-140): run the same
+                # BFS over a direction-transformed edge view — reversed
+                # for "in", symmetrized (union of both orientations) for
+                # "both"; one streaming column swap, no new shuffle
+                def _flip(b: pa.Table) -> pa.Table:
+                    names = ["dst" if c == "src" else
+                             "src" if c == "dst" else c
+                             for c in b.column_names]
+                    return b.rename_columns(names)
+                flipped = gf.edges.map_batches(
+                    _flip, batch_format="pyarrow", zero_copy_batch=True)
+                from raphtory_ray.graph.graph_frame import GraphFrame
+                g2 = GraphFrame(flipped if direction == "in"
+                                else gf.edges.union(flipped),
+                                gf.n, gf.vertices)
+            paths = single_source_shortest_path(g2, src)
             rows = []
             for tname in f.args["targets"]:
                 tv = ctx.vid_of(tname)

@@ -719,3 +719,29 @@ def test_graphql_parser_fuzz_clean_errors():
             parse_document(s)
         except (SyntaxError, NotImplementedError):
             pass
+
+
+def test_algorithms_shortest_path_directions(ray_session):
+    """direction in/both (plugins/algorithms.rs:136-140): reversed and
+    symmetrized BFS. Graph: a→b, a→c, b→c, b→d, c→d, d→a."""
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), '{ graph { algorithms { '
+                       'shortestPath(source: "d", targets: ["a", "b"], '
+                       'direction: "in") { target nodes } } } }')
+    rows = g["data"]["graph"]["algorithms"]["shortestPath"]
+    by = {r["target"]: r["nodes"] for r in rows}
+    # reversed edges: d←b, d←c, so d→b is one reversed hop; a reaches d
+    # only via its out-edge a→... reversed means "who reaches d"
+    assert by["b"] == ["d", "b"]
+    assert by["a"][0] == "d" and by["a"][-1] == "a" and len(by["a"]) == 3
+    g2 = execute(_gf(), '{ graph { algorithms { '
+                        'shortestPath(source: "c", targets: ["a"], '
+                        'direction: "both") { target nodes } } } }')
+    rows2 = g2["data"]["graph"]["algorithms"]["shortestPath"]
+    by2 = {r["target"]: r["nodes"] for r in rows2}
+    assert len(by2["a"]) == 2        # undirected: a–c edge exists
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        execute(_gf(), '{ graph { algorithms { '
+                       'shortestPath(source: "a", targets: ["b"], '
+                       'direction: "sideways") { target } } } }')
