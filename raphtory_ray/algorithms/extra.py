@@ -21,9 +21,14 @@ from raphtory_ray.graph.graph_frame import GraphFrame
 from raphtory_ray.graph.node_state import NodeState
 
 
-def _csr(gf, weights_col: str | None = None, reverse: bool = False):
+def _csr(gf, weights_col: str | None = None, reverse: bool = False,
+         both: bool = False):
     """Driver-side CSR of the dedup'd simple edges (+optional per-event
-    weight reduced by min, matching dijkstra's first-seen semantics)."""
+    weight reduced by min, matching dijkstra's first-seen semantics).
+    ``both=True`` symmetrizes (each directed edge usable both ways —
+    Direction::BOTH); reciprocal duplicates are harmless to BFS/dijkstra
+    relaxation. Weight arrays aligned to the plain CSR order do NOT align
+    with ``both`` — unit weights only on that path."""
     from raphtory_ray.state.shards import BspGraph
     g = gf if isinstance(gf, BspGraph) else None
     if g is None:
@@ -37,7 +42,9 @@ def _csr(gf, weights_col: str | None = None, reverse: bool = False):
                         for t in tbls]) if tbls else np.empty(0, np.int64)
     d = np.concatenate([t["dst"].to_numpy(zero_copy_only=False)
                         for t in tbls]) if tbls else np.empty(0, np.int64)
-    if reverse:
+    if both:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    elif reverse:
         s, d = d, s
     order = np.argsort(s, kind="stable")
     s, d = s[order], d[order]
@@ -103,8 +110,14 @@ def dijkstra_single_source_shortest_paths(gf, source: int,
                                           direction: str = "out"):
     """Weighted shortest paths (dijkstra.rs:97-246). ``weight`` is a
     per-simple-edge array aligned with the CSR order, or None for unit
-    weights. Returns {target: (cost, [path])}."""
-    n, adj, indptr = _csr(gf, reverse=(direction == "in"))
+    weights. ``direction`` ∈ out/in/both (plugins/algorithms.rs
+    Direction::*; "both" supports unit weights only — an explicit weight
+    array cannot align with the symmetrized CSR). Returns
+    {target: (cost, [path])}."""
+    if direction == "both" and weight is not None:
+        raise ValueError('direction="both" supports unit weights only')
+    n, adj, indptr = _csr(gf, reverse=(direction == "in"),
+                          both=(direction == "both"))
     w = np.ones(len(adj)) if weight is None else np.asarray(weight, float)
     dist = np.full(n, np.inf)
     prev = np.full(n, -1, dtype=np.int64)

@@ -116,3 +116,20 @@ def test_link_prediction_features_brute_force(ray_session):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_dijkstra_direction_both(ray_session):
+    import numpy as np
+    import pytest
+    from raphtory_ray.algorithms.extra import \
+        dijkstra_single_source_shortest_paths as dj
+    from raphtory_ray.state.shards import BspGraph
+    # chain 0→1→2 plus back-edge 3→2: "both" reaches 3 from 0, "out" not
+    g = BspGraph.from_arrays(np.array([0, 1, 3]), np.array([1, 2, 2]),
+                             4, num_blocks=2)
+    out = dj(g, 0, targets=[2, 3])
+    assert 2 in out and 3 not in out
+    both = dj(g, 0, targets=[2, 3], direction="both")
+    assert both[3][0] == 3.0 and both[3][1] == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        dj(g, 0, direction="both", weight=np.ones(3))
