@@ -289,6 +289,15 @@ class GraphFrame:
         vids = self.vertices["vid"].filter(m).to_numpy(zero_copy_only=False)
         return self.subgraph(vids)
 
+    def node_types(self) -> list:
+        """Distinct node_type values (pyi get_all_node_types); None-typed
+        nodes are excluded, matching the reference's Option semantics."""
+        if self.vertices is None or \
+                "node_type" not in self.vertices.column_names:
+            return []
+        vals = pc.drop_null(pc.unique(self.vertices["node_type"]))
+        return sorted(vals.to_pylist())
+
     def materialize(self) -> "GraphFrame":
         """Copy the composed view into a standalone frame
         (test_materialize.rs:66 contract: algorithms on the materialized

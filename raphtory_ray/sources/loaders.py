@@ -465,3 +465,72 @@ def load_from_zip(path: str) -> GraphFrame:
     with zipfile.ZipFile(path) as z:
         z.extractall(tmp)
     return from_parquet(tmp)
+
+
+def import_graph(dst: GraphFrame, src: GraphFrame,
+                 force: bool = False) -> GraphFrame:
+    """Import every node and edge event of ``src`` into ``dst`` aligned by
+    GID — the reference's import_nodes/import_edges surface
+    (python/python/raphtory/__init__.pyi import_* family): entities that
+    share a GID merge onto one vertex; ``force=False`` raises on a GID
+    that exists in both (the reference's already-exists error), ``True``
+    keeps ``dst``'s vertex row and unions the event histories.
+
+    Scale shape: the combined gid vocabulary keeps dst's vids stable and
+    appends new ones (no re-encode of dst); src's edge events remap
+    through ONE broadcast O(n_src) vid→vid array inside a streaming
+    map_batches — dst's Dataset is reused untouched and the result is a
+    lazy union (no shuffle)."""
+    if dst.vertices is None or src.vertices is None:
+        raise ValueError("import_graph needs gid vertex tables both sides")
+    dg = dst.vertices["gid"].to_numpy(zero_copy_only=False)
+    sg = src.vertices["gid"].to_numpy(zero_copy_only=False)
+    overlap = np.isin(sg, dg)
+    if overlap.any() and not force:
+        raise ValueError(
+            f"{int(overlap.sum())} node(s) already exist in the target "
+            f"(e.g. {sg[overlap][:3].tolist()}); pass force=True to merge")
+    # src vid -> combined vid, fully vectorized (searchsorted against the
+    # sorted dst vocabulary — no Python loop over vertices)
+    new_gids = sg[~overlap]
+    base = len(dg)
+    order = np.argsort(dg)
+    remap = np.empty(len(sg), np.int64)
+    if overlap.any():
+        pos = np.searchsorted(dg[order], sg[overlap])
+        remap[overlap] = order[pos]
+    remap[~overlap] = base + np.arange(len(new_gids))
+    rref = _ray.put(remap)
+
+    def rv(b: pa.Table, _r=rref) -> pa.Table:
+        m = _ray.get(_r)
+        cols = {}
+        for c in b.column_names:
+            if c in ("src", "dst"):
+                cols[c] = pa.array(
+                    m[b[c].to_numpy(zero_copy_only=False)], pa.int64())
+            else:
+                cols[c] = b[c]
+        return pa.table(cols)
+
+    src_edges = src.edges.map_batches(rv, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    verts = dst.vertices
+    if len(new_gids):
+        extra_cols = {"vid": pa.array(np.arange(base, base + len(new_gids)),
+                                      pa.int64()),
+                      "gid": pa.array(new_gids)}
+        for c in verts.column_names:
+            if c not in extra_cols:
+                sv = src.vertices[c].filter(pa.array(~overlap)) \
+                    if c in src.vertices.column_names else \
+                    pa.nulls(len(new_gids), verts[c].type)
+                extra_cols[c] = sv
+        verts = pa.concat_tables(
+            [verts, pa.table({c: extra_cols[c]
+                              for c in verts.column_names})])
+    return GraphFrame(dst.edges.union(src_edges), base + len(new_gids),
+                      verts)
+
+
+import ray as _ray  # noqa: E402

@@ -172,3 +172,43 @@ def test_save_load_zip_roundtrip(ray_session, tmp_path):
         .sort_by([("event_id", "ascending")])
     assert a.equals(b)
     assert back.n == 20
+
+
+def test_import_graph_gid_alignment(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.sources.loaders import import_graph
+
+    def mk(gids, src, dst, types):
+        verts = pa.table({
+            "vid": pa.array(range(len(gids)), pa.int64()),
+            "gid": pa.array(gids),
+            "node_type": pa.array(types)})
+        edges = pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "t": pa.array(range(len(src)), pa.int64()),
+            "event_id": pa.array(range(len(src)), pa.int64())})
+        return GraphFrame(rd.from_arrow(edges), len(gids), verts)
+
+    a = mk(["x", "y", "z"], [0, 1], [1, 2], ["t1", "t1", "t2"])
+    b = mk(["y", "w"], [0, 1], [1, 0], ["t9", "t3"])
+    with pytest.raises(ValueError):
+        import_graph(a, b)                     # 'y' exists, force=False
+    m = import_graph(a, b, force=True)
+    assert m.n == 4
+    assert m.node_types() == ["t1", "t2", "t3"]   # dst's 'y' row kept
+    gids = m.vertices["gid"].to_pylist()
+    assert gids == ["x", "y", "z", "w"]
+    e = pa.concat_tables(ray.get(m.edges.to_arrow_refs()))
+    pairs = sorted(zip(e["src"].to_pylist(), e["dst"].to_pylist()))
+    # a: x→y, y→z; b: y→w, w→y remapped via gid
+    assert pairs == [(0, 1), (1, 2), (1, 3), (3, 1)]
+    # disjoint import with force=False works
+    c = mk(["p"], [0], [0], ["t4"])
+    m2 = import_graph(a, c)
+    assert m2.n == 4 and m2.vertices["gid"].to_pylist()[-1] == "p"
