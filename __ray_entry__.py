@@ -834,6 +834,34 @@ def _q_user_layered_wcc(sf_dir: str) -> pa.Table:
                             keep=keep)
 
 
+def _q_user_layered_pagerank(sf_dir: str) -> pa.Table:
+    """Layered PageRank, value-checked: layer('purchase') view → active
+    -node relabeling → 5 forced supersteps (same contract as
+    user_windowed_pagerank, completing the view-family × algorithm
+    conformance matrix)."""
+    import pyarrow.compute as pc
+
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.state.shards import BspGraph
+    gf = _layered_user_gf(sf_dir).layer("purchase")
+    act = gf.active_vids()
+    act_arr = pa.array(act, pa.int64())
+
+    def relabel(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.index_in(b["src"], value_set=act_arr).cast(pa.int64()),
+            "dst": pc.index_in(b["dst"], value_set=act_arr).cast(pa.int64()),
+            "t": b["t"], "event_id": b["event_id"]})
+
+    sub = GraphFrame(gf.edges.map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True), len(act))
+    g = BspGraph.from_graph(sub)
+    pr = g.pagerank(iter_count=5, tol=0.0)[0]
+    q = np.floor(pr * 1e9 + 0.5000001).astype(np.int64)
+    return pa.table({"vid": pa.array(act, pa.int64()),
+                     "pr_q": pa.array(q, pa.int64())})
+
+
 def _q_user_windowed_layer_wcc(sf_dir: str) -> pa.Table:
     """COMPOSED view conformance (round 4): layer('purchase') THEN
     window(t0, t1) — the reference runs algorithms on arbitrarily nested
@@ -1964,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_windowed_wcc": _q_user_windowed_wcc,
         "user_layered_wcc": _q_user_layered_wcc,
         "user_windowed_layer_wcc": _q_user_windowed_layer_wcc,
+        "user_layered_pagerank": _q_user_layered_pagerank,
         "user_windowed_pagerank": _q_user_windowed_pagerank,
         "gql_pagerank": _q_gql_pagerank,
         "gql_filter_edges": _q_gql_filter_edges,
@@ -3422,6 +3451,16 @@ FROM user_edges e1 JOIN user_edges e2
   ON e1.dst = e2.src AND e2.dst = e1.src
 WHERE e1.src <> e1.dst
 """,
+        "user_layered_pagerank": _pagerank5_sql(base="""typed AS (
+  SELECT user_id AS src, LEAD(user_id) OVER w AS dst
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+  QUALIFY dst IS NOT NULL AND event_type = 'purchase'
+),
+dedup AS (SELECT DISTINCT src, dst FROM typed),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dedup UNION SELECT dst FROM dedup
+)"""),
         "user_windowed_pagerank": _pagerank5_sql(base=f"""{_USER_EDGES},
 bounds AS (
   SELECT MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events
