@@ -1496,6 +1496,15 @@ def _q_doc_leakage_split(sf_dir: str):
     return leakage_safe_split(_docs(sf_dir), val_permille=250, seed=3)
 
 
+def _q_doc_hll_registers(sf_dir: str) -> pa.Table:
+    """HyperLogLog register state over document texts (data/sketch.py):
+    md5-based uint64 hash, p=8 → 256 registers, per-block max partials
+    merged on the driver. The SKETCH STATE itself is value-gated — the
+    oracle rebuilds every register from DuckDB's md5."""
+    from raphtory_ray.data.sketch import hll_registers
+    return hll_registers(_docs(sf_dir))
+
+
 def _q_doc_gopher(sf_dir: str):
     """Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted): five
     integer-exact rule booleans + keep per doc (data/text.py
@@ -2034,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stats": _q_doc_quality,
         "doc_gopher_filter": _q_doc_gopher,
         "doc_leakage_split": _q_doc_leakage_split,
+        "doc_hll_registers": _q_doc_hll_registers,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -4039,6 +4049,23 @@ WITH cl AS (
 SELECT doc_id, cluster_id,
        CASE WHEN k % 1000 < 250 THEN 'val' ELSE 'train' END AS split
 FROM sp_k
+""",
+        "doc_hll_registers": """
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
+),
+parts AS (
+  SELECT (h >> 56)::BIGINT AS reg,
+         h & ((1::UBIGINT << 56) - 1) AS w
+  FROM h
+),
+ranked AS (
+  SELECT reg,
+         CASE WHEN strpos(lpad(bin(w), 56, '0'), '1') = 0 THEN 57
+              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rank
+  FROM parts
+)
+SELECT reg, MAX(rank)::BIGINT AS max_rank FROM ranked GROUP BY reg
 """,
         "doc_gopher_filter": r"""
 WITH words AS (

@@ -648,3 +648,34 @@ def test_text_oracles_duckdb_parity_random_text(ray_session):
         assert set(got) == set(want), name
         for k in got:
             assert got[k] == want[k], (name, k, texts[k])
+
+
+def test_hll_estimate_accuracy_and_merge(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.sketch import (hll_distinct, hll_estimate,
+                                          hll_registers)
+    n_distinct = 5000
+    texts = [f"document body number {i}" for i in range(n_distinct)] * 3
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(7)
+    est = hll_distinct(ds, "text")
+    assert abs(est - n_distinct) / n_distinct < 0.15   # ~2σ for m=256
+    # mergeability: sketch of union == max-merge of half sketches
+    a = rd.from_arrow(tbl.slice(0, 7000))
+    b = rd.from_arrow(tbl.slice(7000))
+    ra = hll_registers(a, "text")
+    rb = hll_registers(b, "text")
+    m = np.zeros(256, np.int64)
+    for r in (ra, rb):
+        m[r["reg"].to_numpy()] = np.maximum(
+            m[r["reg"].to_numpy()], r["max_rank"].to_numpy())
+    full = hll_registers(ds, "text")
+    fm = np.zeros(256, np.int64)
+    fm[full["reg"].to_numpy()] = full["max_rank"].to_numpy()
+    assert np.array_equal(m, fm)
+    # duplicates don't move the estimate (set semantics)
+    assert hll_distinct(rd.from_arrow(tbl.slice(0, n_distinct)), "text") \
+        == est
