@@ -1505,6 +1505,14 @@ def _q_doc_hll_registers(sf_dir: str) -> pa.Table:
     return hll_registers(_docs(sf_dir))
 
 
+def _q_doc_countmin(sf_dir: str) -> pa.Table:
+    """Count-Min sketch counters over document texts (data/sketch.py):
+    4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
+    counter sums — the sketch state value-gated like the HLL registers."""
+    from raphtory_ray.data.sketch import countmin_counters
+    return countmin_counters(_docs(sf_dir))
+
+
 def _q_doc_gopher(sf_dir: str):
     """Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted): five
     integer-exact rule booleans + keep per doc (data/text.py
@@ -2044,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_filter": _q_doc_gopher,
         "doc_leakage_split": _q_doc_leakage_split,
         "doc_hll_registers": _q_doc_hll_registers,
+        "doc_countmin": _q_doc_countmin,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -4049,6 +4058,20 @@ WITH cl AS (
 SELECT doc_id, cluster_id,
        CASE WHEN k % 1000 < 250 THEN 'val' ELSE 'train' END AS split
 FROM sp_k
+""",
+        "doc_countmin": f"""
+WITH hh AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM documents
+),
+rows_ AS (
+  SELECT h, unnest(generate_series(0, 3)) AS row FROM hh
+),
+{_sm64_chain('rows_', 'cm_',
+             '((h + row * 11400714819323198485) & 18446744073709551615)',
+             ['row'])}
+SELECT row, (k % 1024)::BIGINT AS bucket, COUNT(*)::BIGINT AS "count"
+FROM cm_k GROUP BY row, k % 1024
 """,
         "doc_hll_registers": """
 WITH h AS (

@@ -86,3 +86,68 @@ def hll_estimate(registers: pa.Table, p: int = 8) -> float:
 
 def hll_distinct(ds, col: str = "text", p: int = 8) -> float:
     return hll_estimate(hll_registers(ds, col, p), p)
+
+
+# ----------------------------------------------------------- Count-Min
+
+_CM_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _cm_block(b: pa.Table, col: str, depth: int, width: int) -> np.ndarray:
+    txt = b[col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    h = _md5_u64([x.encode() if isinstance(x, str) else x
+                  for x in txt.to_pylist()])
+    out = np.zeros((depth, width), np.int64)
+    for i in range(depth):
+        bkt = (_splitmix64(h + np.uint64(i) * _CM_SALT)
+               % np.uint64(width)).astype(np.int64)
+        np.add.at(out[i], bkt, 1)
+    return out
+
+
+@ray.remote
+def _cm_remote(b: pa.Table, col: str, depth: int, width: int) -> np.ndarray:
+    return _cm_block(b, col, depth, width)
+
+
+def countmin_counters(ds, col: str = "text", depth: int = 4,
+                      width: int = 1024) -> pa.Table:
+    """(row, bucket, count) for every touched Count-Min counter (Cormode
+    & Muthukrishnan 2005). Counters are EXACT integer sums of per-block
+    partials (the additive-merge combiner pattern — mergeable, hence
+    resumable), and the (md5-uint64 + row-salted splitmix64) bucket hash
+    is reproduced verbatim by the DuckDB oracle, so the sketch state is
+    value-gated like the HLL registers."""
+    refs = ds.select_columns([col]).materialize().to_arrow_refs()
+    parts = ray.get([_cm_remote.remote(r, col, depth, width) for r in refs])
+    cm = np.sum(parts, axis=0) if parts else np.zeros((depth, width),
+                                                      np.int64)
+    r, c = np.nonzero(cm)
+    return pa.table({"row": pa.array(r, pa.int64()),
+                     "bucket": pa.array(c, pa.int64()),
+                     "count": pa.array(cm[r, c], pa.int64())})
+
+
+def countmin_query(counters: pa.Table, texts: list[str], depth: int = 4,
+                   width: int = 1024) -> np.ndarray:
+    """Point-frequency upper-bound estimates: min over rows."""
+    cm = np.zeros((depth, width), np.int64)
+    cm[counters["row"].to_numpy(zero_copy_only=False),
+       counters["bucket"].to_numpy(zero_copy_only=False)] = \
+        counters["count"].to_numpy(zero_copy_only=False)
+    h = _md5_u64([t.encode() for t in texts])
+    est = np.full(len(texts), np.iinfo(np.int64).max, np.int64)
+    for i in range(depth):
+        bkt = (_splitmix64(h + np.uint64(i) * _CM_SALT)
+               % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cm[i, bkt])
+    return est

@@ -679,3 +679,20 @@ def test_hll_estimate_accuracy_and_merge(ray_session):
     # duplicates don't move the estimate (set semantics)
     assert hll_distinct(rd.from_arrow(tbl.slice(0, n_distinct)), "text") \
         == est
+
+
+def test_countmin_upper_bound_and_heavy_hitters(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.sketch import countmin_counters, countmin_query
+    texts = (["heavy A"] * 500 + ["heavy B"] * 200
+             + [f"tail {i}" for i in range(800)])
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    cm = countmin_counters(rd.from_arrow(tbl).repartition(5))
+    est = countmin_query(cm, ["heavy A", "heavy B", "tail 0", "unseen x"])
+    true = np.array([500, 200, 1, 0])
+    assert (est >= true).all()              # CM never underestimates
+    assert est[0] <= 500 + 1500 // 1024 + 5  # heavy hitter ~exact
+    assert est[1] <= 200 + 1500 // 1024 + 5
