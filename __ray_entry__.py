@@ -1505,6 +1505,14 @@ def _q_doc_hll_registers(sf_dir: str) -> pa.Table:
     return hll_registers(_docs(sf_dir))
 
 
+def _q_doc_bottomk_sample(sf_dir: str) -> pa.Table:
+    """Deterministic uniform 50-doc sample via distributed bottom-k of
+    splitmix64(doc_id + 11) (data/text.py sample_bottom_k): ≤ k rows per
+    block leave the scan; oracle = ORDER BY the same key LIMIT k."""
+    from raphtory_ray.data.text import sample_bottom_k
+    return sample_bottom_k(_docs(sf_dir), k=50, seed=11)
+
+
 def _q_doc_countmin(sf_dir: str) -> pa.Table:
     """Count-Min sketch counters over document texts (data/sketch.py):
     4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
@@ -2053,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakage_split": _q_doc_leakage_split,
         "doc_hll_registers": _q_doc_hll_registers,
         "doc_countmin": _q_doc_countmin,
+        "doc_bottomk_sample": _q_doc_bottomk_sample,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -4058,6 +4067,13 @@ WITH cl AS (
 SELECT doc_id, cluster_id,
        CASE WHEN k % 1000 < 250 THEN 'val' ELSE 'train' END AS split
 FROM sp_k
+""",
+        "doc_bottomk_sample": f"""
+WITH {_sm64_chain('documents', 'bk_',
+                  '((doc_id + 11) & 18446744073709551615)',
+                  ['doc_id', 'text', 'lang', 'source', 'n_chars'])}
+SELECT doc_id, text, lang, source, n_chars
+FROM bk_k ORDER BY k, doc_id LIMIT 50
 """,
         "doc_countmin": f"""
 WITH hh AS (

@@ -647,3 +647,37 @@ def gopher_filter(ds, text_col: str = "text", **kwargs):
     return ds.map_batches(
         lambda b: gopher_rules_batch(b, text_col, **kwargs),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bottomk_block(b: pa.Table, k: int, seed: int,
+                   id_col: str) -> pa.Table:
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = _splitmix64(ids + np.int64(seed))
+    if len(key) > k:
+        idx = np.argpartition(key, k)[:k]
+        b = b.take(pa.array(idx))
+        key = key[idx]
+    return b.append_column("_skey", pa.array(key.astype(np.int64)))
+
+
+def sample_bottom_k(ds, k: int, seed: int = 0, id_col: str = "doc_id"):
+    """Deterministic uniform k-sample of a Dataset of ANY size: the k
+    rows with the smallest splitmix64(id + seed) — the classic
+    distributed bottom-k sampler. One streaming pass emits ≤ k rows per
+    block (argpartition, no sort); the driver merge handles ≤ k·blocks
+    rows. Deterministic per id: re-running, resharding or resuming picks
+    the SAME sample (the fixed property every sampler in this repo
+    shares), and the SQL oracle is ORDER BY the same key LIMIT k.
+    Returns a pa.Table (driver-resident by construction: k rows)."""
+    import ray as _r
+    parts = [t for t in _r.get(
+        ds.map_batches(lambda b: _bottomk_block(b, k, seed, id_col),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    t = pa.concat_tables(parts)
+    key = t["_skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key))[:k]       # (key, id) — tie-stable
+    return t.take(pa.array(order)).drop_columns(["_skey"])

@@ -696,3 +696,17 @@ def test_countmin_upper_bound_and_heavy_hitters(ray_session):
     assert (est >= true).all()              # CM never underestimates
     assert est[0] <= 500 + 1500 // 1024 + 5  # heavy hitter ~exact
     assert est[1] <= 200 + 1500 // 1024 + 5
+
+
+def test_sample_bottom_k_reshard_and_size(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.text import sample_bottom_k
+    tbl = pa.table({"doc_id": pa.array(range(5000), pa.int64()),
+                    "text": pa.array([f"d{i}" for i in range(5000)])})
+    a = sample_bottom_k(rd.from_arrow(tbl).repartition(9), k=100, seed=4)
+    b = sample_bottom_k(rd.from_arrow(tbl).repartition(2), k=100, seed=4)
+    assert a.sort_by("doc_id").equals(b.sort_by("doc_id"))
+    assert a.num_rows == 100
+    c = sample_bottom_k(rd.from_arrow(tbl.slice(0, 30)), k=100, seed=4)
+    assert c.num_rows == 30                  # fewer rows than k: all kept
