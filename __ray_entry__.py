@@ -1513,6 +1513,13 @@ def _q_doc_bottomk_sample(sf_dir: str) -> pa.Table:
     return sample_bottom_k(_docs(sf_dir), k=50, seed=11)
 
 
+def _q_doc_len_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles of n_chars via merged value-count
+    partials (data/text.py exact_quantiles, nearest-rank definition)."""
+    from raphtory_ray.data.text import exact_quantiles
+    return exact_quantiles(_docs(sf_dir), "n_chars")
+
+
 def _q_doc_countmin(sf_dir: str) -> pa.Table:
     """Count-Min sketch counters over document texts (data/sketch.py):
     4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
@@ -2061,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakage_split": _q_doc_leakage_split,
         "doc_hll_registers": _q_doc_hll_registers,
         "doc_countmin": _q_doc_countmin,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_bottomk_sample": _q_doc_bottomk_sample,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
@@ -4074,6 +4082,15 @@ WITH {_sm64_chain('documents', 'bk_',
                   ['doc_id', 'text', 'lang', 'source', 'n_chars'])}
 SELECT doc_id, text, lang, source, n_chars
 FROM bk_k ORDER BY k, doc_id LIMIT 50
+""",
+        "doc_len_quantiles": """
+WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vc)
+SELECT qs.q, MIN(cum.v)::BIGINT AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
+JOIN tot ON TRUE JOIN cum ON cum.cum >= CEIL(qs.q * tot.n)
+GROUP BY qs.q
 """,
         "doc_countmin": f"""
 WITH hh AS (

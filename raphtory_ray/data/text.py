@@ -681,3 +681,47 @@ def sample_bottom_k(ds, k: int, seed: int = 0, id_col: str = "doc_id"):
     ids = t[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, key))[:k]       # (key, id) — tie-stable
     return t.take(pa.array(order)).drop_columns(["_skey"])
+
+
+def _vc_block(b: pa.Table, col: str) -> pa.Table:
+    v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, cnt = np.unique(v, return_counts=True)
+    return pa.table({"v": pa.array(vals, pa.int64()),
+                     "n": pa.array(cnt, pa.int64())})
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """EXACT distributed quantiles of an integer column via merged
+    value-count partials (the combiner pattern): each block emits its
+    (value, count) histogram — O(distinct) rows, never the data — the
+    driver merges and reads nearest-rank quantiles (smallest v with
+    cum ≥ ⌈q·n⌉, the deterministic discrete definition). Right for the
+    bounded-cardinality columns curation stats run on (lengths, token
+    counts, scores-on-a-grid); unbounded floats would take the t-digest
+    variant instead."""
+    import ray as _r
+    parts = [t for t in _r.get(
+        ds.map_batches(lambda b: _vc_block(b, col),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+    vals = v[starts]
+    cnts = np.add.reduceat(n, starts)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        rank = max(1, min(rank, total))
+        out_q.append(q)
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

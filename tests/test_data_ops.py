@@ -710,3 +710,20 @@ def test_sample_bottom_k_reshard_and_size(ray_session):
     assert a.num_rows == 100
     c = sample_bottom_k(rd.from_arrow(tbl.slice(0, 30)), k=100, seed=4)
     assert c.num_rows == 30                  # fewer rows than k: all kept
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.text import exact_quantiles
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 500, 3000)
+    tbl = pa.table({"x": pa.array(vals, pa.int64())})
+    out = exact_quantiles(rd.from_arrow(tbl).repartition(6), "x",
+                          qs=(0.1, 0.5, 0.9))
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rank = max(1, int(np.ceil(q * len(s))))
+        assert got[q] == s[rank - 1]
