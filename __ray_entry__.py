@@ -1520,6 +1520,16 @@ def _q_doc_len_quantiles(sf_dir: str) -> pa.Table:
     return exact_quantiles(_docs(sf_dir), "n_chars")
 
 
+def _q_doc_topk_per_lang(sf_dir: str) -> pa.Table:
+    """Top-3 longest docs per language (data/text.py group_top_k):
+    per-block ≤k-per-group partials, driver final — ties to smallest
+    doc_id, exact vs a ROW_NUMBER window oracle."""
+    from raphtory_ray.data.text import group_top_k
+    return group_top_k(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars", k=3)
+
+
 def _q_doc_countmin(sf_dir: str) -> pa.Table:
     """Count-Min sketch counters over document texts (data/sketch.py):
     4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
@@ -2069,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _q_doc_hll_registers,
         "doc_countmin": _q_doc_countmin,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
         "doc_bottomk_sample": _q_doc_bottomk_sample,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
@@ -4082,6 +4093,14 @@ WITH {_sm64_chain('documents', 'bk_',
                   ['doc_id', 'text', 'lang', 'source', 'n_chars'])}
 SELECT doc_id, text, lang, source, n_chars
 FROM bk_k ORDER BY k, doc_id LIMIT 50
+""",
+        "doc_topk_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
 """,
         "doc_len_quantiles": """
 WITH tot AS (SELECT COUNT(*) AS n FROM documents),

@@ -94,7 +94,7 @@ def main() -> None:
                     help="comma list of training-data pipeline stages to "
                          "run over --docs, each resumable under "
                          "<output>/data/<op>/: exact_dedup, minhash_dedup, "
-                         "langid, quality, tokens, fingerprints, redact, gopher, split, pca, "
+                         "langid, quality, tokens, fingerprints, redact, gopher, split, pca, hll, countmin, quantiles, bottomk, "
                          "sample, pack")
     args = ap.parse_args()
 
@@ -269,6 +269,20 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
             return text.gopher_filter(ds, min_stopwords=1)
         if op == "split":
             return dedup.leakage_safe_split(ds)
+        if op == "hll":
+            from raphtory_ray.data.sketch import hll_registers
+            import ray.data as rd2
+            return rd2.from_arrow(hll_registers(ds))
+        if op == "countmin":
+            from raphtory_ray.data.sketch import countmin_counters
+            import ray.data as rd2
+            return rd2.from_arrow(countmin_counters(ds))
+        if op == "quantiles":
+            import ray.data as rd2
+            return rd2.from_arrow(text.exact_quantiles(ds, "n_chars"))
+        if op == "bottomk":
+            import ray.data as rd2
+            return rd2.from_arrow(text.sample_bottom_k(ds, k=1000))
         if op == "pca":
             import ray.data as rd
             from raphtory_ray.data.projection import pca_fit, pca_transform

@@ -725,3 +725,35 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
         out_v.append(int(vals[np.searchsorted(cum, rank)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def _group_topk_block(b: pa.Table, group_col: str, order_col: str,
+                      k: int) -> pa.Table:
+    g = b[group_col].to_numpy(zero_copy_only=False)
+    v = b[order_col].to_numpy(zero_copy_only=False)
+    # per-group top-k by (value DESC, row id ASC for determinism)
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -v, g))
+    gs = g[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    pos = np.arange(len(gs)) - np.repeat(starts, np.diff(np.r_[starts,
+                                                               len(gs)]))
+    return b.take(pa.array(order[pos < k]))
+
+
+def group_top_k(ds, group_col: str, order_col: str, k: int) -> pa.Table:
+    """Per-group top-k rows by ``order_col`` DESC (ties → smallest
+    doc_id) — the partial+final pattern: every block thins to ≤ k rows
+    per group it sees, the driver merge handles ≤ k·blocks·groups rows
+    (never the data). The standard 'top documents per language/source'
+    curation op."""
+    import ray as _r
+    parts = [t for t in _r.get(
+        ds.map_batches(lambda b: _group_topk_block(b, group_col,
+                                                   order_col, k),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    t = pa.concat_tables(parts)
+    return _group_topk_block(t, group_col, order_col, k)

@@ -727,3 +727,30 @@ def test_exact_quantiles_vs_numpy(ray_session):
     for q in (0.1, 0.5, 0.9):
         rank = max(1, int(np.ceil(q * len(s))))
         assert got[q] == s[rank - 1]
+
+
+def test_group_top_k_matches_window(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import duckdb
+    import ray.data as rd
+    from raphtory_ray.data.text import group_top_k
+    rng = np.random.default_rng(14)
+    tbl = pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "lang": pa.array([["en", "de", "fr", "zh"][int(i)]
+                          for i in rng.integers(0, 4, 2000)]),
+        "n_chars": pa.array(rng.integers(0, 300, 2000), pa.int64())})
+    got = group_top_k(rd.from_arrow(tbl).repartition(7),
+                      "lang", "n_chars", k=5)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rn FROM t)
+        WHERE rn <= 5""").arrow()
+    key = lambda t: sorted(zip(t["doc_id"].to_pylist(),
+                               t["lang"].to_pylist(),
+                               t["n_chars"].to_pylist()))
+    assert key(got) == key(want)
