@@ -3205,6 +3205,9 @@ WITH RECURSIVE {_PAIRS}, {_DEDUP},
 nodes AS (SELECT DISTINCT node FROM (
   SELECT src AS node FROM dedup UNION ALL SELECT dst FROM dedup)),
 walk AS (
+  -- hops < 64 bounds cycle re-entry like the sssp_hops oracle; the
+  -- ENGINE BFS has no cap, so a graph with d(s,v) >= 64 would need this
+  -- raised (sampled copurchase diameters here are far below it)
   SELECT node AS s, node AS v, 0 AS hops FROM nodes WHERE node % 97 = 0
   UNION
   SELECT walk.s, dedup.dst, walk.hops + 1

@@ -284,10 +284,12 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
             import ray.data as rd2
             return rd2.from_arrow(text.sample_bottom_k(ds, k=1000))
         if op == "pca":
-            import ray.data as rd
             from raphtory_ray.data.projection import pca_fit, pca_transform
-            # graph-less docs table has no embeddings; this op expects an
-            # embedding column (use --docs on an embeddings parquet)
+            if "embedding" not in ds.schema().names:
+                raise SystemExit(
+                    "data op 'pca' needs an 'embedding' list<float> column "
+                    "— point --docs at an embeddings parquet, not the "
+                    "documents table")
             model = pca_fit(ds, k=8)
             return pca_transform(ds, model)
         raise SystemExit(f"unknown data op {op!r}")

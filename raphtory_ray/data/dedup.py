@@ -848,10 +848,12 @@ def leakage_safe_split(ds, val_permille: int = 100, seed: int = 0,
     skew), vectorized group-min + coin per partition. Driver never holds
     doc ids; output stays a Dataset of (doc_id, cluster_id, split)."""
     import ray.data as rd
+    if id_col != "doc_id":
+        # md5_batch emits (doc_id, h): realign the id column BEFORE
+        # hashing (a post-hash rename would see only (doc_id, h))
+        ds = ds.rename_columns({id_col: "doc_id"})
     hashed = ds.map_batches(lambda b: md5_batch(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
-    if id_col != "doc_id":
-        hashed = hashed.rename_columns({id_col: "doc_id"})
     refs = hashed.materialize().to_arrow_refs()
     P = _dedup_parallelism(sum(1 for _ in refs) * 50_000)
     P = max(1, min(P, len(refs) * 4, 32))

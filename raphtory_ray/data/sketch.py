@@ -92,12 +92,9 @@ def hll_distinct(ds, col: str = "text", p: int = 8) -> float:
 
 _CM_SALT = np.uint64(0x9E3779B97F4A7C15)
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+# the one splitmix64 the SQL oracle chain (_sm64_chain) mirrors — import,
+# don't copy, so engine and oracle can never desynchronize
+from raphtory_ray.data.text import _splitmix64  # noqa: E402
 
 
 def _cm_block(b: pa.Table, col: str, depth: int, width: int) -> np.ndarray:

@@ -675,7 +675,8 @@ def sample_bottom_k(ds, k: int, seed: int = 0, id_col: str = "doc_id"):
                        batch_format="pyarrow", zero_copy_batch=True)
         .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
-        return pa.table({})
+        sch = ds.schema().base_schema
+        return pa.table({f.name: pa.array([], f.type) for f in sch})
     t = pa.concat_tables(parts)
     key = t["_skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
     ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -728,11 +729,11 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
 
 
 def _group_topk_block(b: pa.Table, group_col: str, order_col: str,
-                      k: int) -> pa.Table:
+                      k: int, id_col: str = "doc_id") -> pa.Table:
     g = b[group_col].to_numpy(zero_copy_only=False)
     v = b[order_col].to_numpy(zero_copy_only=False)
     # per-group top-k by (value DESC, row id ASC for determinism)
-    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    ids = b[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -v, g))
     gs = g[order]
     starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
@@ -741,19 +742,21 @@ def _group_topk_block(b: pa.Table, group_col: str, order_col: str,
     return b.take(pa.array(order[pos < k]))
 
 
-def group_top_k(ds, group_col: str, order_col: str, k: int) -> pa.Table:
+def group_top_k(ds, group_col: str, order_col: str, k: int,
+                id_col: str = "doc_id") -> pa.Table:
     """Per-group top-k rows by ``order_col`` DESC (ties → smallest
-    doc_id) — the partial+final pattern: every block thins to ≤ k rows
-    per group it sees, the driver merge handles ≤ k·blocks·groups rows
-    (never the data). The standard 'top documents per language/source'
-    curation op."""
+    ``id_col``) — the partial+final pattern: every block thins to ≤ k
+    rows per group it sees, the driver merge handles ≤ k·blocks·groups
+    rows (never the data). The standard 'top documents per
+    language/source' curation op."""
     import ray as _r
     parts = [t for t in _r.get(
         ds.map_batches(lambda b: _group_topk_block(b, group_col,
-                                                   order_col, k),
+                                                   order_col, k, id_col),
                        batch_format="pyarrow", zero_copy_batch=True)
         .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
-        return pa.table({})
+        sch = ds.schema().base_schema
+        return pa.table({f.name: pa.array([], f.type) for f in sch})
     t = pa.concat_tables(parts)
-    return _group_topk_block(t, group_col, order_col, k)
+    return _group_topk_block(t, group_col, order_col, k, id_col)

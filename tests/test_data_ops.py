@@ -754,3 +754,25 @@ def test_group_top_k_matches_window(ray_session):
                                t["lang"].to_pylist(),
                                t["n_chars"].to_pylist()))
     assert key(got) == key(want)
+
+
+def test_leakage_split_and_topk_custom_id_col(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from raphtory_ray.data.dedup import leakage_safe_split
+    from raphtory_ray.data.text import group_top_k, sample_bottom_k
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array([f"t{i % 10}" for i in range(40)]),
+                    "grp": pa.array(["a", "b"] * 20),
+                    "score": pa.array(range(40), pa.int64())})
+    out = pa.concat_tables(ray.get(leakage_safe_split(
+        rd.from_arrow(tbl), id_col="vec_id").to_arrow_refs()))
+    assert out.num_rows == 40 and "cluster_id" in out.column_names
+    top = group_top_k(rd.from_arrow(tbl), "grp", "score", k=2,
+                      id_col="vec_id")
+    assert top.num_rows == 4
+    # empty input keeps the declared schema
+    empty = rd.from_arrow(tbl.slice(0, 0))
+    t0 = sample_bottom_k(empty, k=5, id_col="vec_id")
+    assert t0.column_names == tbl.column_names and t0.num_rows == 0
