@@ -1530,6 +1530,15 @@ def _q_doc_topk_per_lang(sf_dir: str) -> pa.Table:
         "lang", "n_chars", k=3)
 
 
+def _q_doc_lm_score(sf_dir: str):
+    """CCNet-style in-corpus bigram-LM quality score (data/text.py
+    ngram_lm_score): train on doc_id%10≠0, score all docs, 1e-6 grid
+    (ln is libm-dependent at the last ulp; everything else — counts,
+    smoothing, division — is exact on both sides)."""
+    from raphtory_ray.data.text import ngram_lm_score
+    return ngram_lm_score(_docs(sf_dir))
+
+
 def _q_doc_countmin(sf_dir: str) -> pa.Table:
     """Count-Min sketch counters over document texts (data/sketch.py):
     4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
@@ -2080,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_countmin": _q_doc_countmin,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
+        "doc_lm_score": _q_doc_lm_score,
         "doc_bottomk_sample": _q_doc_bottomk_sample,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "doc_tfidf_top3": _q_doc_tfidf_top3,
@@ -4096,6 +4106,32 @@ WITH {_sm64_chain('documents', 'bk_',
                   ['doc_id', 'text', 'lang', 'source', 'n_chars'])}
 SELECT doc_id, text, lang, source, n_chars
 FROM bk_k ORDER BY k, doc_id LIMIT 50
+""",
+        "doc_lm_score": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), 1) AS i
+  FROM documents
+  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+tuni AS (SELECT w, COUNT(*) AS c FROM tok WHERE doc_id % 10 <> 0 GROUP BY w),
+tbig AS (SELECT w1, w2, COUNT(*) AS c FROM big WHERE doc_id % 10 <> 0
+         GROUP BY w1, w2),
+vv AS (SELECT COUNT(*) AS v FROM tuni)
+SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       CAST(FLOOR(SUM(LN((COALESCE(tb.c, 0) + 1)::DOUBLE
+                         / (COALESCE(tu.c, 0) + (SELECT v FROM vv))))
+                  * 1e6 + 0.5000001) AS BIGINT) AS lm_q
+FROM big LEFT JOIN tbig tb ON big.w1 = tb.w1 AND big.w2 = tb.w2
+LEFT JOIN tuni tu ON big.w1 = tu.w
+GROUP BY big.doc_id
 """,
         "doc_topk_per_lang": """
 SELECT doc_id, lang, n_chars FROM (

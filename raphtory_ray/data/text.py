@@ -760,3 +760,127 @@ def group_top_k(ds, group_col: str, order_col: str, k: int,
         return pa.table({f.name: pa.array([], f.type) for f in sch})
     t = pa.concat_tables(parts)
     return _group_topk_block(t, group_col, order_col, k, id_col)
+
+
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """Flattened whitespace tokens + per-position doc row ids (the shared
+    tokenization every oracle mirrors: regexp-trim then split \\s+)."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(txt)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values.slice(offs[0], offs[-1] - offs[0])
+    seg = offs - offs[0]
+    row_of = np.repeat(np.arange(batch.num_rows), np.diff(seg))
+    blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    keep = ~blank[row_of]            # a blank doc's single '' token drops
+    return vals.filter(pa.array(keep)), row_of[keep]
+
+
+def _lm_count_block(b: pa.Table, text_col: str, train_mod: int) -> pa.Table:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    train = ids % train_mod != 0
+    sub = b.filter(pa.array(train))
+    if sub.num_rows == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.int8()),
+                         "n": pa.array([], pa.int64())})
+    vals, row_of = _doc_tokens(sub, text_col)
+    uni = vals.to_numpy(zero_copy_only=False)
+    u, uc = np.unique(uni, return_counts=True)
+    same = row_of[1:] == row_of[:-1]
+    big = np.char.add(np.char.add(uni[:-1][same].astype(str), " "),
+                      uni[1:][same].astype(str))
+    bv, bc = (np.unique(big, return_counts=True) if len(big)
+              else (np.empty(0, object), np.empty(0, np.int64)))
+    return pa.table({
+        "gram": pa.array(np.concatenate([u, bv]).tolist(), pa.string()),
+        "kind": pa.array([0] * len(u) + [1] * len(bv), pa.int8()),
+        "n": pa.array(np.concatenate([uc, bc]), pa.int64())})
+
+
+def ngram_lm_score(ds, text_col: str = "text", train_mod: int = 10,
+                   quantize: float = 1e6):
+    """CCNet-style n-gram LM quality score (Wenzek et al. 2020 shape,
+    in-corpus): train an add-one-smoothed word-BIGRAM model on the
+    deterministic doc_id %% train_mod != 0 split, then score EVERY doc by
+    Σ ln((c(w1 w2)+1) / (c(w1)+V)) over its bigrams (V = training
+    unigram vocabulary size). Higher (less negative) = more in-
+    distribution; the classic perplexity-bucket filter without any
+    external model.
+
+    Scale shape: pass 1 = per-block (gram, kind, n) count partials →
+    one vocabulary-sized merge (driver here; a hash-route wave at
+    larger-than-driver vocabularies, the vocab_stats convention);
+    counts broadcast once via ray.put as sorted arrays; pass 2 = one
+    streaming score pass (searchsorted lookups, vectorized ln). Returns
+    a Dataset (doc_id, n_bigrams, lm_q) — docs with < 2 tokens emit no
+    row; scores on the 1e-6 grid (ln is ~1-ulp libm-dependent, so the
+    oracle grid is coarser than the exact-sum 1e-9 ones)."""
+    import ray as _r
+    parts = [t for t in _r.get(
+        ds.map_batches(lambda b: _lm_count_block(b, text_col, train_mod),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if parts:
+        merged = pa.concat_tables(parts).group_by(["gram", "kind"]) \
+            .aggregate([("n", "sum")])
+    else:
+        merged = pa.table({"gram": pa.array([], pa.string()),
+                           "kind": pa.array([], pa.int8()),
+                           "n_sum": pa.array([], pa.int64())})
+    kind = merged["kind"].to_numpy(zero_copy_only=False)
+    gram = merged["gram"].to_numpy(zero_copy_only=False)
+    cnt = merged["n_sum"].to_numpy(zero_copy_only=False)
+    ug, un = gram[kind == 0], cnt[kind == 0]
+    bg, bn = gram[kind == 1], cnt[kind == 1]
+    uo = np.argsort(ug, kind="stable")
+    bo = np.argsort(bg, kind="stable")
+    vocab = len(ug)
+    state = _r.put((ug[uo], un[uo], bg[bo], bn[bo], vocab))
+
+    def score(b: pa.Table, _s=state, _q=quantize) -> pa.Table:
+        ug_, un_, bg_, bn_, V = _r.get(_s)
+        vals, row_of = _doc_tokens(b, text_col)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "lm_q": pa.array([], pa.int64())})
+        if len(vals) == 0:
+            return empty
+        uni = vals.to_numpy(zero_copy_only=False)
+        same = row_of[1:] == row_of[:-1]
+        if not same.any():
+            return empty
+        w1 = uni[:-1][same]
+        big = np.char.add(np.char.add(w1.astype(str), " "),
+                          uni[1:][same].astype(str))
+        docs = row_of[:-1][same]
+
+        def lookup(keys, sorted_keys, sorted_counts):
+            i = np.searchsorted(sorted_keys, keys)
+            ok = i < len(sorted_keys)
+            ok[ok] = sorted_keys[i[ok]] == keys[ok]
+            out = np.zeros(len(keys), np.int64)
+            out[ok] = sorted_counts[i[ok]]
+            return out
+
+        c2 = lookup(big, bg_, bn_)
+        c1 = lookup(w1, ug_, un_)
+        lp = np.log((c2 + 1.0) / (c1 + float(V)))
+        order = np.argsort(docs, kind="stable")
+        dd, ll = docs[order], lp[order]
+        starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        tot = np.add.reduceat(ll, starts)
+        nb = np.diff(np.r_[starts, len(dd)])
+        q = np.floor(tot * _q + 0.5000001).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[dd[starts]], pa.int64()),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "lm_q": pa.array(q, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

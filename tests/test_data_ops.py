@@ -776,3 +776,31 @@ def test_leakage_split_and_topk_custom_id_col(ray_session):
     empty = rd.from_arrow(tbl.slice(0, 0))
     t0 = sample_bottom_k(empty, k=5, id_col="vec_id")
     assert t0.column_names == tbl.column_names and t0.num_rows == 0
+
+
+def test_ngram_lm_score_separates_distributions(ray_session):
+    """In-distribution docs score higher than out-of-distribution ones;
+    scores are deterministic under resharding."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from raphtory_ray.data.text import ngram_lm_score
+    rng = np.random.default_rng(6)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    indist = [" ".join(vocab[int(i)] for i in rng.integers(0, 4, 20))
+              for _ in range(200)]
+    ood = [" ".join(f"zz{int(i)}" for i in rng.integers(0, 1000, 20))
+           for _ in range(20)]
+    texts = indist + ood
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = pa.concat_tables(ray.get(ngram_lm_score(
+        rd.from_arrow(tbl).repartition(5)).to_arrow_refs()))
+    d = dict(zip(out["doc_id"].to_pylist(), out["lm_q"].to_pylist()))
+    mean_in = np.mean([d[i] for i in range(200) if i in d])
+    mean_ood = np.mean([d[i] for i in range(200, 220) if i in d])
+    assert mean_in > mean_ood
+    out2 = pa.concat_tables(ray.get(ngram_lm_score(
+        rd.from_arrow(tbl).repartition(2)).to_arrow_refs()))
+    assert out.sort_by("doc_id").equals(out2.sort_by("doc_id"))
