@@ -94,7 +94,7 @@ def main() -> None:
                     help="comma list of training-data pipeline stages to "
                          "run over --docs, each resumable under "
                          "<output>/data/<op>/: exact_dedup, minhash_dedup, "
-                         "langid, quality, tokens, fingerprints, redact, gopher, split, pca, hll, countmin, quantiles, bottomk, "
+                         "langid, quality, tokens, fingerprints, redact, gopher, split, pca, hll, countmin, quantiles, bottomk, lm, topk, "
                          "sample, pack")
     args = ap.parse_args()
 
@@ -269,6 +269,13 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
             return text.gopher_filter(ds, min_stopwords=1)
         if op == "split":
             return dedup.leakage_safe_split(ds)
+        if op == "lm":
+            return text.ngram_lm_score(ds)
+        if op == "topk":
+            import ray.data as rd2
+            return rd2.from_arrow(text.group_top_k(
+                ds.select_columns(["doc_id", "lang", "n_chars"]),
+                "lang", "n_chars", k=10))
         if op == "hll":
             from raphtory_ray.data.sketch import hll_registers
             import ray.data as rd2
