@@ -667,6 +667,12 @@ def main():
         gate = _wait_healthy()
         res = run_scaling(sf_dir)
         res["compute_bound"] = run_scaling_compute()
+        # the north rule's own sizing shape (4× workers ↔ 4× data) under
+        # the affinity-pinned faithful-hardware protocol — the headline
+        # scaling claim (BASELINE.md: 0.834 ≥ 0.8 healthy-window)
+        os.environ["RA_AFFINITY"] = os.environ.get("RA_AFFINITY", "1")
+        os.environ.setdefault("RA_DOC_REPL", "16")
+        res["weak_compute_pinned"] = run_scaling_weak_compute()
         res["health_gate"] = gate
         print(json.dumps(res))
     else:
