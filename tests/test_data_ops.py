@@ -804,3 +804,28 @@ def test_ngram_lm_score_separates_distributions(ray_session):
     out2 = pa.concat_tables(ray.get(ngram_lm_score(
         rd.from_arrow(tbl).repartition(2)).to_arrow_refs()))
     assert out.sort_by("doc_id").equals(out2.sort_by("doc_id"))
+
+
+def test_chunk_oracle_parity_unicode(ray_session):
+    """chunk_batch vs the doc_chunks oracle on unicode text — both sides
+    must count CODEPOINTS (utf8_slice_codeunits vs substr)."""
+    import duckdb
+    import importlib.util
+    import pyarrow as pa
+    from raphtory_ray.data.text import chunk_batch
+    texts = ["héllo wörld " * 30, "日本語のテキスト" * 40, "a" * 205,
+             "", "  ", "émoji 🎉 mix " * 25]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = sorted(chunk_batch(tbl, size=120, overlap=30).to_pylist(),
+                 key=lambda r: (r["doc_id"], r["chunk_id"]))
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod3", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = sorted(con.execute(m.oracle_sql()["doc_chunks"])
+                  .arrow().to_pylist(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    assert got == want
