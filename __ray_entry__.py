@@ -1539,6 +1539,15 @@ def _q_doc_lm_score(sf_dir: str):
     return ngram_lm_score(_docs(sf_dir))
 
 
+def _q_doc_bloom_bits(sf_dir: str) -> pa.Table:
+    """Bloom-filter bit state over document texts (data/sketch.py
+    bloom_build, k=5 m=2^14): per-block bitset OR partials; the set-bit
+    index list is value-gated via the same md5+salted-splitmix chain as
+    the Count-Min oracle."""
+    from raphtory_ray.data.sketch import bloom_build
+    return bloom_build(_docs(sf_dir))
+
+
 def _q_doc_countmin(sf_dir: str) -> pa.Table:
     """Count-Min sketch counters over document texts (data/sketch.py):
     4×1024, md5-uint64 + row-salted splitmix64 buckets, exact integer
@@ -2087,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakage_split": _q_doc_leakage_split,
         "doc_hll_registers": _q_doc_hll_registers,
         "doc_countmin": _q_doc_countmin,
+        "doc_bloom_bits": _q_doc_bloom_bits,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
         "doc_lm_score": _q_doc_lm_score,
@@ -4149,6 +4159,19 @@ SELECT qs.q, MIN(cum.v)::BIGINT AS value
 FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
 JOIN tot ON TRUE JOIN cum ON cum.cum >= CEIL(qs.q * tot.n)
 GROUP BY qs.q
+""",
+        "doc_bloom_bits": f"""
+WITH hh AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM documents
+),
+rows_ AS (
+  SELECT h, unnest(generate_series(0, 4)) AS row FROM hh
+),
+{_sm64_chain('rows_', 'bl_',
+             '((h + row * 11400714819323198485) & 18446744073709551615)',
+             ['row'])}
+SELECT DISTINCT (k % 16384)::BIGINT AS bit FROM bl_k
 """,
         "doc_countmin": f"""
 WITH hh AS (

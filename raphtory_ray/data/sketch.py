@@ -148,3 +148,60 @@ def countmin_query(counters: pa.Table, texts: list[str], depth: int = 4,
                % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, cm[i, bkt])
     return est
+
+
+# --------------------------------------------------------------- Bloom
+
+def _bloom_positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
+    """k bit positions per value: splitmix64(h + i·SALT) % m, i ∈ [0,k) —
+    the same salted-rehash family as Count-Min, so the oracle reuses the
+    HUGEINT chain verbatim."""
+    pos = np.empty((k, len(h)), np.int64)
+    for i in range(k):
+        pos[i] = (_splitmix64(h + np.uint64(i) * _CM_SALT)
+                  % np.uint64(m)).astype(np.int64)
+    return pos
+
+
+def _bloom_block(b: pa.Table, col: str, k: int, m: int) -> np.ndarray:
+    txt = b[col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    h = _md5_u64([x.encode() if isinstance(x, str) else x
+                  for x in txt.to_pylist()])
+    bits = np.zeros(m, bool)
+    if len(h):
+        bits[_bloom_positions(h, k, m).ravel()] = True
+    return bits
+
+
+@ray.remote
+def _bloom_remote(b: pa.Table, col: str, k: int, m: int) -> np.ndarray:
+    return _bloom_block(b, col, k, m)
+
+
+def bloom_build(ds, col: str = "text", k: int = 5,
+                m: int = 1 << 14) -> pa.Table:
+    """Bloom-filter membership state (Bloom 1970): one streaming pass,
+    per-block bitset partials OR-merged on the driver (O(m/8) bytes each
+    way — mergeable, hence resumable/checkpointable). The classic
+    100-TB decontamination primitive: build over the benchmark set once,
+    broadcast, probe every training shard with zero shuffles. Returns
+    the SET BIT INDICES — oracle-reproducible exactly (md5-uint64 +
+    salted splitmix, like the Count-Min counters)."""
+    refs = ds.select_columns([col]).materialize().to_arrow_refs()
+    parts = ray.get([_bloom_remote.remote(r, col, k, m) for r in refs])
+    bits = np.logical_or.reduce(parts) if parts else np.zeros(m, bool)
+    return pa.table({"bit": pa.array(np.flatnonzero(bits), pa.int64())})
+
+
+def bloom_contains(bits_tbl: pa.Table, texts: list[str], k: int = 5,
+                   m: int = 1 << 14) -> np.ndarray:
+    """Membership probes: True = maybe-present (no false negatives)."""
+    bits = np.zeros(m, bool)
+    bits[bits_tbl["bit"].to_numpy(zero_copy_only=False)] = True
+    h = _md5_u64([t.encode() for t in texts])
+    if not len(h):
+        return np.zeros(0, bool)
+    pos = _bloom_positions(h, k, m)
+    return bits[pos].all(axis=0)

@@ -829,3 +829,24 @@ def test_chunk_oracle_parity_unicode(ray_session):
                   .arrow().to_pylist(),
                   key=lambda r: (r["doc_id"], r["chunk_id"]))
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.data.sketch import bloom_build, bloom_contains
+    members = [f"bench question {i}" for i in range(2000)]
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64()),
+                    "text": pa.array(members)})
+    bits = bloom_build(rd.from_arrow(tbl).repartition(6))
+    assert bloom_contains(bits, members).all()       # no false negatives
+    outsiders = [f"training doc {i}" for i in range(4000)]
+    fpr = bloom_contains(bits, outsiders).mean()
+    # k=5, m=16384, n=2000 -> theoretical FPR ~ (1-e^{-5*2000/16384})^5 ~ 2.6%
+    assert fpr < 0.08
+    # merge = OR: union filter equals filter of union
+    b1 = bloom_build(rd.from_arrow(tbl.slice(0, 1000)))
+    b2 = bloom_build(rd.from_arrow(tbl.slice(1000)))
+    u = np.union1d(b1["bit"].to_numpy(), b2["bit"].to_numpy())
+    assert np.array_equal(u, bits["bit"].to_numpy())
