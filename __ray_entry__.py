@@ -1539,6 +1539,14 @@ def _q_doc_lm_score(sf_dir: str):
     return ngram_lm_score(_docs(sf_dir))
 
 
+def _q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (data/text.py normalize_batch):
+    lowercase + control-char strip + whitespace collapse + trim — the
+    dedup-key preprocessing step, string-exact vs the SQL mirror."""
+    from raphtory_ray.data.text import normalize_documents
+    return normalize_documents(_docs(sf_dir))
+
+
 def _q_doc_bloom_bits(sf_dir: str) -> pa.Table:
     """Bloom-filter bit state over document texts (data/sketch.py
     bloom_build, k=5 m=2^14): per-block bitset OR partials; the set-bit
@@ -2097,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _q_doc_hll_registers,
         "doc_countmin": _q_doc_countmin,
         "doc_bloom_bits": _q_doc_bloom_bits,
+        "doc_normalize": _q_doc_normalize,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
         "doc_lm_score": _q_doc_lm_score,
@@ -4159,6 +4168,15 @@ SELECT qs.q, MIN(cum.v)::BIGINT AS value
 FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
 JOIN tot ON TRUE JOIN cum ON cum.cum >= CEIL(qs.q * tot.n)
 GROUP BY qs.q
+""",
+        "doc_normalize": """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         lower(text),
+         '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         '\\s+', ' ', 'g'),
+         '^\\s+|\\s+$', '', 'g') AS norm_text
+FROM documents
 """,
         "doc_bloom_bits": f"""
 WITH hh AS (

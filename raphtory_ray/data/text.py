@@ -884,3 +884,20 @@ def ngram_lm_score(ds, text_col: str = "text", train_mod: int = 10,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization for dedup keys (the preprocessing
+    step ahead of exact/near dedup): lowercase, control chars → space,
+    whitespace runs collapsed, ends trimmed. Pure pyarrow.compute —
+    mirrors lower + regexp_replace chains exactly in SQL."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"[\x00-\x1f\x7f]", " ")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+
+def normalize_documents(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: normalize_batch(b, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)

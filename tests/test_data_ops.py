@@ -850,3 +850,26 @@ def test_bloom_no_false_negatives_and_low_fpr(ray_session):
     b2 = bloom_build(rd.from_arrow(tbl.slice(1000)))
     u = np.union1d(b1["bit"].to_numpy(), b2["bit"].to_numpy())
     assert np.array_equal(u, bits["bit"].to_numpy())
+
+
+def test_normalize_adversarial_parity(ray_session):
+    """normalize_batch vs the SQL oracle on control chars, tabs, unicode
+    case, and whitespace runs."""
+    import duckdb
+    import importlib.util
+    import pyarrow as pa
+    from raphtory_ray.data.text import normalize_batch
+    texts = ["Hello\x00World\x1f!", "  A\t\tB  \n C ", "ÉCOLE Straße",
+             "", "\x7fctrl", "already clean"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = normalize_batch(tbl).to_pylist()
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod4", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(m.oracle_sql()["doc_normalize"]).arrow().to_pylist()
+    assert sorted(got, key=lambda r: r["doc_id"]) == \
+        sorted(want, key=lambda r: r["doc_id"])
