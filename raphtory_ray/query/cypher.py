@@ -298,12 +298,26 @@ def _pc_mod(a, b):
     an, am = prep(a)
     bn, bm = prep(b)
     out = np.fmod(an, bn)
+    if np.ndim(out) == 0:
+        # literal % literal: pa.array needs a sequence, not a 0-d scalar
+        return out.item()
     mask = None
     for m in (am, bm):
         if m is not None and m.any():
             mask = m if mask is None else (mask | m)
     return pa.array(out, mask=mask)
 
+
+
+def _as_mask(v, n: int):
+    """A WHERE term can compile to a SCALAR (constant predicate, e.g.
+    ``5 % 2 = 1``): broadcast it to a boolean mask; null → False per
+    Cypher's ternary WHERE."""
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    return pa.array(np.full(n, bool(v) if v is not None else False))
 
 def _compile_expr(e, ctx: _Ctx):
     """Expr AST → fn(pa.Table) -> pa.Array | scalar. Node props resolve
@@ -794,7 +808,7 @@ def _apply_where(ds, pending: list, bound: set, ctx: _Ctx):
                 return b
             m = None
             for f in fns:
-                v = f(b)
+                v = _as_mask(f(b), b.num_rows)
                 m = v if m is None else pc.and_kleene(m, v)
             return b.filter(pc.fill_null(m, False))
 
@@ -1696,7 +1710,7 @@ def _apply_with(ds, wc, ctx: _Ctx, hint: pa.Table):
                 return b
             m = None
             for f in filt_fns:
-                v = f(b)
+                v = _as_mask(f(b), b.num_rows)
                 m = v if m is None else pc.and_kleene(m, v)
             return b.filter(pc.fill_null(m, False))
 
@@ -1721,11 +1735,23 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
             raise NotImplementedError("DISTINCT only with count()")
         dcol = "__agg0"
         ds = _distinct(ds, key_names + [dcol])
+        # openCypher/SQL count(DISTINCT x) EXCLUDES nulls; the distinct
+        # pass keeps one null-keyed row per group, so count the non-null
+        # indicator instead of rows (an all-null group still appears,
+        # with 0 — matching SQL GROUP BY semantics)
+        nn = "__nn"
+
+        def mark(b: pa.Table, _d=dcol, _n=nn) -> pa.Table:
+            return b.append_column(
+                _n, pc.is_valid(b[_d]).cast(pa.int64()))
+
+        ds = ds.map_batches(mark, batch_format="pyarrow",
+                            zero_copy_batch=True)
         if key_names:
             out = ds.groupby(key_names).aggregate(
-                Count(alias_name=_out_name(it)))
+                Sum(nn, alias_name=_out_name(it)))
             return out
-        n = ds.count()
+        n = ds.sum(nn) or 0
         return rd.from_arrow(pa.table({_out_name(it):
                                        pa.array([n], pa.int64())}))
 
@@ -1805,7 +1831,13 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
                 if den > 0 else 0.0
             cols[name] = pa.array([v], pa.float64())
         else:
-            cols[name] = pa.array([res.get(name)])
+            v = res.get(name)
+            if v is None and it.expr.name in ("count", "sum"):
+                # openCypher: count/sum of no rows = 0 (typed, not a
+                # null-typed column — same rule the collect path applies)
+                v = 0
+            cols[name] = pa.array([v]) if v is not None \
+                else pa.array([None], pa.float64())
     return rd.from_arrow(pa.table(cols))
 
 

@@ -186,10 +186,22 @@ def _tokenize(src: str) -> list:
                 if src[j] == ".":
                     seen_dot = True
                 j += 1
+            # scientific notation (cypher.pest ExponentDecimalReal):
+            # digits [e|E] [+|-] digits — only when an exponent digit
+            # actually follows, so identifiers like '1end' stay two tokens
+            if j < n and src[j] in "eE":
+                k = j + 1
+                if k < n and src[k] in "+-":
+                    k += 1
+                if k < n and src[k].isdigit():
+                    while k < n and src[k].isdigit():
+                        k += 1
+                    seen_dot = True          # exponent form is a float
+                    j = k
             text = src[i:j]
             try:
                 toks.append(("num",
-                             float(text) if "." in text else int(text)))
+                             float(text) if seen_dot else int(text)))
             except ValueError:
                 raise SyntaxError(f"bad numeric literal {text!r} at {i}")
             i = j

@@ -1200,3 +1200,35 @@ def test_startnode_requires_edge_var(ray_session):
     gf, _e, _v = _gf()
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH (a)-[r]->(b) RETURN startNode(a)")
+
+
+def test_count_distinct_excludes_nulls(ray_session):
+    """openCypher count(DISTINCT x) excludes nulls (review fix)."""
+    from raphtory_ray.query.cypher import cypher
+    gf, edges, verts = _gf()
+    got = _rows(cypher(
+        gf, "MATCH (a)-[e]->(b) OPTIONAL MATCH (b)-[f]->(c) "
+            "WHERE f.w > 1e9 RETURN count(DISTINCT c) AS n"))
+    assert got == [(0,)]
+    # grouped: all-null groups appear with 0
+    t = cypher(gf, "MATCH (a)-[e]->(b) OPTIONAL MATCH (b)-[f]->(c) "
+                   "WHERE f.w > 1e9 "
+                   "RETURN a.node_type AS ty, count(DISTINCT c) AS n")
+    rows = t.take_all()
+    assert rows and all(r["n"] == 0 for r in rows)
+
+
+def test_scalar_where_and_empty_aggregates(ray_session):
+    """Constant WHERE predicates broadcast; count/sum of no rows = 0
+    (review fixes)."""
+    from raphtory_ray.query.cypher import cypher
+    gf, edges, verts = _gf()
+    n_all = cypher(gf, "MATCH (a)-[e]->(b) RETURN count(*) AS n") \
+        .take_all()[0]["n"]
+    assert cypher(gf, "MATCH (a)-[e]->(b) WHERE 5 % 2 = 1 "
+                      "RETURN count(*) AS n").take_all()[0]["n"] == n_all
+    assert cypher(gf, "MATCH (a)-[e]->(b) WHERE 5 % 2 = 0 "
+                      "RETURN count(*) AS n").take_all()[0]["n"] == 0
+    got = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t > 1000000 "
+                     "RETURN sum(e.t) AS s, count(*) AS c").take_all()
+    assert got == [{"s": 0, "c": 0}]
