@@ -454,6 +454,10 @@ class _GraphCtx:
                 d = b["dst"].to_numpy(zero_copy_only=False)
                 t = b["t"].to_numpy(zero_copy_only=False)
                 ms, md = np.isin(s, want), np.isin(d, want)
+                # a SELF-LOOP event matches both branches but is ONE
+                # update — drop it from the dst branch (node.rs history
+                # counts one entry per event)
+                md = md & (s != d)
                 return pa.table({
                     "v": pa.array(np.r_[s[ms], d[md]], pa.int64()),
                     "t": pa.array(np.r_[t[ms], t[md]], pa.int64())})
@@ -993,6 +997,19 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             for s in (f.sel or []):             # same for histories
                 if s.name == "propertyHistory":
                     ctx.batch_property_history(vids, s.args["key"])
+                elif s.name == "properties" and \
+                        ctx.gf.node_events is not None:
+                    # warm per KEY for the whole page — without this the
+                    # per-node resolver pays one node_events pass per
+                    # (node, key)
+                    ks = s.args.get("keys")
+                    if ks is None:
+                        ks = [c for c in ctx.gf.node_events.schema().names
+                              if c not in ("vid", "t", "event_id")]
+                    elif isinstance(ks, str):
+                        ks = [ks]
+                    for k in ks:
+                        ctx.batch_property_history(vids, k)
             out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
         elif f.name == "vectorSearchNodes":
             # reference GraphQL exposes vector similarity search over the
@@ -1035,6 +1052,16 @@ def _resolve_graph(ctx: _GraphCtx, sel: list):
             for s in (f.sel or []):
                 if s.name == "propertyHistory":
                     ctx.batch_property_history(vids, s.args["key"])
+                elif s.name == "properties" and \
+                        ctx.gf.node_events is not None:
+                    ks = s.args.get("keys")
+                    if ks is None:
+                        ks = [c for c in ctx.gf.node_events.schema().names
+                              if c not in ("vid", "t", "event_id")]
+                    elif isinstance(ks, str):
+                        ks = [ks]
+                    for k in ks:
+                        ctx.batch_property_history(vids, k)
             out[f.out] = [_resolve_node(ctx, v, f.sel or []) for v in vids]
         elif f.name == "searchEdges":
             # graph.rs:829 search_edges(filter, limit, offset): filter
@@ -1240,7 +1267,7 @@ def _node_filter_expr(d: dict):
     (k, v), = d.items()
     k = _norm_key(k)
     if k == "node":
-        field = str(v["field"]).upper().replace("_", "_")
+        field = str(v["field"]).upper()
         col = _NODE_FIELD_COL.get(field) or \
             _NODE_FIELD_COL.get(field.replace("_", ""))
         if col is None:
@@ -1329,6 +1356,27 @@ def _edge_filter_expr(gf, d: dict):
     return fe, (modes.pop() if modes else "latest")
 
 
+
+def _view_vids(gf, nodes) -> np.ndarray:
+    """subgraph/excludeNodes node lists accept NAMES (the reference's
+    graph.rs subgraph takes names, like node(name:)) or integer vids."""
+    arr = np.asarray(list(nodes) if not isinstance(nodes, np.ndarray)
+                     else nodes)
+    if arr.dtype.kind in "iu":
+        return arr.astype(np.int64)
+    if gf.vertices is None:
+        raise KeyError("node names need a vertex table")
+    gids = gf.vertices["gid"].to_numpy(zero_copy_only=False).astype(str)
+    vids = gf.vertices["vid"].to_numpy(zero_copy_only=False)
+    order = np.argsort(gids)
+    names = arr.astype(str)
+    pos = np.searchsorted(gids[order], names)
+    ok = pos < len(gids)
+    ok[ok] = gids[order[pos[ok]]] == names[ok]
+    if not ok.all():
+        raise KeyError(f"unknown node(s) {arr[~ok][:3].tolist()}")
+    return vids[order[pos]].astype(np.int64)
+
 def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
     """→ (sub_gf, node_set): node-restricting views intersect the parent
     restriction; time/layer views inherit it unchanged."""
@@ -1373,10 +1421,10 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
     if f.name == "defaultLayer":
         return gf.default_layer(), parent_set
     if f.name == "subgraph":
-        keep = restrict(np.asarray(a["nodes"]))
+        keep = restrict(_view_vids(gf, a["nodes"]))
         return gf.subgraph(keep), keep
     if f.name == "excludeNodes":
-        drop = np.asarray(a["nodes"], np.int64)
+        drop = _view_vids(gf, a["nodes"])
         base = parent_set if parent_set is not None \
             else np.arange(gf.n, dtype=np.int64)
         keep = base[~np.isin(base, drop)]
@@ -1427,6 +1475,8 @@ def _apply_view(gf, f: Field, parent_set: np.ndarray | None):
                 if v is False:
                     continue
                 lt = sub.latest_time()
+                if lt is None:        # zero-event graph: latest = no-op
+                    continue
                 sf = Field("at", None, {"time": lt}, None)
             elif k in ("window", "shrinkWindow"):
                 sf = Field(k, None, {"start": v["start"],

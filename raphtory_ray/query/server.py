@@ -266,22 +266,41 @@ class GraphWorkDir:
         if graph_type is None:
             graph_type = "PERSISTENT" \
                 if isinstance(gf, PersistentGraphFrame) else "EVENT"
-        fs = self._prepare_insert(path, overwrite)
+        # write-then-swap (send_graph's atomicity, review fix): the
+        # existing graph must survive a mid-write failure, so encode into
+        # a HIDDEN tmp sibling (listings skip dot-dirs) and only replace
+        # the destination after the whole write + meta succeeded
+        comps = validate_path(path)
+        if not comps:
+            raise InvalidPath("graph path cannot be the root namespace")
+        self._check_no_graph_ancestor(comps)
+        fs = self._fs(path)
+        if os.path.exists(fs):
+            if not self._is_graph(fs):
+                raise InvalidPath(f"{path!r} is a namespace")
+            if not overwrite:
+                raise FileExistsError(f"graph already exists at {path!r}")
+        tmp = os.path.join(os.path.dirname(fs),
+                           f".{os.path.basename(fs)}.uploading")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, _META_DIR))
         try:
             if graph_type == "PERSISTENT":
-                _persist_events(gf, fs)
-                n, m = gf.n, _count_rows(os.path.join(fs, "edges"))
+                _persist_events(gf, tmp)
             else:
-                to_parquet(gf, fs)
-                n, m = gf.n, _count_rows(os.path.join(fs, "edges"))
+                to_parquet(gf, tmp)
+            n, m = gf.n, _count_rows(os.path.join(tmp, "edges"))
             now = time.time()
-            self._write_meta(fs, {"graph_type": graph_type,
-                                  "node_count": int(n),
-                                  "edge_event_count": int(m),
-                                  "created": now, "last_updated": now})
+            self._write_meta(tmp, {"graph_type": graph_type,
+                                   "node_count": int(n),
+                                   "edge_event_count": int(m),
+                                   "created": now, "last_updated": now})
         except Exception:
-            shutil.rmtree(fs, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
             raise
+        if os.path.exists(fs):
+            shutil.rmtree(fs)
+        os.rename(tmp, fs)
         return path
 
     def send_graph(self, path: str, graph_b64: str,
@@ -471,8 +490,12 @@ def _to_persistent(fs: str, n: int):
 
 def _resolve_node_ids(gf, nodes: list) -> np.ndarray:
     if gf.vertices is not None and nodes and isinstance(nodes[0], str):
+        # map names through the vid COLUMN, not the row position — a
+        # vertices table need not be positionally dense (review fix;
+        # same contract as graphql.vid_of)
         gids = gf.vertices["gid"].to_pylist()
-        index = {g: i for i, g in enumerate(gids)}
+        vids = gf.vertices["vid"].to_numpy(zero_copy_only=False)
+        index = {g: int(vids[i]) for i, g in enumerate(gids)}
         return np.array(sorted(index[x] for x in nodes if x in index),
                         dtype=np.int64)
     return np.unique(np.asarray(nodes, dtype=np.int64))

@@ -347,7 +347,14 @@ def to_parquet(gf: GraphFrame, path: str, row_group_size: int = 100_000):
 
     gids = None
     if gf.vertices is not None:
-        gids = gf.vertices["gid"].to_numpy(zero_copy_only=False)
+        # vid-column-aware lookup: a vertices table need not be
+        # positionally dense (vid == row) — scatter gids into a
+        # vid-indexed array so edge endpoints index correctly either way
+        vcol = gf.vertices["vid"].to_numpy(zero_copy_only=False)
+        gvals = gf.vertices["gid"].to_numpy(zero_copy_only=False)
+        hi = int(vcol.max()) + 1 if len(vcol) else 0
+        gids = np.empty(max(hi, gf.n), dtype=object)
+        gids[vcol] = gvals
 
     def encode(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)

@@ -245,3 +245,59 @@ def test_event_reload_honors_meta_node_count(ray_session, tmp_path):
     wd = GraphWorkDir(str(tmp_path))
     wd.upload_graph("g", gf)
     assert wd.graph("g").n == 100
+
+
+def test_create_subgraph_respects_vid_column(ray_session, tmp_path):
+    """Node names resolve through the vid COLUMN, not row position
+    (review fix): a non-dense vertices table must induce the right
+    subgraph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.server import GraphWorkDir
+    edges = pa.table({"src": pa.array([5, 2], pa.int64()),
+                      "dst": pa.array([2, 9], pa.int64()),
+                      "t": pa.array([1, 2], pa.int64()),
+                      "event_id": pa.array([0, 1], pa.int64())})
+    verts = pa.table({"vid": pa.array([5, 2, 9], pa.int64()),
+                      "gid": pa.array(["alice", "bob", "eve"])})
+    gf = GraphFrame(rd.from_arrow(edges), 10, verts)
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("parent", gf)
+    wd.create_subgraph("parent", ["alice", "bob"], "child")
+    sub = wd.graph("child")
+    import ray
+    e = pa.concat_tables([t.select(["src", "dst"])
+                          for t in ray.get(sub.edges.to_arrow_refs())
+                          if t.num_rows])
+    pairs = sorted(zip(e["src"].to_pylist(), e["dst"].to_pylist()))
+    assert pairs == [(5, 2)]        # alice→bob kept; bob→eve dropped
+
+
+def test_upload_graph_overwrite_is_atomic(ray_session, tmp_path):
+    """A failing overwrite upload must leave the ORIGINAL graph intact
+    (review fix: write-then-swap)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.server import GraphWorkDir
+    edges = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64()),
+                      "t": pa.array([1], pa.int64()),
+                      "event_id": pa.array([0], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 2, None)
+    wd = GraphWorkDir(str(tmp_path))
+    wd.upload_graph("g", gf)
+
+    class Boom:
+        n = 2
+        edges = property(lambda self: (_ for _ in ()).throw(
+            RuntimeError("mid-write failure")))
+
+    with pytest.raises(Exception):
+        wd.upload_graph("g", Boom(), overwrite=True)
+    back = wd.graph("g")            # original survives
+    assert back.n == 2
+    assert wd.namespace("")["graphs"] == ["g"]   # no tmp debris listed

@@ -745,3 +745,52 @@ def test_algorithms_shortest_path_directions(ray_session):
         execute(_gf(), '{ graph { algorithms { '
                        'shortestPath(source: "a", targets: ["b"], '
                        'direction: "sideways") { target } } } }')
+
+
+def test_self_loop_history_counts_once(ray_session):
+    """A self-loop event is ONE update (review fix)."""
+    import numpy as np
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({"src": pa.array([0, 0], pa.int64()),
+                      "dst": pa.array([1, 0], pa.int64()),
+                      "t": pa.array([1, 5], pa.int64()),
+                      "event_id": pa.array([0, 1], pa.int64())})
+    verts = pa.table({"vid": pa.array([0, 1], pa.int64()),
+                      "gid": pa.array(["a", "b"])})
+    gf = GraphFrame(rd.from_arrow(edges), 2, verts)
+    g = execute(gf, '{ graph { node(name: "a") '
+                    '{ history edgeHistoryCount } } }')
+    node = g["data"]["graph"]["node"]
+    assert node["history"] == [1, 5]
+    assert node["edgeHistoryCount"] == 2
+
+
+def test_subgraph_view_accepts_names(ray_session):
+    from raphtory_ray.query.graphql import execute
+    g = execute(_gf(), '{ graph { s: subgraph(nodes: ["a", "b"]) '
+                       '{ countNodes countEdges } } }')
+    s = g["data"]["graph"]["s"]
+    assert s["countNodes"] >= 1
+    g2 = execute(_gf(), '{ graph { s: subgraph(nodes: [0, 1]) '
+                        '{ countNodes countEdges } } }')
+    assert g2["data"]["graph"]["s"] == s
+    import pytest as _p
+    with _p.raises(KeyError):
+        execute(_gf(), '{ graph { s: subgraph(nodes: ["nope"]) '
+                       '{ countNodes } } }')
+
+
+def test_apply_views_latest_on_empty_graph(ray_session):
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.query.graphql import execute
+    edges = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "t": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64())})
+    gf = GraphFrame(rd.from_arrow(edges), 0, None)
+    g = execute(gf, '{ graph { applyViews(views: [{latest: true}]) '
+                    '{ countNodes } } }')
+    assert g["data"]["graph"]["applyViews"]["countNodes"] == 0
