@@ -242,9 +242,33 @@ class GraphWorkDir:
         if os.path.abspath(src) == os.path.abspath(self._fs(new_path)):
             # overwrite=True would rmtree the SOURCE before copying it
             raise InvalidPath("source and destination are the same graph")
-        dst = self._prepare_insert(new_path, overwrite)
-        shutil.rmtree(dst)                      # copytree wants a free dst
-        shutil.copytree(src, dst)
+        # copy-then-swap like upload_graph: an overwritten destination
+        # must survive a mid-copy failure
+        comps = validate_path(new_path)
+        if not comps:
+            raise InvalidPath("graph path cannot be the root namespace")
+        self._check_no_graph_ancestor(comps)
+        dst = self._fs(new_path)
+        if os.path.exists(dst):
+            if not self._is_graph(dst):
+                raise InvalidPath(f"{new_path!r} is a namespace")
+            if not overwrite:
+                raise FileExistsError(
+                    f"graph already exists at {new_path!r}")
+        else:
+            os.makedirs(os.path.dirname(dst) or self.work_dir,
+                        exist_ok=True)
+        tmp = os.path.join(os.path.dirname(dst),
+                           f".{os.path.basename(dst)}.copying")
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            shutil.copytree(src, tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
         self._touch(dst)
         return True
 
