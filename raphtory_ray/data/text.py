@@ -283,7 +283,9 @@ def _doc_term_tf(batch: pa.Table, text_col: str,
             g.to_numpy().astype(np.int64))
 
 
-def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                min_df: int | None = None, max_vocab: int | None = None,
+                stats: dict | None = None):
     """Corpus vocabulary statistics: (term, df, tf) with df = number of
     documents containing the term and tf = total occurrences.
 
@@ -292,7 +294,16 @@ def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     per distinct term it saw — so the only shuffle is a groupby-sum over
     vocabulary-sized partials, not over the token stream (the classic
     combiner pattern; partial dfs sum exactly because a document lives
-    in exactly one row/batch)."""
+    in exactly one row/batch).
+
+    ``min_df`` / ``max_vocab`` (round 5, enforced — a web-scale corpus has
+    ~10⁹ k-gram-noise terms and any driver consumer of this table needs a
+    bound): ``min_df`` filters rare terms INSIDE the distributed
+    aggregation output (a streaming per-block filter, before anything is
+    pulled); ``max_vocab`` keeps the global top-V terms by (tf desc, term
+    asc) via per-block partial top-V then a bounded O(V·blocks) merge.
+    ``stats``, if given, receives ``dropped_terms`` (count removed by the
+    caps; also logged — never silent)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -311,27 +322,75 @@ def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         m = {"sum(df)": "df", "sum(tf)": "tf"}
         return b.rename_columns([m.get(c, c) for c in b.column_names])
 
-    return parts.groupby("term").aggregate(Sum("df"), Sum("tf")) \
+    full = parts.groupby("term").aggregate(Sum("df"), Sum("tf")) \
         .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    if min_df is None and max_vocab is None:
+        return full
+    full = full.materialize()
+    total = full.count()
+    out = full
+    if min_df is not None:
+        import pyarrow.compute as pc
+
+        def dffilter(b: pa.Table, _m=int(min_df)) -> pa.Table:
+            return b.filter(pc.greater_equal(b["df"], pa.scalar(_m)))
+
+        out = out.map_batches(dffilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if max_vocab is not None:
+        V = int(max_vocab)
+
+        def topv(b: pa.Table, _v=V) -> pa.Table:
+            # per-block partial top-V: final merge sees ≤ V·blocks rows
+            t = b["term"].to_numpy(zero_copy_only=False)
+            tf = b["tf"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((t, -tf))[:_v]
+            return b.take(pa.array(np.sort(o)))
+
+        import ray
+        import ray.data as rd
+        refs = (out.map_batches(topv, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+        cand = pa.concat_tables(ray.get(refs))   # ≤ V·blocks rows — bounded
+        t = cand["term"].to_numpy(zero_copy_only=False)
+        tf = cand["tf"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((t, -tf))[:V]
+        out = rd.from_arrow(cand.take(pa.array(np.sort(o))))
+    kept = out.count()
+    dropped = total - kept
+    if stats is not None:
+        stats["dropped_terms"] = dropped
+    if dropped:
+        import logging
+        logging.getLogger("raphtory_ray.text").info(
+            "vocab_stats: caps (min_df=%s, max_vocab=%s) dropped %d of %d "
+            "terms", min_df, max_vocab, dropped, total)
+    return out
 
 
 def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id", quantize: float | None = None):
+                    id_col: str = "doc_id", quantize: float | None = None,
+                    min_df: int | None = None, max_vocab: int | None = None,
+                    cap_stats: dict | None = None):
     """Top-k terms per document by tf × ln(N/df), ties broken by term
     ascending (deterministic at any parallelism).
 
-    The document-frequency table is materialized once (vocabulary-sized
-    — at 100 TB, cap it with a min-df threshold or top-V truncation
-    before this step) and broadcast via ray.put; each batch resolves its
-    terms with a vectorized binary search — no shuffle join. Per-doc
-    top-k is one np.lexsort per batch.
+    The document-frequency table is pulled once for the broadcast —
+    vocabulary-sized, so at 100 TB pass ``min_df`` and/or ``max_vocab``
+    (round 5: enforced inside vocab_stats' distributed aggregation, with
+    the dropped-term count surfaced via ``cap_stats``/log) to bound the
+    driver pull; terms outside the capped vocabulary are skipped (they
+    cannot rank). Each batch resolves its terms with a vectorized binary
+    search — no shuffle join. Per-doc top-k is one np.lexsort per batch.
 
     ``quantize`` (e.g. 1e9) snaps scores to an integer grid
     (floor(score·q + 0.5000001), int64 ``score_q``) and RANKS on the
     quantized value, so ranking and output are bit-identical to any
     engine whose ln() differs from libm in the last ulp."""
     import ray as _ray
-    stats = vocab_stats(ds, text_col, id_col).take_all()
+    stats = vocab_stats(ds, text_col, id_col, min_df=min_df,
+                        max_vocab=max_vocab, stats=cap_stats).take_all()
     terms = np.array([r["term"] for r in stats], dtype=object)
     dfs = np.array([r["df"] for r in stats], dtype=np.int64)
     order = np.argsort(terms)
@@ -341,7 +400,18 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
     def topk(b: pa.Table, _ref=ref, _k=k, _q=quantize) -> pa.Table:
         vocab, df_sorted, n = _ray.get(_ref)
         d, t, tf = _doc_term_tf(b, text_col, id_col)
+        if len(vocab) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             ("score_q" if _q is not None else "score"):
+                                 pa.array([], pa.int64() if _q is not None
+                                          else pa.float64()),
+                             "rk": pa.array([], pa.int64())})
         pos = np.searchsorted(vocab, t)
+        pos_c = np.minimum(pos, len(vocab) - 1)
+        inv = vocab[pos_c] == t         # capped-out terms cannot rank
+        d, t, tf, pos = d[inv], t[inv], tf[inv], pos_c[inv]
         score = tf * np.log(n / df_sorted[pos])
         if _q is not None:
             score = np.floor(score * _q + 0.5000001).astype(np.int64)

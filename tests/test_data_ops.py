@@ -873,3 +873,162 @@ def test_normalize_adversarial_parity(ray_session):
     want = con.execute(m.oracle_sql()["doc_normalize"]).arrow().to_pylist()
     assert sorted(got, key=lambda r: r["doc_id"]) == \
         sorted(want, key=lambda r: r["doc_id"])
+
+
+# ------------------- round-5: Dataset-native dup-pair clustering ----------
+
+def test_clusters_from_pair_refs_distributed_300k(ray_session):
+    """>200k verified pairs force the distributed path: pair blocks stay
+    in the object store (no ray.get-all-pairs), endpoints deduplicate via
+    the hash-partitioned distinct, the dup-graph WCC runs on the compact
+    touched space, and labels match a driver union-find oracle."""
+    import ray
+    from raphtory_ray.data.dedup import (clusters_from_pair_refs,
+                                         union_find_clusters,
+                                         _DISTRIBUTED_CC_THRESHOLD)
+    rng = np.random.default_rng(5)
+    # ~300k pairs: 3000 chains of 100 sequential edges over sparse ids,
+    # plus random extra intra-chain pairs
+    base = (np.arange(3000, dtype=np.int64) * 1_000_003)[:, None]
+    chain = base + np.arange(100, dtype=np.int64)[None, :] * 7
+    a_chain = chain[:, :-1].reshape(-1)
+    b_chain = chain[:, 1:].reshape(-1)
+    extra_i = rng.integers(0, 100, 12_000)
+    extra_j = rng.integers(0, 100, 12_000)
+    rows = rng.integers(0, 3000, 12_000)
+    a_x = chain[rows, extra_i]
+    b_x = chain[rows, extra_j]
+    m = a_x != b_x
+    va = np.concatenate([a_chain, np.minimum(a_x[m], b_x[m])])
+    vb = np.concatenate([b_chain, np.maximum(a_x[m], b_x[m])])
+    assert len(va) > _DISTRIBUTED_CC_THRESHOLD
+    # split into blocks and put in the object store
+    cut = np.array_split(np.arange(len(va)), 13)
+    refs = [ray.put(pa.table({"a": pa.array(va[c], pa.int64()),
+                              "b": pa.array(vb[c], pa.int64())}))
+            for c in cut]
+    touched, labels = clusters_from_pair_refs(refs)
+    # oracle: driver union-find over the same pairs
+    want_t = np.unique(np.concatenate([va, vb]))
+    want_l = union_find_clusters(va, vb, want_t)
+    assert np.array_equal(touched, want_t)
+    assert np.array_equal(labels, want_l)
+    # every chain collapses to its min id
+    assert len(np.unique(labels)) == 3000
+
+
+def test_minhash_end_to_end_distributed_cc_path(ray_session, monkeypatch):
+    """End-to-end minhash dedup with the distributed-WCC path forced
+    (threshold monkeypatched below the planted pair count): oracle result
+    identical to the small-path run."""
+    import raphtory_ray.data.dedup as dd
+    rng = np.random.default_rng(23)
+    words = BASE.split()
+    texts = []
+    for i in range(40):
+        perm = rng.permutation(words).tolist()
+        texts.append(" ".join(perm * 3) + f" unique token {i}")
+    # plant a 12-copy cluster (66 pairs) and a 5-copy cluster (10 pairs)
+    texts += [texts[2] + " x"] * 11
+    texts += [texts[9] + " y"] * 4
+    ds = _doc_ds(texts)
+    small = dd.minhash_lsh_dedup(ds, threshold=0.6).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "_DISTRIBUTED_CC_THRESHOLD", 5)
+    big = dd.minhash_lsh_dedup(ds, threshold=0.6).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert small.equals(big)
+    cl = dict(zip(big["doc_id"], big["cluster_id"]))
+    assert all(cl[40 + j] == 2 for j in range(11))
+    assert all(cl[51 + j] == 9 for j in range(4))
+
+
+def test_lsh_truncation_reported(ray_session):
+    """Degenerate-bucket truncation is counted, not silent: a planted
+    oversize bucket reports exactly the overflow beyond max_bucket."""
+    from raphtory_ray.data.dedup import minhash_lsh_dedup, simhash_dedup
+    # 30 identical docs -> every band bucket holds all 30 members; the 10
+    # fillers draw from a disjoint random vocabulary (distinct word BAGS,
+    # so neither minhash nor bag-of-words simhash buckets overlap)
+    rng = np.random.default_rng(41)
+    vocab = np.array([f"w{rng.integers(1e9):09d}x{j}" for j in range(400)])
+    fillers = [" ".join(rng.choice(vocab, 120, replace=False).tolist())
+               for _ in range(10)]
+    ds = _doc_ds([BASE * 3] * 30 + fillers)
+    stats: dict = {}
+    t = minhash_lsh_dedup(ds, threshold=0.6, max_bucket=10,
+                          stats=stats).to_pandas()
+    # 16 bands x (30 - 10) over-cap members each
+    assert stats["lsh_dropped_candidates"] == 16 * 20
+    # cap still keeps the cluster connected (first 10 members pair up)
+    cl = dict(zip(t["doc_id"], t["cluster_id"]))
+    assert all(cl[i] == 0 for i in range(10))
+    stats2: dict = {}
+    simhash_dedup(ds, max_hamming=3, max_bucket=10, stats=stats2)
+    # 4 simhash bands x 20 over-cap members
+    assert stats2["lsh_dropped_candidates"] == 4 * 20
+    # no truncation -> zero reported
+    stats3: dict = {}
+    minhash_lsh_dedup(ds, threshold=0.6, stats=stats3)
+    assert stats3["lsh_dropped_candidates"] == 0
+
+
+def test_embedding_dedup_truncation_reported(emb_ds, ray_session):
+    """Embedding-LSH bucket cap surfaces its dropped-member count."""
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8)
+    emb = np.tile(v, (25, 1)) + rng.standard_normal((25, 8)) * 1e-3
+    tbl = pa.table({
+        "vec_id": pa.array(range(25), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float64()), 8)})
+    from raphtory_ray.data.dedup import embedding_dedup
+    stats: dict = {}
+    t = embedding_dedup(rd.from_arrow(tbl), threshold=0.99, nbits=4,
+                        max_bucket=10, stats=stats).to_pandas()
+    # all 25 near-identical vectors share one bucket -> 15 beyond the cap
+    assert stats["lsh_dropped_candidates"] == 15
+    cl = dict(zip(t["vec_id"], t["cluster_id"]))
+    assert all(cl[i] == 0 for i in range(10))
+
+
+def test_vocab_caps_enforced(ray_session):
+    """min_df/max_vocab bound the vocab table inside the aggregation; the
+    dropped-term count is reported; tfidf stays correct on the surviving
+    vocabulary."""
+    import ray.data as rd
+    texts = ["alpha beta gamma delta", "alpha beta gamma", "alpha beta",
+             "alpha epsilon", "zeta"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(3)
+    from raphtory_ray.data.text import vocab_stats, tfidf_top_terms
+    # uncapped: 6 distinct terms
+    full = vocab_stats(ds).to_pandas()
+    assert len(full) == 6
+    # min_df=2 keeps alpha(4) beta(3) gamma(2); drops 3 terms
+    st: dict = {}
+    capped = vocab_stats(ds, min_df=2, stats=st).to_pandas()
+    assert sorted(capped["term"]) == ["alpha", "beta", "gamma"]
+    assert st["dropped_terms"] == 3
+    # max_vocab=2 keeps the top-2 by tf (alpha tf=4, beta tf=3)
+    st2: dict = {}
+    top2 = vocab_stats(ds, max_vocab=2, stats=st2).to_pandas()
+    assert sorted(top2["term"]) == ["alpha", "beta"]
+    assert st2["dropped_terms"] == 4
+    # combined
+    st3: dict = {}
+    both = vocab_stats(ds, min_df=2, max_vocab=1, stats=st3).to_pandas()
+    assert list(both["term"]) == ["alpha"]
+    assert st3["dropped_terms"] == 5
+    # tfidf with a capped vocab ranks only surviving terms
+    st4: dict = {}
+    t = tfidf_top_terms(ds, k=2, min_df=2, cap_stats=st4).to_pandas()
+    assert st4["dropped_terms"] == 3
+    assert set(t["term"]) <= {"alpha", "beta", "gamma"}
+    # doc 4 ("zeta") has no surviving terms -> absent
+    assert 4 not in set(t["doc_id"])
+    # uncapped tfidf unchanged (oracle path)
+    t0 = tfidf_top_terms(ds, k=2).to_pandas()
+    assert 4 in set(t0["doc_id"])
