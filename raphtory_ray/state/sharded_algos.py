@@ -63,6 +63,10 @@ class _GatherCombine:
         oorder = np.argsort(o_g, kind="stable")
         self.perm = oorder.astype(np.int32) if len(o_g) < 2**31 else oorder
         o_sorted = o_g[oorder]
+        # gathered-endpoint VIDs in own-sorted row order — seeds the
+        # delta-path row cache locally (initial label ≡ vid), so the
+        # owned-delta algorithms start with ZERO transport
+        self.gth_sorted = g_g[oorder]
         self.uo, self.start = np.unique(o_sorted, return_index=True)
         self.own_local = _index_in(owned, self.uo) if len(self.uo) \
             else np.empty(0, np.int64)
@@ -70,6 +74,7 @@ class _GatherCombine:
         self._row_own_local = None
         self._o_sorted = o_sorted
         self._bufs: dict = {}
+        self._dx = None
 
     @property
     def row_own_local(self) -> np.ndarray:
@@ -93,6 +98,48 @@ class _GatherCombine:
                 w[lo:hi] = slices[q][self.gth_idx_g[lo:hi]]
         np.take(w, self.perm, out=w2)
         return w2
+
+    # ------------------------------------------------- sparse delta path
+    def build_delta_index(self):
+        """Inverted row index on the gathered-endpoint VID for sparse
+        changed-label transport: rows sorted by gth vid, plus each row's
+        own-sorted position — a changed (vid, val) delta then updates
+        exactly the rows that read that vid (two searchsorted + one
+        scatter), instead of re-gathering every row. One structure per
+        actor (deltas carry global vids, so partition boundaries don't
+        matter on the apply side)."""
+        g = np.asarray(self.gth_sorted, dtype=np.int64)
+        o = np.argsort(g, kind="stable")
+        self._dx = (g[o], o)
+
+    def apply_deltas(self, rows: np.ndarray, deltas) -> np.ndarray:
+        """Scatter per-actor (changed_vid, changed_val) deltas into the
+        cached own-sorted row array; returns the touched row positions.
+        Cost O(Σ changed · log rows + rows touched) — after the first few
+        supersteps of LPA/WCC the change set collapses, so this replaces
+        an O(rows) full re-gather with near-zero work."""
+        sg, rowpos = self._dx
+        touched = []
+        for d in deltas:
+            if d is None:
+                continue
+            vid, vals = d
+            if len(vid) == 0 or not len(sg):
+                continue
+            st = np.searchsorted(sg, vid)
+            en = np.searchsorted(sg, vid, side="right")
+            lens = en - st
+            m = lens > 0
+            if not m.any():
+                continue
+            L = lens[m]
+            base = np.repeat(st[m], L)
+            offs = np.arange(int(L.sum())) - np.repeat(np.cumsum(L) - L, L)
+            rp = rowpos[base + offs]
+            rows[rp] = np.repeat(vals[m], L)
+            touched.append(rp)
+        return np.concatenate(touched) if touched \
+            else np.empty(0, np.int64)
 
 
 @ray.remote
@@ -188,6 +235,136 @@ class AlgoShard:
         changed = int((new != self.state).sum())
         self.state = new
         return self._publish(), changed
+
+    # -------------------------------------- owned-slice sparse-delta path
+    # (round 5) The per-superstep transport above is W actors × P
+    # actor-owned slice ray.puts + every actor ray.get-ing all P slices —
+    # the O(W·P) borrowed-ref owner-RPC storm PRShard.step_owned fixed for
+    # PageRank. Here BOTH fixes land together: superstep outputs are TASK
+    # RETURNS (driver-owned objects, resolved against the idle driver) and
+    # they carry only the CHANGED (pos, val) pairs per partition; each
+    # actor keeps its gathered-label row cache and applies the sparse
+    # deltas. After LPA/WCC's change set collapses (a few rounds in), a
+    # superstep moves near-zero bytes.
+
+    # above this vertex count the per-actor dense label cache (8 bytes per
+    # vertex; used only to cheapen DENSE delta rounds) is skipped and the
+    # searchsorted path handles every round — the algorithm is identical
+    _DENSE_CACHE_LIMIT = 1 << 26          # 64M vertices ≈ 512 MB/actor
+
+    def init_delta(self):
+        """Seed state (label = vid) and the gathered-label row cache —
+        entirely locally: the initial label of a gathered endpoint IS its
+        vid, which the gather structure already stores. No transport."""
+        self.state = self.owned.copy()
+        if self.gc._dx is None:
+            self.gc.build_delta_index()
+        self._rows_lab = np.asarray(self.gc.gth_sorted, np.int64).copy()
+        self._gth_vids = np.asarray(self.gc.gth_sorted, np.int64)
+        self._glob = np.arange(self.n, dtype=np.int64) \
+            if self.n <= self._DENSE_CACHE_LIMIT else None
+        self._first_round = True
+        self._self_changed = np.empty(0, np.int64)
+        # node-local-idx -> segment index in (uo, start), -1 if no rows
+        self._seg_of_node = np.full(len(self.owned), -1, np.int64)
+        self._seg_of_node[self.gc.own_local] = \
+            np.arange(len(self.gc.own_local))
+        self._seg_ends = np.r_[self.gc.start,
+                               len(self.gc.gth_idx_g)][1:] \
+            if len(self.gc.uo) else np.empty(0, np.int64)
+
+    def _apply_deltas(self, deltas):
+        """Update the cached rows from the per-actor deltas. Returns the
+        touched row positions, or None when the round was applied densely
+        (global-cache scatter + one full regather — measured ~10x cheaper
+        than per-delta searchsorted when most labels changed; early LPA /
+        WCC rounds are exactly that regime)."""
+        if self._glob is not None:
+            total = sum(len(d[0]) for d in deltas if d is not None)
+            for d in deltas:
+                if d is not None and len(d[0]):
+                    self._glob[d[0]] = d[1]
+            if total * 4 > len(self._gth_vids):
+                np.take(self._glob, self._gth_vids, out=self._rows_lab)
+                return None
+        return self.gc.apply_deltas(self._rows_lab, deltas)
+
+    def _emit_deltas(self, new: np.ndarray):
+        """One (changed_vids, new_vals) pair for the whole actor."""
+        changed = np.flatnonzero(new != self.state)
+        self._self_changed = changed
+        return (self.owned[changed], new[changed]), len(changed)
+
+    def _affected_nodes(self, touched_rows: np.ndarray) -> np.ndarray:
+        """Owned nodes whose vote inputs changed: nodes with a touched row,
+        plus nodes whose own label changed last round (self-vote input)."""
+        nbr = self.gc.row_own_local[touched_rows] if len(touched_rows) \
+            else np.empty(0, np.int64)
+        return np.unique(np.concatenate([nbr, self._self_changed]))
+
+    def lpa_delta_step(self, *deltas):
+        """One LPA vote round over the cached rows — recounted ONLY for
+        affected nodes (a node's vote can change only if a neighbour's
+        label or its own label changed last round). deltas = P (pos, val)
+        pairs (top-level args — raylet-resolved, no in-task ray.get).
+        Returns (*per-owned-partition deltas, changed) via num_returns."""
+        touched = self._apply_deltas(deltas)
+        n = self.n
+        if self._first_round or touched is None:
+            aff = None                        # full vote, no range build
+            self._first_round = False
+        else:
+            aff = self._affected_nodes(touched)
+            if len(aff) * 4 > len(self.owned):
+                aff = None                    # dense round: full vote wins
+        new = self.state.copy()
+        if aff is None or len(aff):
+            if aff is None:
+                rows = slice(None)
+                row_nodes = self.gc.row_own_local
+                vote_nodes = np.arange(len(self.owned), dtype=np.int64)
+            else:
+                segs = self._seg_of_node[aff]
+                sm = segs >= 0
+                segs = segs[sm]
+                starts = self.gc.start[segs]
+                lens = self._seg_ends[segs] - starts
+                base = np.repeat(starts, lens)
+                rows = base + (np.arange(int(lens.sum()))
+                               - np.repeat(np.cumsum(lens) - lens, lens))
+                row_nodes = self.gc.row_own_local[rows]
+                vote_nodes = aff
+            keys = np.concatenate([
+                row_nodes * np.int64(n) + self._rows_lab[rows],
+                vote_nodes * np.int64(n) + self.state[vote_nodes]])
+            uk, cnt = np.unique(keys, return_counts=True)
+            nodes = uk // n
+            labels = uk - nodes * n
+            order = np.lexsort((labels, cnt, nodes))
+            nodes, labels = nodes[order], labels[order]
+            last = np.r_[nodes[1:] != nodes[:-1], True]
+            new[nodes[last]] = labels[last]
+        out, changed = self._emit_deltas(new)
+        self.state = new
+        return out, changed
+
+    def wcc_delta_step(self, *deltas):
+        """One hash-min round over the cached rows. Labels only DECREASE,
+        so state already holds the min of everything seen — the update is
+        a pure scatter-min over the touched rows (no reduceat)."""
+        touched = self._apply_deltas(deltas)
+        new = self.state.copy()
+        if self._first_round or touched is None:
+            self._first_round = False
+            if len(self.gc.uo):
+                m = np.minimum.reduceat(self._rows_lab, self.gc.start)
+                new[self.gc.own_local] = np.minimum(new[self.gc.own_local], m)
+        elif len(touched):
+            np.minimum.at(new, self.gc.row_own_local[touched],
+                          self._rows_lab[touched])
+        out, changed = self._emit_deltas(new)
+        self.state = new
+        return out, changed
 
 
 @ray.remote
@@ -336,6 +513,53 @@ class ShardedAlgos:
             if until_converged and sum(o[1] for o in outs) == 0:
                 break
         return self._gather_state(shards), it
+
+    def _owned_delta_loop(self, step_of, iter_count: int,
+                          until_converged: bool):
+        """Shared driver loop for the owned-slice sparse-delta algorithms:
+        O(W) refs per superstep (ONE delta object per actor), all
+        superstep outputs driver-owned task returns, only changed labels
+        in flight."""
+        from collections import deque
+        stripes, shards, P = self._undirected_pool()
+        W = len(shards)
+        ray.get([s.init_delta.remote() for s in shards])
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        delta_refs = [ray.put(empty)] * W     # round 1: nothing changed yet
+        # Depth-2 pipelined rounds: the next round needs only the delta
+        # REFS (available at submit time), so the driver submits ahead and
+        # reads round j's changed-count while round j+1 executes — the
+        # driver round-trip leaves the critical path. Convergence detection
+        # lags one round; the extra round runs on empty deltas (near-free).
+        pending: deque = deque()
+        conv_at = None
+        for it in range(1, iter_count + 1):
+            rounds = [step_of(s).options(num_returns=2).remote(*delta_refs)
+                      for s in shards]
+            delta_refs = [r[0] for r in rounds]
+            pending.append((it, [r[1] for r in rounds]))
+            if len(pending) > 1:
+                j, refs = pending.popleft()
+                if sum(ray.get(refs)) == 0 and until_converged:
+                    conv_at = j
+                    break
+        while conv_at is None and pending:
+            j, refs = pending.popleft()
+            if sum(ray.get(refs)) == 0 and until_converged:
+                conv_at = j
+        it = conv_at if conv_at is not None else iter_count
+        return self._gather_state(shards), it
+
+    def lpa_owned(self, iter_count: int = 20, until_converged: bool = True):
+        """LPA through the owned-slice sparse-delta path (round 5); vote
+        semantics identical to lpa/lpa_step (parity-tested)."""
+        return self._owned_delta_loop(lambda s: s.lpa_delta_step,
+                                      iter_count, until_converged)
+
+    def wcc_owned(self, max_iter: int = 10**9) -> np.ndarray:
+        """Hash-min WCC through the owned-slice sparse-delta path."""
+        return self._owned_delta_loop(lambda s: s.wcc_delta_step,
+                                      max_iter, True)[0]
 
     def kcore_set(self, k: int, max_iter: int = 10**9) -> np.ndarray:
         stripes, shards, P = self._undirected_pool()

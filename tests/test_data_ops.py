@@ -1032,3 +1032,42 @@ def test_vocab_caps_enforced(ray_session):
     # uncapped tfidf unchanged (oracle path)
     t0 = tfidf_top_terms(ds, k=2).to_pandas()
     assert 4 in set(t0["doc_id"])
+
+
+def test_ivf_centroid_init_adversarial_block_order(ray_session):
+    """round-5: k-means bootstrap samples uniformly across the WHOLE
+    dataset, so cluster-sorted input (every early block = one source
+    cluster) still yields balanced buckets and high recall."""
+    import ray.data as rd
+    from raphtory_ray.data.similarity import (train_centroids, knn_ivf,
+                                              knn_bruteforce, _normalize)
+    from raphtory_ray.data.dedup import embedding_matrix
+    rng = np.random.default_rng(7)
+    C, per = 8, 100
+    centers = _normalize(rng.standard_normal((C, 16))) * 10
+    # rows SORTED by cluster: the old first-256-rows bootstrap saw only
+    # clusters 0-2
+    mat = np.concatenate([centers[c] + 0.05 * rng.standard_normal((per, 16))
+                          for c in range(C)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(C * per), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float64()), 16)})
+    ds = rd.from_arrow(tbl).repartition(8)
+    cent = train_centroids(ds, n_clusters=C)
+    # every true cluster captured by a distinct nearest centroid
+    assign = np.argmax(_normalize(mat) @ cent.T, axis=1)
+    sizes = np.bincount(assign, minlength=C)
+    assert (sizes > 0).sum() == C            # no empty/collapsed buckets
+    assert sizes.max() <= 2 * per            # balanced (no mega-bucket)
+    # recall at nprobe=2 stays high because buckets align with clusters
+    q = mat[::per][:5]
+    exact = knn_bruteforce(ds, q, k=5).to_pandas()
+    approx = knn_ivf(ds, q, k=5, n_clusters=C, nprobe=2).to_pandas()
+    hits = tot = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.9

@@ -110,3 +110,65 @@ def test_personalized_pagerank_validates_input(rnd_graph):
         rnd_graph.pagerank(personalization=np.ones(3))
     with pytest.raises(ValueError):
         rnd_graph.pagerank(personalization=np.zeros(rnd_graph.n))
+
+
+# ------------- round-5: owned-slice sparse-delta LPA / WCC ---------------
+
+def test_lpa_owned_delta_matches_task_engine(rnd_graph):
+    from raphtory_ray.state.sharded_algos import ShardedAlgos
+    want_c, _ = rnd_graph.lpa(engine="task")
+    want_p, _ = rnd_graph.lpa(iter_count=3, until_converged=False,
+                              engine="task")
+    with ShardedAlgos(rnd_graph, num_workers=3) as eng:
+        got_c, _ = eng.lpa_owned()
+        got_p, it_p = eng.lpa_owned(iter_count=3, until_converged=False)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_p, want_p)
+    assert it_p == 3
+
+
+def test_wcc_owned_delta_matches_task_engine(rnd_graph):
+    from raphtory_ray.state.sharded_algos import ShardedAlgos
+    want = rnd_graph.wcc(engine="task")
+    with ShardedAlgos(rnd_graph, num_workers=3) as eng:
+        got = eng.wcc_owned()
+    assert np.array_equal(got, want)
+
+
+def test_owned_delta_engine_reusable_and_isolated_vertices(ray_session):
+    """Repeat calls on a cached engine re-init cleanly; isolated vertices
+    and a two-component graph keep exact labels."""
+    from raphtory_ray.state.shards import BspGraph
+    from raphtory_ray.state.sharded_algos import ShardedAlgos
+    src = np.array([0, 1, 2, 5, 6, 7])
+    dst = np.array([1, 2, 0, 6, 7, 5])
+    g = BspGraph.from_arrays(src, dst, 10, num_blocks=3)
+    with ShardedAlgos(g, num_workers=2) as eng:
+        w1 = eng.wcc_owned()
+        w2 = eng.wcc_owned()              # second run on same pool
+        l1, _ = eng.lpa_owned()
+    assert np.array_equal(w1, w2)
+    want = np.array([0, 0, 0, 3, 4, 5, 5, 5, 8, 9])
+    assert np.array_equal(w1, want)
+    assert np.array_equal(l1[3:5], [3, 4])  # isolated keep own label
+
+
+def test_bspgraph_auto_routes_large_graph_to_sharded(ray_session):
+    """Above _SHARDED_EDGE_THRESHOLD edges lpa/wcc run through the
+    owned-delta actor engine, with labels identical to the task path."""
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(3)
+    n = 9000
+    src = rng.integers(0, n, 60_000)
+    dst = rng.integers(0, n, 60_000)
+    g = BspGraph.from_arrays(src, dst, n, num_blocks=6)
+    if g.num_edges < BspGraph._SHARDED_EDGE_THRESHOLD:
+        pytest.skip("dedup dropped below threshold")
+    want = g.wcc(engine="task")
+    got = g.wcc()                          # auto -> sharded
+    assert g._sharded is not None
+    assert np.array_equal(got, want)
+    want_l, _ = g.lpa(iter_count=4, until_converged=False, engine="task")
+    got_l, _ = g.lpa(iter_count=4, until_converged=False)
+    assert np.array_equal(got_l, want_l)
+    g._sharded.shutdown()
