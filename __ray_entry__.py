@@ -630,6 +630,30 @@ def _q_cypher_varlen_hops(sf_dir: str):
                   "length(r) AS hops")
 
 
+def _q_cypher_varlen_zero(sf_dir: str):
+    """Zero-length variable-length path (round 5): [*0..2] binds the
+    endpoint to the start node itself at 0 hops (one identity row per
+    vertex, no edge filters apply), plus the 1..2-hop reachability —
+    gated against a recursive CTE whose base is generate_series over the
+    vertex space."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[*0..2]->(b) "
+                  "RETURN a AS src, count(*) AS n_reach")
+
+
+def _q_cypher_cartesian(sf_dir: str):
+    """Cartesian product across variable-disjoint MATCH patterns (round
+    5): two independently filtered edge scans with no shared variable and
+    no bridging equality — compiles to the guarded broadcast cross join
+    (query/cypher.py _cross_join), gated against a SQL CROSS JOIN."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b), (c)-[f]->(d) "
+                  "WHERE e.w > 280.0 AND f.w > 290.0 "
+                  "RETURN a, b, c, d")
+
+
 def _q_cypher_with_hubs(sf_dir: str):
     """WITH pipeline (round 4): implicit-group aggregate, HAVING-like
     WHERE, then a second MATCH joined on the carried node variable."""
@@ -1174,9 +1198,12 @@ def _q_corpus_vector_search(sf_dir: str) -> pa.Table:
 def _q_doc_text_search(sf_dir: str) -> pa.Table:
     """Inverted-index text search (the reference's tantivy-shaped
     capability, raphtory/src/search/): docs containing ALL of
-    ('data', 'query') ranked by summed term frequency."""
+    ('data', 'query') ranked by BM25 (round 5 — the Lucene/tantivy
+    formula, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75), scores on
+    the 1e-6 integer grid so the SQL oracle compares exactly."""
     from raphtory_ray.data.search import search_documents
-    return search_documents(_docs(sf_dir), ["data", "query"], "and")
+    return search_documents(_docs(sf_dir), ["data", "query"], "and",
+                            scoring="bm25", quantize=1e6)
 
 
 def _q_user_dijkstra(sf_dir: str) -> pa.Table:
@@ -2097,6 +2124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_cycle": _q_cypher_cycle,
         "cypher_varlen_reach": _q_cypher_varlen,
         "cypher_varlen_hops": _q_cypher_varlen_hops,
+        "cypher_varlen_zero": _q_cypher_varlen_zero,
+        "cypher_cartesian": _q_cypher_cartesian,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "cypher_isnull_antijoin": _q_cypher_isnull,
@@ -3648,6 +3677,31 @@ r AS (
 pairs AS (SELECT DISTINCT a, b FROM r)
 SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
 """,
+        "cypher_varlen_zero": f"""
+WITH RECURSIVE {_USER_EDGES},
+base AS (SELECT DISTINCT src, dst FROM user_edges),
+verts AS (
+  -- series 0..max(user_id) (generate_series can't take a subquery bound)
+  SELECT 0 AS v
+  UNION ALL
+  SELECT v + 1 FROM verts WHERE v < (SELECT MAX(user_id) FROM events)
+),
+r AS (
+  SELECT v AS a, v AS b, 0 AS k FROM verts
+  UNION
+  SELECT r.a, x.dst, r.k + 1 FROM r JOIN base x ON r.b = x.src
+  WHERE r.k < 2
+),
+pairs AS (SELECT DISTINCT a, b FROM r)
+SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
+""",
+        "cypher_cartesian": f"""
+WITH {_USER_EDGES},
+e1 AS (SELECT src, dst FROM user_edges WHERE w > 280.0),
+e2 AS (SELECT src, dst FROM user_edges WHERE w > 290.0)
+SELECT e1.src AS a, e1.dst AS b, e2.src AS c, e2.dst AS d
+FROM e1 CROSS JOIN e2
+""",
         "cypher_varlen_hops": f"""
 WITH RECURSIVE {_USER_EDGES},
 base AS (SELECT DISTINCT src, dst FROM user_edges),
@@ -4454,15 +4508,28 @@ FROM fps GROUP BY doc_id
 """,
         "doc_text_search": """
 WITH toks AS (
-  SELECT doc_id, unnest(str_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-  FROM documents
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(str_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
 ),
+dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
 tf AS (
-  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks
+  SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf FROM toks
   WHERE tok IN ('data', 'query') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*)::DOUBLE AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
 )
-SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS score
-FROM tf GROUP BY doc_id HAVING COUNT(*) = 2
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
+       FLOOR(SUM(s) * 1000000 + 0.5000001)::BIGINT AS score_q
+FROM scored GROUP BY doc_id HAVING COUNT(*) = 2
 """,
         "emb_knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -56,44 +56,115 @@ def build_text_index(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def search(postings, terms, mode: str = "and") -> pa.Table:
-    """Rank documents against ``terms`` over a postings Dataset:
-    (doc_id, n_terms, score=Σtf), score-desc / doc_id-asc. ``and`` keeps
-    docs containing EVERY term; ``or`` any."""
+def doc_length_stats(postings):
+    """Corpus document-length statistics for BM25: a materialized Dataset
+    (doc_id, dl=token count) via one distributed groupby-sum over the
+    postings, plus the two global scalars (n_docs, avgdl). N counts docs
+    that produced at least one token (empty docs have no postings and can
+    never match)."""
+    from ray.data.aggregate import Sum
+    dl = postings.groupby("doc_id").aggregate(
+        Sum("tf", alias_name="dl")).materialize()
+    n = dl.count()
+    total = dl.sum("dl") if n else 0
+    return dl, n, (total / n) if n else 0.0
+
+
+def search(postings, terms, mode: str = "and", scoring: str = "tf",
+           k1: float = 1.2, b: float = 0.75,
+           quantize: float | None = None) -> pa.Table:
+    """Rank documents against ``terms`` over a postings Dataset. ``and``
+    keeps docs containing EVERY term; ``or`` any.
+
+    scoring="tf": (doc_id, n_terms, score=Σtf), score-desc / doc_id-asc.
+    scoring="bm25" (round 5 — the reference's tantivy ranks BM25): the
+    Lucene/tantivy formula, idf = ln(1 + (N - df + ½)/(df + ½)),
+    per-term contribution idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    df comes from the pruned hits themselves (they hold every posting of
+    each query term); dl only for the HIT docs (broadcast semi-join
+    against the distributed doc-length aggregate — the corpus-sized dl
+    table never reaches the driver). ``quantize`` (e.g. 1e6) emits an
+    integer ``score_q`` grid for bit-stable cross-engine comparison."""
     assert mode in ("and", "or")
+    assert scoring in ("tf", "bm25")
     term_set = pa.array(sorted({t.lower() for t in terms}), pa.string())
 
-    def prune(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["token"], value_set=term_set))
+    def prune(bt: pa.Table) -> pa.Table:
+        return bt.filter(pc.is_in(bt["token"], value_set=term_set))
 
-    hits = [t for t in postings.map_batches(
-        prune, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow") if t.num_rows]
+    pruned = postings.map_batches(prune, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    if scoring == "bm25":
+        pruned = pruned.materialize()   # postings re-used for dl stats
+    hits = [t for t in pruned.iter_batches(batch_format="pyarrow")
+            if t.num_rows]
+    score_field = ("score_q" if quantize is not None else "score") \
+        if scoring == "bm25" else "score"
+    score_type = pa.float64() if (scoring == "bm25" and quantize is None) \
+        else pa.int64()
     if not hits:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_terms": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.int64())})
+                         score_field: pa.array([], score_type)})
     t = pa.concat_tables(hits)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     tf = t["tf"].to_numpy(zero_copy_only=False)
     uids, inv = np.unique(ids, return_inverse=True)
-    score = np.zeros(len(uids), np.int64)
     nterm = np.zeros(len(uids), np.int64)
-    np.add.at(score, inv, tf)
     np.add.at(nterm, inv, 1)
+    if scoring == "tf":
+        score = np.zeros(len(uids), np.int64)
+        np.add.at(score, inv, tf)
+    else:
+        import ray
+        dl_ds, n_docs, avgdl = doc_length_stats(postings)
+        # df per query term — the pruned hits hold one row per
+        # (term, containing doc), so df = rows per term
+        toks = t["token"]
+        dcode = pc.dictionary_encode(toks.combine_chunks())
+        codes = dcode.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(codes, minlength=len(dcode.dictionary))
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        # dl for hit docs only (uids sorted by np.unique)
+        uref = ray.put(uids)
+
+        def pick(bt: pa.Table) -> pa.Table:
+            u = ray.get(uref)
+            d = bt["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(u):
+                return bt.slice(0, 0)
+            pos = np.minimum(np.searchsorted(u, d), len(u) - 1)
+            return bt.filter(pa.array(u[pos] == d))
+
+        parts = [p for p in dl_ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow") if p.num_rows]
+        dlt = pa.concat_tables(parts)
+        d_ids = dlt["doc_id"].to_numpy(zero_copy_only=False)
+        d_dl = dlt["dl"].to_numpy(zero_copy_only=False)
+        o = np.argsort(d_ids)
+        dl_of_uid = d_dl[o][np.searchsorted(d_ids[o], uids)]
+        norm = k1 * (1.0 - b + b * dl_of_uid[inv] / avgdl)
+        contrib = idf[codes] * (tf * (k1 + 1.0)) / (tf + norm)
+        score = np.zeros(len(uids), np.float64)
+        np.add.at(score, inv, contrib)
     if mode == "and":
         keep = nterm == len(term_set)
     else:
         keep = np.ones(len(uids), dtype=bool)
     uids, score, nterm = uids[keep], score[keep], nterm[keep]
+    if scoring == "bm25" and quantize is not None:
+        score = np.floor(score * quantize + 0.5000001).astype(np.int64)
     order = np.lexsort((uids, -score))
     return pa.table({"doc_id": pa.array(uids[order]),
                      "n_terms": pa.array(nterm[order]),
-                     "score": pa.array(score[order])})
+                     score_field: pa.array(score[order], score_type)})
 
 
 def search_documents(ds, terms, mode: str = "and",
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
+                     id_col: str = "doc_id", scoring: str = "tf",
+                     quantize: float | None = None) -> pa.Table:
     """One-shot search (index built inline, streamed — nothing persists)."""
-    return search(build_text_index(ds, text_col, id_col), terms, mode)
+    return search(build_text_index(ds, text_col, id_col), terms, mode,
+                  scoring=scoring, quantize=quantize)

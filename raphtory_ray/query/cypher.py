@@ -869,13 +869,46 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
             "variable-length pattern needs a bounded upper length "
             "(e.g. [*1..4]) — unbounded expansion is a fixpoint, use "
             "algorithms.in/out_component for reachability closure")
-    if lo < 1:
-        raise NotImplementedError("zero-length patterns ([*0..]) are "
-                                  "not supported")
+    if lo < 0:
+        raise SyntaxError(f"bad variable-length range *{lo}..{hi}")
     if hi < lo:
         raise SyntaxError(f"bad variable-length range *{lo}..{hi}")
 
     inner = dv if dv != sv else ctx.fresh("v")
+    zero_levels = []
+    if lo == 0:
+        # zero-length paths (round 5): [*0..hi] binds the endpoint to the
+        # START node itself — one identity row per vertex, 0 hops, no edge
+        # traversed (so edge layer/property filters don't apply; path-start
+        # WHERE terms do). Reference: raphtory-cypher/src/hop/rule.rs
+        # (hop expansion over an optional zero-length base).
+        if gf.vertices is not None:
+            vids = gf.vertices["vid"].combine_chunks()
+        else:
+            vids = pa.array(np.arange(gf.n), pa.int64())
+        zt = pa.table({sv: vids, inner: vids})
+        zds = rd.from_arrow(zt)
+        zpend = [(t, vs) for t, vs in pending if vs <= {sv}]
+        if zpend:
+            zds, _ = _apply_where(zds, zpend, {sv}, ctx)
+        zero_levels = [_tag(zds, 0)]
+        lo = 1
+        if hi == 0:
+            # pure identity pattern [*0..0] / [*0]
+            zhint = pa.table({sv: pa.array([], pa.int64()),
+                              inner: pa.array([], pa.int64())})
+            if hopcol is not None:
+                zhint = zhint.append_column(hopcol,
+                                            pa.array([], pa.int64()))
+            ds = zero_levels[0]
+            if inner != dv:            # (a)-[*0]->(a): identity always
+                def close0(b: pa.Table) -> pa.Table:
+                    keep = [sv] + ([hopcol] if hopcol is not None else [])
+                    return b.select(keep)
+                ds = ds.map_batches(close0, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                zhint = zhint.drop_columns([inner])
+            return ds, zhint
     scan, scan_hint = _edge_scan(gf, replace(ep, var_length=None,
                                              var=None),
                                  sv, inner, ctx, set())
@@ -893,7 +926,7 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
     if hi > 1:
         base = base.materialize()      # reused by every expansion level
         frontier = frontier.materialize() if start_filtered else base
-    levels = [_tag(frontier, 1)] if lo <= 1 else []
+    levels = zero_levels + ([_tag(frontier, 1)] if lo <= 1 else [])
     mid = ctx.fresh("m")
     lhint = hint.rename_columns(
         [mid if c == inner else c for c in hint.column_names])

@@ -39,6 +39,30 @@ _META_DIR = ".raph"
 _META_FILE = "meta.json"
 
 
+
+def _swap_in(tmp: str, dst: str) -> None:
+    """Crash-safe replace of a graph directory (ADVICE r4: the previous
+    rmtree(dst)-then-rename lost the destination if the process died
+    between the two steps). The destination is renamed ASIDE first, the
+    finished tmp renames in, and only then is the old copy removed — a
+    crash at any point leaves either the old or the new complete graph
+    on disk under a recoverable name (a stale .<name>.old sibling is the
+    only debris, removed on the next successful swap). Still two renames,
+    not one atomic op; single-writer-per-path is assumed (documented)."""
+    old = os.path.join(os.path.dirname(dst), f".{os.path.basename(dst)}.old")
+    shutil.rmtree(old, ignore_errors=True)
+    had = os.path.exists(dst)
+    if had:
+        os.rename(dst, old)
+    try:
+        os.rename(tmp, dst)
+    except Exception:
+        if had:
+            os.rename(old, dst)        # restore the original
+        raise
+    if had:
+        shutil.rmtree(old, ignore_errors=True)
+
 class InvalidPath(ValueError):
     """paths.rs InvalidPathReason equivalent."""
 
@@ -266,9 +290,7 @@ class GraphWorkDir:
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.rename(tmp, dst)
+        _swap_in(tmp, dst)
         self._touch(dst)
         return True
 
@@ -322,9 +344,7 @@ class GraphWorkDir:
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        if os.path.exists(fs):
-            shutil.rmtree(fs)
-        os.rename(tmp, fs)
+        _swap_in(tmp, fs)
         return path
 
     def send_graph(self, path: str, graph_b64: str,
@@ -355,8 +375,7 @@ class GraphWorkDir:
         if not os.path.isdir(os.path.join(tmp, _META_DIR)):
             shutil.rmtree(tmp)
             raise InvalidPath("archive is not a graph folder")
-        shutil.rmtree(fs, ignore_errors=True)
-        os.replace(tmp, fs)
+        _swap_in(tmp, fs)
         self._touch(fs)
         return path
 

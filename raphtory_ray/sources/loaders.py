@@ -491,31 +491,46 @@ def import_graph(dst: GraphFrame, src: GraphFrame,
     if dst.vertices is None or src.vertices is None:
         raise ValueError("import_graph needs gid vertex tables both sides")
     dg = dst.vertices["gid"].to_numpy(zero_copy_only=False)
+    dv = dst.vertices["vid"].to_numpy(zero_copy_only=False)
     sg = src.vertices["gid"].to_numpy(zero_copy_only=False)
+    svid = src.vertices["vid"].to_numpy(zero_copy_only=False)
     overlap = np.isin(sg, dg)
     if overlap.any() and not force:
         raise ValueError(
             f"{int(overlap.sum())} node(s) already exist in the target "
             f"(e.g. {sg[overlap][:3].tolist()}); pass force=True to merge")
-    # src vid -> combined vid, fully vectorized (searchsorted against the
-    # sorted dst vocabulary — no Python loop over vertices)
+    # Resolution goes through the VID COLUMNS on both sides (ADVICE r4:
+    # neither vertices table may be positionally dense — server
+    # create_subgraph emits sparse tables): overlapping gids map to dst's
+    # vid VALUES, new vids start past both max(dst vid) and dst.n, and
+    # src edge endpoints resolve by src vid VALUE (sorted lookup), never
+    # by row position.
     new_gids = sg[~overlap]
-    base = len(dg)
+    base = max(int(dv.max(initial=-1)) + 1, dst.n)
     order = np.argsort(dg)
-    remap = np.empty(len(sg), np.int64)
+    remap_vals = np.empty(len(sg), np.int64)       # per src-vertex row
     if overlap.any():
         pos = np.searchsorted(dg[order], sg[overlap])
-        remap[overlap] = order[pos]
-    remap[~overlap] = base + np.arange(len(new_gids))
-    rref = _ray.put(remap)
+        remap_vals[overlap] = dv[order[pos]]
+    remap_vals[~overlap] = base + np.arange(len(new_gids))
+    so = np.argsort(svid)
+    rref = _ray.put((svid[so], remap_vals[so]))
 
     def rv(b: pa.Table, _r=rref) -> pa.Table:
-        m = _ray.get(_r)
+        vid_sorted, m_sorted = _ray.get(_r)
         cols = {}
         for c in b.column_names:
             if c in ("src", "dst"):
-                cols[c] = pa.array(
-                    m[b[c].to_numpy(zero_copy_only=False)], pa.int64())
+                v = b[c].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(vid_sorted, v)
+                pos_c = np.minimum(pos, max(len(vid_sorted) - 1, 0))
+                if len(vid_sorted) == 0 or not (vid_sorted[pos_c] == v).all():
+                    bad = v[vid_sorted[pos_c] != v][:3] \
+                        if len(vid_sorted) else v[:3]
+                    raise ValueError(
+                        f"edge endpoint vid(s) {bad.tolist()} missing "
+                        "from the source vertices table")
+                cols[c] = pa.array(m_sorted[pos_c], pa.int64())
             else:
                 cols[c] = b[c]
         return pa.table(cols)

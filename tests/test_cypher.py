@@ -517,8 +517,6 @@ def test_varlen_requires_bounds(ray_session):
     gf, edges, verts = _gf()
     with pytest.raises(NotImplementedError):
         cypher(gf, "MATCH (a)-[*1..]->(b) RETURN a, b")
-    with pytest.raises(NotImplementedError):
-        cypher(gf, "MATCH (a)-[*0..2]->(b) RETURN a, b")
     # named bindings are supported (min-hops); a second bind of the
     # same name is still rejected
     with pytest.raises(SyntaxError):
@@ -1232,3 +1230,58 @@ def test_scalar_where_and_empty_aggregates(ray_session):
     got = cypher(gf, "MATCH (a)-[e]->(b) WHERE e.t > 1000000 "
                      "RETURN sum(e.t) AS s, count(*) AS c").take_all()
     assert got == [{"s": 0, "c": 0}]
+
+
+# ------------------------------------------ round-5: zero-length paths
+
+def test_varlen_zero_length_reachability(ray_session):
+    """[*0..2]: one identity pair per vertex (0 hops, vertices table is
+    the universe) plus the 1..2-hop closure."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*0..2]->(b) RETURN a, count(*) AS n_reach",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT vid AS a, vid AS b, 0 AS k FROM v "
+           "      UNION SELECT r.a, x.dst, r.k+1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 2), "
+           "pairs AS (SELECT DISTINCT a, b FROM r) "
+           "SELECT a, count(*) AS n_reach FROM pairs GROUP BY a")
+
+
+def test_varlen_zero_only_identity(ray_session):
+    """[*0..0] = pure identity: every vertex maps to itself only."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*0..0]->(b) RETURN a, b",
+           "SELECT vid AS a, vid AS b FROM v")
+
+
+def test_varlen_zero_hops_column(ray_session):
+    """[r*0..2]: length(r) = min hops, 0 on the identity rows."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[r*0..2]->(b) RETURN a, b, length(r) AS hops",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT vid AS a, vid AS b, 0 AS k FROM v "
+           "      UNION SELECT r.a, x.dst, r.k+1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 2) "
+           "SELECT a, b, MIN(k) AS hops FROM r GROUP BY 1, 2")
+
+
+def test_varlen_zero_start_filter(ray_session):
+    """Path-start WHERE applies to the identity rows too."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*0..1]->(b) WHERE a < 5 RETURN a, b",
+           "WITH base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT vid AS a, vid AS b FROM v "
+           "      UNION SELECT src, dst FROM base) "
+           "SELECT a, b FROM r WHERE a < 5")
+
+
+def test_varlen_zero_cycle(ray_session):
+    """(a)-[*0..2]->(a): identity makes every vertex a trivial cycle."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*0..2]->(a) RETURN count(*) AS n",
+           "SELECT count(*) AS n FROM v")

@@ -212,3 +212,49 @@ def test_import_graph_gid_alignment(ray_session):
     c = mk(["p"], [0], [0], ["t4"])
     m2 = import_graph(a, c)
     assert m2.n == 4 and m2.vertices["gid"].to_pylist()[-1] == "p"
+
+
+def test_import_graph_non_dense_vertices(ray_session):
+    """round-5 (ADVICE r4): both vertices tables NON-dense (vid != row,
+    gaps, out-of-order) — resolution must go through the vid columns, and
+    new vids must not collide with existing sparse vids."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.sources.loaders import import_graph
+
+    def mk(vids, gids, src, dst, n):
+        verts = pa.table({
+            "vid": pa.array(vids, pa.int64()),
+            "gid": pa.array(gids),
+            "node_type": pa.array(["t"] * len(gids))})
+        edges = pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "t": pa.array(range(len(src)), pa.int64()),
+            "event_id": pa.array(range(len(src)), pa.int64())})
+        return GraphFrame(rd.from_arrow(edges), n, verts)
+
+    # dst: sparse vids {7, 2, 9} (out of order, gaps), n=10
+    a = mk([7, 2, 9], ["x", "y", "z"], [7, 2], [2, 9], 10)
+    # src: sparse vids {5, 1}; 'y' overlaps, edges use the sparse vids
+    b = mk([5, 1], ["y", "w"], [5, 1], [1, 5], 6)
+    m = import_graph(a, b, force=True)
+    # new vid for 'w' starts past max(dst vid)=9 AND dst.n=10 -> 10
+    gids = m.vertices["gid"].to_pylist()
+    vids = m.vertices["vid"].to_pylist()
+    assert gids == ["x", "y", "z", "w"]
+    assert vids == [7, 2, 9, 10]
+    assert m.n == 11
+    e = pa.concat_tables(ray.get(m.edges.to_arrow_refs()))
+    pairs = sorted(zip(e["src"].to_pylist(), e["dst"].to_pylist()))
+    # a: x(7)→y(2), y(2)→z(9); b: y→w = 2→10, w→y = 10→2
+    assert pairs == [(2, 9), (2, 10), (7, 2), (10, 2)]
+    # an edge endpoint missing from src's vertices raises, not rewires
+    bad = mk([5], ["q"], [5, 4], [5, 5], 6)
+    with pytest.raises((ValueError, Exception)):
+        pa.concat_tables(ray.get(
+            import_graph(a, bad, force=True).edges.to_arrow_refs()))

@@ -37,3 +37,49 @@ def test_index_build_and_reuse(ray_session):
     assert a["doc_id"].to_pylist() == [1] and a["score"].to_pylist() == [1]
     b = search(idx, ["absent_token"], "and")
     assert b.num_rows == 0
+
+
+def test_bm25_matches_local_formula(ray_session):
+    """round-5 BM25 (Lucene/tantivy formula): distributed result equals a
+    local numpy reimplementation; rare terms outrank common ones at equal
+    tf; dl normalization penalizes long docs."""
+    import math
+    import ray.data as rd
+    texts = [
+        "data query engine",                      # short, both terms
+        "data " * 30 + "query",                   # long, tf-heavy on data
+        "data pipeline tooling stack",            # only 'data'
+        "query planner",                          # only 'query'
+        "unrelated text entirely here",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(3)
+    from raphtory_ray.data.search import search_documents
+    got = search_documents(ds, ["data", "query"], "and",
+                           scoring="bm25").to_pandas()
+    # local oracle
+    toks = [t.lower().split() for t in texts]
+    dls = [len(t) for t in toks]
+    n, avgdl = len(texts), sum(dls) / len(texts)
+    k1, b = 1.2, 0.75
+
+    def bm25(doc):
+        s = 0.0
+        for term in ("data", "query"):
+            tf = toks[doc].count(term)
+            if tf == 0:
+                return None
+            df = sum(1 for t in toks if term in t)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[doc] / avgdl))
+        return s
+    want = {d: bm25(d) for d in range(5) if bm25(d) is not None}
+    assert set(got["doc_id"]) == set(want)
+    for _, r in got.iterrows():
+        assert abs(r["score"] - want[r["doc_id"]]) < 1e-12
+    # or-mode includes single-term docs; quantized column name
+    got_or = search_documents(ds, ["data", "query"], "or",
+                              scoring="bm25", quantize=1e6).to_pandas()
+    assert set(got_or["doc_id"]) == {0, 1, 2, 3}
+    assert "score_q" in got_or.columns

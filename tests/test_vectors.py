@@ -258,3 +258,57 @@ def test_pca_fit_transform_invariants(ray_session):
     want = (Xd - model["mean"]) @ w
     order = np.argsort(tbl["vec_id"].to_numpy())
     assert np.allclose(Y, want[order], atol=1e-9)
+
+
+def test_vectorise_second_run_zero_model_calls(ray_session, tmp_path):
+    """round-5 (VERDICT r4 #8): with cache_dir set, a SECOND vectorise()
+    over the same graph performs ZERO model calls — every document hits
+    the sha256-keyed parquet memo; embeddings identical."""
+    import ray.data as rd
+    from raphtory_ray.graph.graph_frame import GraphFrame
+    from raphtory_ray.data.vectors import vectorise
+    n = 12
+    edges = pa.table({"src": pa.array([0, 1, 2, 5], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 6], pa.int64()),
+                      "t": pa.array([1, 2, 3, 4], pa.int64()),
+                      "event_id": pa.array([1, 2, 3, 4], pa.int64())})
+    verts = pa.table({
+        "vid": pa.array(range(n), pa.int64()),
+        "gid": pa.array([f"g{i}" for i in range(n)]),
+        "node_type": pa.array(["t"] * n)})
+    gf = GraphFrame(rd.from_arrow(edges), n, verts)
+    log = str(tmp_path / "m.log")
+    cache = str(tmp_path / "cache")
+
+    class CountingModel:
+        def __init__(self, log=None, dim=8):
+            self.dim, self.log = dim, log
+
+        def __call__(self, texts):
+            with open(self.log, "a") as f:
+                f.write(f"call {len(texts)}\n")
+            out = np.zeros((len(texts), self.dim))
+            for i, t in enumerate(texts):
+                out[i, len(t) % self.dim] = 1.0
+            return out
+
+    def run():
+        vg = vectorise(gf, embed=CountingModel,
+                       embed_kwargs={"log": log, "dim": 8},
+                       concurrency=(1, 1), cache_dir=cache)
+        nd = vg.node_docs.to_pandas().sort_values("vec_id")
+        ed = vg.edge_docs.to_pandas().sort_values("vec_id")
+        return nd, ed
+
+    nd1, ed1 = run()
+    calls1 = sum(int(l.split()[1]) for l in open(log).read().splitlines())
+    assert calls1 == n + 4          # every doc embedded once
+    nd2, ed2 = run()
+    calls2 = sum(int(l.split()[1]) for l in open(log).read().splitlines())
+    assert calls2 == calls1         # second run: ZERO new model calls
+    np.testing.assert_array_equal(
+        np.stack(nd1["embedding"].to_numpy()),
+        np.stack(nd2["embedding"].to_numpy()))
+    np.testing.assert_array_equal(
+        np.stack(ed1["embedding"].to_numpy()),
+        np.stack(ed2["embedding"].to_numpy()))
