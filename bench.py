@@ -278,8 +278,9 @@ def run_scaling_single(num_cpus: int) -> dict:
     # halves the bandwidth-bound per-edge streams; global sums/convergence
     # stay f64; conformance paths elsewhere run the f64 default)
     dtype = os.environ.get("RA_DTYPE", "float32")
+    tile_shift = int(os.environ.get("RA_TILE_SHIFT", "18"))
     eng = ShardedPageRank.from_bsp(g, num_workers=min(num_cpus, RA_BLOCKS),
-                                   dtype=dtype)
+                                   dtype=dtype, tile_shift=tile_shift)
     init_s = time.perf_counter() - t0
 
     gather_mode = os.environ.get("RA_GATHER", "central")
