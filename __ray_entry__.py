@@ -973,12 +973,12 @@ def _q_user_exclude_layer(sf_dir: str) -> pa.Table:
         rename, batch_format="pyarrow", zero_copy_batch=True)
     gf = GraphFrame(edges, n=user_vertex_count(sf_dir))
     sub = gf.exclude_layer(["click", "view"])
-    t = pa.concat_tables(
-        sub.edges.select_columns(["src", "dst"])
-        .iter_batches(batch_format="pyarrow"))
-    import pandas as pd
-    df = t.to_pandas().drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # distinct runs DISTRIBUTED before the pull (round 5 — the query
+    # contract materializes the RESULT, not the event list)
+    from raphtory_ray.query.cypher import _distinct
+    dd = _distinct(sub.edges.select_columns(["src", "dst"]),
+                   ["src", "dst"])
+    return pa.concat_tables(dd.iter_batches(batch_format="pyarrow"))
 
 
 def _q_user_balance(sf_dir: str) -> pa.Table:
@@ -1104,15 +1104,19 @@ def _q_user_props_sum(sf_dir: str) -> pa.Table:
     n = user_vertex_count(sf_dir)
     gf = GraphFrame(user_edges(sf_dir, keep_props=True), n)
     gf2 = gf.filter_exploded_edges(Prop("pk") > 50)
-    tot = np.zeros(n, np.int64)
-    for b in gf2.edges.select_columns(["dst", "pk"]).iter_batches(
-            batch_format="pyarrow"):
-        if b.num_rows:
-            np.add.at(tot, b["dst"].to_numpy(zero_copy_only=False),
-                      b["pk"].to_numpy(zero_copy_only=False))
-    vids = np.flatnonzero(tot > 0)
-    return pa.table({"vid": pa.array(vids, pa.int64()),
-                     "pk_sum": pa.array(tot[vids], pa.int64())})
+    # distributed combiner groupby-sum (round 5): the driver receives one
+    # row per contributing vertex, not the event stream
+    from raphtory_ray.query.cypher import _hash_group_agg
+    agg = _hash_group_agg(gf2.edges.select_columns(["dst", "pk"]),
+                          ["dst"], "pk", "sum", "pk_sum")
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    vids = t["dst"].to_numpy(zero_copy_only=False)
+    sums = t["pk"].to_numpy(zero_copy_only=False) \
+        if "pk" in t.column_names else \
+        t["pk_sum"].to_numpy(zero_copy_only=False)
+    o = np.argsort(vids)
+    return pa.table({"vid": pa.array(vids[o], pa.int64()),
+                     "pk_sum": pa.array(sums[o], pa.int64())})
 
 
 def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
@@ -1122,13 +1126,19 @@ def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
     from raphtory_ray.graph.filter import Prop
     from raphtory_ray.pipelines.tpch_graph import user_graph
     gf = user_graph(sf_dir).filter_edges(Prop("w") > 50.0, "latest")
-    t = pa.concat_tables(
-        gf.edges.select_columns(["src", "dst"])
-        .iter_batches(batch_format="pyarrow"))
-    import pandas as pd
-    df = t.to_pandas().groupby(["src", "dst"]).size().reset_index(
-        name="n_events")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # distributed group-count (round 5): one row per surviving simple
+    # edge reaches the driver, not the event stream
+    from raphtory_ray.query.cypher import _hash_group_agg
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64)))
+
+    agg = _hash_group_agg(
+        gf.edges.select_columns(["src", "dst"]).map_batches(
+            ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], "one", "sum", "n_events")
+    return pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
 
 
 def _q_user_node_filter(sf_dir: str) -> pa.Table:
@@ -1145,12 +1155,10 @@ def _q_user_node_filter(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet", time_col="ts", id_col="user_id",
         node_type_col="event_type", event_id_col="event_id", gf=gf)
     sub = nf.filter_nodes(Field("node_type") == "purchase")
-    t = pa.concat_tables(
-        sub.edges.select_columns(["src", "dst"])
-        .iter_batches(batch_format="pyarrow"))
-    import pandas as pd
-    df = t.to_pandas().drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    from raphtory_ray.query.cypher import _distinct
+    dd = _distinct(sub.edges.select_columns(["src", "dst"]),
+                   ["src", "dst"])
+    return pa.concat_tables(dd.iter_batches(batch_format="pyarrow"))
 
 
 # ------------------------------------------------------- persistent graph

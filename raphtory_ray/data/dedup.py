@@ -372,7 +372,9 @@ def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
     bp = [_band_pairs_route.options(num_returns=P + 1)
           .remote(P, max_bucket, *[bpiece(r, q) for r in bs])
           for q in range(P)]
-    dropped = int(sum(ray.get([row[P] for row in bp])))
+    dropped_refs = [row[P] for row in bp]   # collected AFTER submission —
+    # a ray.get here would barrier the driver before the doc split /
+    # attach waves are even submitted (measured ~1s at sf0.1)
     doc_blocks = (ds.select_columns(["doc_id", "text"])
                   .materialize().to_arrow_refs())
     dp = [_doc_split.options(num_returns=P if P > 1 else 1).remote(b, P)
@@ -389,7 +391,7 @@ def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
     verified = [_jaccard_verify_part.remote(
         k, threshold, *[piece(attach[q2], q) for q2 in range(P)])
         for q in range(P)]
-    return verified, dropped
+    return verified, int(sum(ray.get(dropped_refs)))
 
 
 def union_find_clusters(pairs_a: np.ndarray, pairs_b: np.ndarray,
@@ -589,6 +591,7 @@ def minhash_lsh_dedup(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     touched-id → label map is broadcast). ``stats``, if given, receives
     ``lsh_dropped_candidates`` — the member count truncated from degenerate
     buckets by ``max_bucket`` (also logged; never silent)."""
+    ds = ds.select_columns(["doc_id", "text"])   # prune at the read
     sig = ds.map_batches(MinHashStage, fn_constructor_kwargs={
         "num_perm": num_perm, "k": k}, batch_format="pyarrow",
         zero_copy_batch=True, concurrency=_stage_pool())

@@ -648,14 +648,24 @@ class BspGraph:
                 break
         return prev, it, times
 
+    # wcc crosses to the sharded path much later than lpa: the task path's
+    # driver-side pointer doubling collapses round count to ~log(diameter),
+    # which beats the owned-delta engine's hop-by-hop propagation until the
+    # per-round O(V) driver ray.put itself dominates (measured at sf0.1:
+    # task 0.048 s vs owned-delta 0.09 s; the O(V) broadcast turns
+    # prohibitive around 10^7+ vertices / 5M+ edges)
+    _SHARDED_WCC_EDGE_THRESHOLD = 5_000_000
+
     def wcc(self, engine: str = "auto") -> np.ndarray:
         """Hash-min label propagation; label = min vid in component
-        (connected_components.rs contract). Above _SHARDED_EDGE_THRESHOLD
-        edges (engine="auto") the rounds run on the actor-sharded
-        owned-slice sparse-delta path (sharded_algos.wcc_owned — identical
-        labels, parity-tested); small graphs use the task rounds with
-        driver-side pointer doubling below."""
-        if engine == "auto" and self.num_edges >= self._SHARDED_EDGE_THRESHOLD:
+        (connected_components.rs contract). Above
+        _SHARDED_WCC_EDGE_THRESHOLD edges (engine="auto") the rounds run
+        on the actor-sharded owned-slice sparse-delta path
+        (sharded_algos.wcc_owned — identical labels, parity-tested);
+        smaller graphs use the task rounds with driver-side pointer
+        doubling below (fewer rounds: ~log diameter)."""
+        if engine == "auto" \
+                and self.num_edges >= self._SHARDED_WCC_EDGE_THRESHOLD:
             return self.sharded().wcc_owned()
         label = np.arange(self.n, dtype=np.int64)
         while True:

@@ -154,8 +154,10 @@ def test_owned_delta_engine_reusable_and_isolated_vertices(ray_session):
 
 
 def test_bspgraph_auto_routes_large_graph_to_sharded(ray_session):
-    """Above _SHARDED_EDGE_THRESHOLD edges lpa/wcc run through the
-    owned-delta actor engine, with labels identical to the task path."""
+    """Above _SHARDED_EDGE_THRESHOLD edges lpa runs through the
+    owned-delta actor engine with labels identical to the task path;
+    wcc keeps the pointer-doubling task path until its own (much higher)
+    threshold — the round-5 measured crossover."""
     from raphtory_ray.state.shards import BspGraph
     rng = np.random.default_rng(3)
     n = 9000
@@ -164,11 +166,14 @@ def test_bspgraph_auto_routes_large_graph_to_sharded(ray_session):
     g = BspGraph.from_arrays(src, dst, n, num_blocks=6)
     if g.num_edges < BspGraph._SHARDED_EDGE_THRESHOLD:
         pytest.skip("dedup dropped below threshold")
-    want = g.wcc(engine="task")
-    got = g.wcc()                          # auto -> sharded
-    assert g._sharded is not None
-    assert np.array_equal(got, want)
+    assert g.num_edges < BspGraph._SHARDED_WCC_EDGE_THRESHOLD
     want_l, _ = g.lpa(iter_count=4, until_converged=False, engine="task")
-    got_l, _ = g.lpa(iter_count=4, until_converged=False)
+    got_l, _ = g.lpa(iter_count=4, until_converged=False)  # auto->sharded
+    assert g._sharded is not None
     assert np.array_equal(got_l, want_l)
+    # wcc below its threshold stays on the task path but the sharded
+    # engine gives identical labels
+    want = g.wcc()
+    got = g.sharded().wcc_owned()
+    assert np.array_equal(got, want)
     g._sharded.shutdown()
