@@ -654,6 +654,19 @@ def _q_cypher_cartesian(sf_dir: str):
                   "RETURN a, b, c, d")
 
 
+def _q_cypher_percentiles(sf_dir: str):
+    """percentileCont / percentileDisc aggregates (round 5; Neo4j §
+    aggregating functions): per-source median (linear interpolation —
+    exact midpoints of integers, so bit-stable) and nearest-rank p90 of
+    the event ids; oracle pins the nearest-rank convention explicitly
+    with ROW_NUMBER rather than relying on quantile_disc."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[e]->(b) RETURN a AS src, "
+                  "percentileCont(e.event_id, 0.5) AS med_event, "
+                  "percentileDisc(e.event_id, 0.9) AS p90_event")
+
+
 def _q_cypher_with_hubs(sf_dir: str):
     """WITH pipeline (round 4): implicit-group aggregate, HAVING-like
     WHERE, then a second MATCH joined on the carried node variable."""
@@ -1212,6 +1225,16 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
     from raphtory_ray.data.search import search_documents
     return search_documents(_docs(sf_dir), ["data", "query"], "and",
                             scoring="bm25", quantize=1e6)
+
+
+def _q_doc_fuzzy_search(sf_dir: str) -> pa.Table:
+    """Index-level fuzzy term search (round 5; the reference's tantivy
+    FuzzyTermQuery surface): docs matching BOTH query terms through any
+    indexed token within edit distance 1; per-(doc, query-term) variant
+    hits collapse to summed tf. Oracle = DuckDB levenshtein()."""
+    from raphtory_ray.data.search import search_documents
+    return search_documents(_docs(sf_dir), ["data", "query"], "and",
+                            fuzzy=1)
 
 
 def _q_user_dijkstra(sf_dir: str) -> pa.Table:
@@ -2134,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_varlen_hops": _q_cypher_varlen_hops,
         "cypher_varlen_zero": _q_cypher_varlen_zero,
         "cypher_cartesian": _q_cypher_cartesian,
+        "cypher_percentiles": _q_cypher_percentiles,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "cypher_isnull_antijoin": _q_cypher_isnull,
@@ -2203,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_search": _q_doc_text_search,
+        "doc_fuzzy_search": _q_doc_fuzzy_search,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_knn_bruteforce": _q_knn_bruteforce,
@@ -3703,6 +3728,25 @@ r AS (
 pairs AS (SELECT DISTINCT a, b FROM r)
 SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
 """,
+        "cypher_percentiles": f"""
+WITH {_USER_EDGES},
+ranked AS (
+  SELECT src, event_id,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS n
+  FROM user_edges
+),
+med AS (
+  SELECT src, quantile_cont(event_id, 0.5) AS med_event
+  FROM user_edges GROUP BY src
+),
+p90 AS (
+  SELECT src, event_id::DOUBLE AS p90_event FROM ranked
+  WHERE rn = GREATEST(CEIL(0.9 * n), 1)
+)
+SELECT med.src AS src, med.med_event, p90.p90_event
+FROM med JOIN p90 USING (src)
+""",
         "cypher_cartesian": f"""
 WITH {_USER_EDGES},
 e1 AS (SELECT src, dst FROM user_edges WHERE w > 280.0),
@@ -4513,6 +4557,25 @@ WITH pos AS (
 SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
        min(wmin) AS min_fingerprint
 FROM fps GROUP BY doc_id
+""",
+        "doc_fuzzy_search": """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(str_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok
+),
+m AS (
+  SELECT tf.doc_id, q.term, SUM(tf.tf)::BIGINT AS tf
+  FROM tf JOIN (VALUES ('data'), ('query')) q(term)
+    ON levenshtein(tf.tok, q.term) <= 1
+  GROUP BY tf.doc_id, q.term
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS score
+FROM m GROUP BY doc_id HAVING COUNT(*) = 2
 """,
         "doc_text_search": """
 WITH toks AS (

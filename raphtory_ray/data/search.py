@@ -70,9 +70,67 @@ def doc_length_stats(postings):
     return dl, n, (total / n) if n else 0.0
 
 
+def levenshtein(a: str, bstr: str, cap: int) -> int:
+    """Edit distance with early cutoff: returns cap+1 as soon as the
+    distance provably exceeds ``cap`` (banded DP row minimum)."""
+    la, lb = len(a), len(bstr)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != bstr[j - 1]))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def _fuzzy_prune(bt: pa.Table, qterms: list, fuzzy: int) -> pa.Table:
+    """Keep postings whose token is within edit distance ``fuzzy`` of any
+    query term; one output row per matched (posting, query term) with the
+    matched term index in ``qterm``. Distance runs once per DISTINCT
+    token in the block (dictionary-encoded), never per row."""
+    dd = pc.dictionary_encode(bt["token"].combine_chunks())
+    codes = dd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    matched: dict[int, list] = {}
+    for code, tok in enumerate(dd.dictionary.to_pylist()):
+        qs = [qi for qi, q in enumerate(qterms)
+              if levenshtein(tok, q, fuzzy) <= fuzzy]
+        if qs:
+            matched[code] = qs
+    if not matched:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64()),
+                         "qterm": pa.array([], pa.int64())})
+    mcodes = np.array(sorted(matched), np.int64)
+    counts = np.array([len(matched[c]) for c in mcodes], np.int64)
+    qflat = np.concatenate([np.asarray(matched[c], np.int64)
+                            for c in mcodes])
+    qoff = np.r_[0, np.cumsum(counts)]
+    pos = np.searchsorted(mcodes, codes)
+    pos_c = np.minimum(pos, len(mcodes) - 1)
+    ok = mcodes[pos_c] == codes
+    rows = np.flatnonzero(ok)
+    pc_rows = pos_c[rows]
+    rep = counts[pc_rows]
+    rep_rows = np.repeat(rows, rep)
+    starts = qoff[pc_rows]
+    offs = np.arange(int(rep.sum())) - np.repeat(np.cumsum(rep) - rep, rep)
+    qidx = qflat[np.repeat(starts, rep) + offs]
+    ids = bt["doc_id"].to_numpy(zero_copy_only=False)
+    tf = bt["tf"].to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": pa.array(ids[rep_rows], pa.int64()),
+                     "tf": pa.array(tf[rep_rows], pa.int64()),
+                     "qterm": pa.array(qidx, pa.int64())})
+
+
 def search(postings, terms, mode: str = "and", scoring: str = "tf",
            k1: float = 1.2, b: float = 0.75,
-           quantize: float | None = None) -> pa.Table:
+           quantize: float | None = None, fuzzy: int = 0) -> pa.Table:
     """Rank documents against ``terms`` over a postings Dataset. ``and``
     keeps docs containing EVERY term; ``or`` any.
 
@@ -87,10 +145,19 @@ def search(postings, terms, mode: str = "and", scoring: str = "tf",
     integer ``score_q`` grid for bit-stable cross-engine comparison."""
     assert mode in ("and", "or")
     assert scoring in ("tf", "bm25")
-    term_set = pa.array(sorted({t.lower() for t in terms}), pa.string())
+    qterms = sorted({t.lower() for t in terms})
+    term_set = pa.array(qterms, pa.string())
 
-    def prune(bt: pa.Table) -> pa.Table:
-        return bt.filter(pc.is_in(bt["token"], value_set=term_set))
+    if fuzzy > 0:
+        # fuzzy term matching (round 5 — the tantivy FuzzyTermQuery
+        # surface): a doc matches query term q through ANY indexed token
+        # within edit distance ``fuzzy``; variant hits collapse to one
+        # (doc, q) row with summed tf, so downstream n_terms / BM25 df
+        # semantics are per QUERY TERM exactly as in the exact path
+        prune = (lambda bt: _fuzzy_prune(bt, qterms, fuzzy))
+    else:
+        def prune(bt: pa.Table) -> pa.Table:
+            return bt.filter(pc.is_in(bt["token"], value_set=term_set))
 
     pruned = postings.map_batches(prune, batch_format="pyarrow",
                                   zero_copy_batch=True)
@@ -107,6 +174,24 @@ def search(postings, terms, mode: str = "and", scoring: str = "tf",
                          "n_terms": pa.array([], pa.int64()),
                          score_field: pa.array([], score_type)})
     t = pa.concat_tables(hits)
+    if fuzzy > 0:
+        # collapse variant hits to one (doc, query-term) row, summed tf,
+        # token column = the QUERY term — the rest of the pipeline then
+        # treats fuzzy exactly like the exact path
+        ids0 = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf0 = t["tf"].to_numpy(zero_copy_only=False)
+        qt0 = t["qterm"].to_numpy(zero_copy_only=False)
+        u0, inv0 = np.unique(ids0, return_inverse=True)
+        nq = len(qterms)
+        key = inv0 * np.int64(nq) + qt0
+        uk, inv2 = np.unique(key, return_inverse=True)
+        tf2 = np.zeros(len(uk), np.int64)
+        np.add.at(tf2, inv2, tf0)
+        t = pa.table({
+            "doc_id": pa.array(u0[uk // nq], pa.int64()),
+            "token": pa.array(np.asarray(qterms, object)[uk % nq],
+                              pa.string()),
+            "tf": pa.array(tf2, pa.int64())})
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     tf = t["tf"].to_numpy(zero_copy_only=False)
     uids, inv = np.unique(ids, return_inverse=True)
@@ -164,7 +249,8 @@ def search(postings, terms, mode: str = "and", scoring: str = "tf",
 def search_documents(ds, terms, mode: str = "and",
                      text_col: str = "text",
                      id_col: str = "doc_id", scoring: str = "tf",
-                     quantize: float | None = None) -> pa.Table:
+                     quantize: float | None = None,
+                     fuzzy: int = 0) -> pa.Table:
     """One-shot search (index built inline, streamed — nothing persists)."""
     return search(build_text_index(ds, text_col, id_col), terms, mode,
-                  scoring=scoring, quantize=quantize)
+                  scoring=scoring, quantize=quantize, fuzzy=fuzzy)

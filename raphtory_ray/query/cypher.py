@@ -1375,7 +1375,32 @@ def _out_name(it: ReturnItem) -> str:
 
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max", "collect",
-            "stdev", "stdevp"}
+            "stdev", "stdevp", "percentilecont", "percentiledisc"}
+
+_PCT_FNS = ("percentilecont", "percentiledisc")
+
+
+def _agg_input_expr(f):
+    """The VALUE expression an aggregate consumes. percentileCont/Disc
+    take (expr, p) — the column input is the first arg; p is extracted
+    separately by _pct_param."""
+    if f.name in _PCT_FNS:
+        if not isinstance(f.arg, list) or len(f.arg) != 2:
+            raise SyntaxError(f"{f.name}() takes (expression, percentile)")
+        return f.arg[0]
+    return f.arg
+
+
+def _pct_param(f) -> float:
+    from raphtory_ray.query.parser import Lit
+    if not isinstance(f.arg, list) or len(f.arg) != 2 \
+            or not isinstance(f.arg[1], Lit):
+        raise SyntaxError(f"{f.name}() needs a literal percentile")
+    p = float(f.arg[1].value)
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile {p} outside [0, 1]")
+    return p
+
 
 
 def _is_agg(e) -> bool:
@@ -1446,7 +1471,7 @@ def _project_and_finish(ds, q: Query, ctx: _Ctx,
     for i, it in enumerate(aggs):
         f: Func = it.expr
         if f.arg is not None:
-            agg_inputs.append((f"__agg{i}", f.arg))
+            agg_inputs.append((f"__agg{i}", _agg_input_expr(f)))
 
     fns = [(name, _compile_expr(e, ctx)) for name, e in proj + agg_inputs]
     # global aggregates need an explicit count column: Ray 2.49's
@@ -1687,7 +1712,7 @@ def _apply_with(ds, wc, ctx: _Ctx, hint: pa.Table):
     for i, it in enumerate(aggs):
         f: Func = it.expr
         if f.arg is not None:
-            agg_inputs.append((f"__agg{i}", f.arg))
+            agg_inputs.append((f"__agg{i}", _agg_input_expr(f)))
         new_cols.add(_out_name(it))
 
     fns = [(name, _compile_expr(e, ctx)) for name, e in proj + agg_inputs]
@@ -1788,7 +1813,8 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
         return rd.from_arrow(pa.table({_out_name(it):
                                        pa.array([n], pa.int64())}))
 
-    if any(it.expr.name == "collect" for it in aggs):
+    if any(it.expr.name in ("collect", "percentilecont", "percentiledisc")
+           for it in aggs):
         return _aggregate_with_collect(ds, aggs, key_names, phint)
 
     # stDev/stDevP decompose as (n, Σx, Σx²) — three Sum/Count combines
@@ -1904,10 +1930,13 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
     order makes results reproducible and oracle-checkable."""
     import ray.data as rd
     plan = []                           # (out_name, fn_name, in_col)
+    pct = {}                            # out_name -> percentile p
     for i, it in enumerate(aggs):
         f: Func = it.expr
         plan.append((_out_name(it), f.name,
                      None if f.arg is None else f"__agg{i}"))
+        if f.name in _PCT_FNS:
+            pct[_out_name(it)] = _pct_param(f)
     grouped = bool(key_names)
     if not grouped:
         ds = ds.map_batches(
@@ -1949,6 +1978,23 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
                     len(x) * (x * x).sum() - x.sum() ** 2, 0.0) / den)) \
                     if den > 0 else 0.0
                 cols[name] = pa.array([val], pa.float64())
+            elif fn in _PCT_FNS:
+                # Neo4j semantics: percentileCont = linear interpolation
+                # at rank p·(n−1); percentileDisc = nearest-rank (the
+                # smallest value with cumulative share ≥ p)
+                x = np.sort(pc.cast(pc.drop_null(v), pa.float64())
+                            .to_numpy(zero_copy_only=False))
+                if len(x) == 0:
+                    cols[name] = pa.array([None], pa.float64())
+                elif fn == "percentilecont":
+                    r = pct[name] * (len(x) - 1)
+                    lo, hi = int(np.floor(r)), int(np.ceil(r))
+                    cols[name] = pa.array(
+                        [float(x[lo] + (x[hi] - x[lo]) * (r - lo))],
+                        pa.float64())
+                else:
+                    idx = max(int(np.ceil(pct[name] * len(x))), 1) - 1
+                    cols[name] = pa.array([float(x[idx])], pa.float64())
             else:
                 raise NotImplementedError(f"aggregate {fn}()")
         return pa.table(cols)
@@ -1978,7 +2024,7 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
             cols[name] = pa.array([0], t)     # Cypher: sum of empty = 0
         elif fn in ("stdev", "stdevp"):
             cols[name] = pa.array([0.0], pa.float64())
-        elif fn == "avg":
+        elif fn == "avg" or fn in _PCT_FNS:
             cols[name] = pa.array([None], pa.float64())
         else:
             cols[name] = pa.array([None], t)
@@ -1993,7 +2039,7 @@ def _collect_empty(g: pa.Table, plan, key_names, grouped) -> pa.Table:
             cols[name] = pa.array([], pa.list_(t))
         elif fn == "count":
             cols[name] = pa.array([], pa.int64())
-        elif fn in ("avg", "stdev", "stdevp"):
+        elif fn in ("avg", "stdev", "stdevp") or fn in _PCT_FNS:
             cols[name] = pa.array([], pa.float64())
         else:
             cols[name] = pa.array([], t)

@@ -145,7 +145,7 @@ _KEYWORDS = {"match", "where", "return", "distinct", "as", "order", "by",
              "skip", "union", "all", "unwind", "in",
              "case", "when", "then", "else", "end"}
 _AGGS = {"count", "sum", "avg", "min", "max", "collect",
-         "stdev", "stdevp"}
+         "stdev", "stdevp", "percentilecont", "percentiledisc"}
 #: scalar (non-aggregate) functions the compiler evaluates per row — the
 #: reference transpiles any FunctionInvocation straight to DataFusion SQL
 #: (transpiler/mod.rs:1082), so this is the equivalent built-in set

@@ -1285,3 +1285,43 @@ def test_varlen_zero_cycle(ray_session):
     _check(gf, edges, verts,
            "MATCH (a)-[*0..2]->(a) RETURN count(*) AS n",
            "SELECT count(*) AS n FROM v")
+
+
+# --------------------------------------- round-5: percentile aggregates
+
+def test_percentile_cont_matches_duckdb(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, "
+           "percentileCont(e.event_id, 0.5) AS med",
+           "SELECT src AS a, quantile_cont(event_id, 0.5) AS med "
+           "FROM e GROUP BY src")
+
+
+def test_percentile_disc_nearest_rank(ray_session):
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, "
+           "percentileDisc(e.event_id, 0.75) AS p75",
+           "WITH ranked AS (SELECT src, event_id, "
+           "  ROW_NUMBER() OVER (PARTITION BY src ORDER BY event_id) rn, "
+           "  COUNT(*) OVER (PARTITION BY src) n FROM e) "
+           "SELECT src AS a, event_id::DOUBLE AS p75 FROM ranked "
+           "WHERE rn = GREATEST(CEIL(0.75 * n), 1)")
+
+
+def test_percentile_global_and_errors(ray_session):
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    t = _rows(cypher(gf, "MATCH (a)-[e]->(b) "
+                         "RETURN percentileCont(e.w, 0.0) AS p0, "
+                         "percentileCont(e.w, 1.0) AS p1"))
+    w = edges["w"].to_numpy()
+    vals = sorted(t[0])
+    assert abs(vals[0] - w.min()) < 1e-12
+    assert abs(vals[1] - w.max()) < 1e-12
+    with pytest.raises(ValueError):
+        cypher(gf, "MATCH (a)-[e]->(b) "
+                   "RETURN percentileCont(e.w, 1.5) AS x")
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH (a)-[e]->(b) RETURN percentileCont(e.w) AS x")

@@ -83,3 +83,39 @@ def test_bm25_matches_local_formula(ray_session):
                               scoring="bm25", quantize=1e6).to_pandas()
     assert set(got_or["doc_id"]) == {0, 1, 2, 3}
     assert "score_q" in got_or.columns
+
+
+def test_fuzzy_search_edit_distance(ray_session):
+    """round-5 fuzzy term matching: tokens within edit distance 1 match;
+    variant hits collapse per query term; AND still requires all terms."""
+    import ray.data as rd
+    texts = ["data query engine",        # exact both
+             "dta quary engine",         # both at distance 1
+             "dat entirely other",       # only 'data' (distance 1)
+             "completely unrelated"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(2)
+    from raphtory_ray.data.search import search_documents, levenshtein
+    assert levenshtein("data", "dta", 2) == 1
+    assert levenshtein("data", "query", 2) == 3   # capped at cap+1
+    exact = search_documents(ds, ["data", "query"], "and").to_pandas()
+    assert set(exact["doc_id"]) == {0}
+    fz = search_documents(ds, ["data", "query"], "and",
+                          fuzzy=1).to_pandas()
+    assert set(fz["doc_id"]) == {0, 1}
+    fz_or = search_documents(ds, ["data", "query"], "or",
+                             fuzzy=1).to_pandas()
+    assert set(fz_or["doc_id"]) == {0, 1, 2}
+    # variant collapse: doc with 'data' AND 'dta' counts ONE term, tf=2
+    tbl2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["data dta"])})
+    fz2 = search_documents(rd.from_arrow(tbl2), ["data"], "and",
+                           fuzzy=1).to_pandas()
+    assert fz2["n_terms"].tolist() == [1]
+    assert fz2["score"].tolist() == [2]
+    # fuzzy BM25 runs end to end
+    fzb = search_documents(ds, ["data"], "or", scoring="bm25",
+                           fuzzy=1).to_pandas()
+    assert set(fzb["doc_id"]) == {0, 1, 2}
+    assert (fzb["score"] > 0).all()
