@@ -654,6 +654,17 @@ def _q_cypher_cartesian(sf_dir: str):
                   "RETURN a, b, c, d")
 
 
+def _q_cypher_varlen_unbounded(sf_dir: str):
+    """Unbounded variable-length reachability [*1..] (round 5): full
+    transitive closure via the partitioned BFS fixpoint (seen-pair state
+    hash-partitioned in the object store, per-level joins touch only the
+    new frontier) — gated against an unbounded recursive CTE."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH (a)-[*1..]->(b) "
+                  "RETURN a AS src, count(*) AS n_reach")
+
+
 def _q_cypher_percentiles(sf_dir: str):
     """percentileCont / percentileDisc aggregates (round 5; Neo4j §
     aggregating functions): per-source median (linear interpolation —
@@ -2158,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_varlen_zero": _q_cypher_varlen_zero,
         "cypher_cartesian": _q_cypher_cartesian,
         "cypher_percentiles": _q_cypher_percentiles,
+        "cypher_varlen_unbounded": _q_cypher_varlen_unbounded,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "cypher_isnull_antijoin": _q_cypher_isnull,
@@ -3727,6 +3739,16 @@ r AS (
 ),
 pairs AS (SELECT DISTINCT a, b FROM r)
 SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM pairs GROUP BY a
+""",
+        "cypher_varlen_unbounded": f"""
+WITH RECURSIVE {_USER_EDGES},
+base AS (SELECT DISTINCT src, dst FROM user_edges),
+r AS (
+  SELECT src AS a, dst AS b FROM base
+  UNION
+  SELECT r.a, x.dst FROM r JOIN base x ON r.b = x.src
+)
+SELECT a AS src, COUNT(*)::BIGINT AS n_reach FROM r GROUP BY a
 """,
         "cypher_percentiles": f"""
 WITH {_USER_EDGES},

@@ -827,6 +827,109 @@ def _node_filters(npat, var: str, ctx: _Ctx) -> list:
     return terms
 
 
+
+
+def _pair_key64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a * np.int64(2**31) + b     # vids < 2^31 by engine contract
+
+
+@ray.remote(num_returns=1)
+def _closure_seed(sv: str, inner: str, *pieces: pa.Table) -> pa.Table:
+    """One seen-partition: distinct level-1 pairs landing here."""
+    good = [t for t in pieces if t.num_rows]
+    empty = pa.table({sv: pa.array([], pa.int64()),
+                      inner: pa.array([], pa.int64())})
+    if not good:
+        return empty
+    t = pa.concat_tables(good).select([sv, inner])
+    a = t[sv].to_numpy(zero_copy_only=False)
+    b = t[inner].to_numpy(zero_copy_only=False)
+    _, idx = np.unique(_pair_key64(a, b), return_index=True)
+    return t.take(pa.array(np.sort(idx)))
+
+
+@ray.remote(num_returns=3)
+def _closure_diff(seen: pa.Table, sv: str, inner: str, *pieces: pa.Table):
+    """One seen-partition level step: (new_seen, new_pairs, new_count).
+    Candidates minus seen via sorted pair-key searchsorted; seen is
+    functionally extended (the old object stays immutable in plasma)."""
+    good = [t for t in pieces if t.num_rows]
+    empty = pa.table({sv: pa.array([], pa.int64()),
+                      inner: pa.array([], pa.int64())})
+    if not good:
+        return seen, empty, 0
+    t = pa.concat_tables(good).select([sv, inner])
+    a = t[sv].to_numpy(zero_copy_only=False)
+    b = t[inner].to_numpy(zero_copy_only=False)
+    key, idx = np.unique(_pair_key64(a, b), return_index=True)
+    sa = seen[sv].to_numpy(zero_copy_only=False)
+    sb = seen[inner].to_numpy(zero_copy_only=False)
+    skey = np.sort(_pair_key64(sa, sb))
+    if len(skey):
+        pos = np.minimum(np.searchsorted(skey, key), len(skey) - 1)
+        fresh = skey[pos] != key
+    else:
+        fresh = np.ones(len(key), bool)
+    if not fresh.any():
+        return seen, empty, 0
+    new = t.take(pa.array(np.sort(idx[fresh])))
+    return pa.concat_tables([seen, new]), new, new.num_rows
+
+
+def _closure_levels(base, frontier, sv: str, inner: str, mid: str,
+                    start_k: int, P, lhint, rhint, jhint, tag, ren) -> list:
+    """BFS levels start_k+1.. of the unbounded reachability closure: the
+    frontier starts as the level-start_k WALK set (so [*lo..] keeps
+    Cypher walk semantics — a pair whose shortest walk is shorter than lo
+    still matches through a longer walk), each level extends only the
+    newly-discovered pairs, and the loop terminates when a level finds
+    none. Returns the tagged level Datasets."""
+    import ray.data as rd
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    P2 = max(1, min(16, cpus))
+
+    def piece(row, p):
+        return row[p] if P2 > 1 else row
+
+    fr = frontier.materialize()
+    fr_refs = [r for r, n in zip(fr.to_arrow_refs(), fr._block_num_rows())
+               if n]
+    routed = [_route.options(num_returns=P2 if P2 > 1 else 1)
+              .remote(r, [sv, inner], P2) for r in fr_refs]
+    seen = [_closure_seed.remote(sv, inner, *[piece(r, p) for r in routed])
+            for p in range(P2)]
+    levels = []
+    cur = fr
+    k = start_k
+    while True:
+        k += 1
+        if k > 100_000:                # backstop; seen is monotone, so
+            raise RuntimeError("varlen closure exceeded 100000 levels")
+        j = hash_join(ren(cur, inner, mid), ren(base, sv, mid),
+                      [mid], P, lhint, rhint)
+        cand = _distinct(j.union(rd.from_arrow(jhint)),
+                         [sv, inner]).materialize()
+        cand_refs = [r for r, n in zip(cand.to_arrow_refs(),
+                                       cand._block_num_rows()) if n]
+        if not cand_refs:
+            break
+        routed = [_route.options(num_returns=P2 if P2 > 1 else 1)
+                  .remote(r, [sv, inner], P2) for r in cand_refs]
+        outs = [_closure_diff.remote(seen[p], sv, inner,
+                                     *[piece(r, p) for r in routed])
+                for p in range(P2)]
+        seen = [o[0] for o in outs]
+        counts = ray.get([o[2] for o in outs])
+        if sum(counts) == 0:
+            break
+        new_refs = [o[1] for o, n in zip(outs, counts) if n]
+        cur = rd.from_arrow_refs(new_refs).materialize()
+        levels.append(tag(cur, k))
+    return levels
+
+
+
 def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
                 P: int | None):
     """``(sv)-[:L*lo..hi]->(dv)`` → Dataset of DISTINCT (sv, dv) pairs
@@ -864,14 +967,7 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
                 hopcol, pa.array(np.full(b.num_rows, _k), pa.int64()))
         return ds_.map_batches(f, batch_format="pyarrow",
                                zero_copy_batch=True)
-    if hi is None:
-        raise NotImplementedError(
-            "variable-length pattern needs a bounded upper length "
-            "(e.g. [*1..4]) — unbounded expansion is a fixpoint, use "
-            "algorithms.in/out_component for reachability closure")
-    if lo < 0:
-        raise SyntaxError(f"bad variable-length range *{lo}..{hi}")
-    if hi < lo:
+    if lo < 0 or (hi is not None and hi < lo):
         raise SyntaxError(f"bad variable-length range *{lo}..{hi}")
 
     inner = dv if dv != sv else ctx.fresh("v")
@@ -923,7 +1019,7 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
     if start_filtered:
         frontier, rest = _apply_where(base, pending, {sv}, ctx)
         pending[:] = rest              # consumed in place for the caller
-    if hi > 1:
+    if hi is None or hi > 1:
         base = base.materialize()      # reused by every expansion level
         frontier = frontier.materialize() if start_filtered else base
     levels = zero_levels + ([_tag(frontier, 1)] if lo <= 1 else [])
@@ -940,17 +1036,41 @@ def _varlen_hop(gf, ep, sv: str, dv: str, ctx: _Ctx, pending: list,
         return ds_.map_batches(f, batch_format="pyarrow",
                                zero_copy_batch=True)
 
+    jhint = lhint.join(rhint, keys=[mid], join_type="inner",
+                       coalesce_keys=True)
     cur = frontier
-    for k in range(2, hi + 1):
-        j = hash_join(_ren(cur, inner, mid), _ren(base, sv, mid),
-                      [mid], P, lhint, rhint)
-        cur = _distinct(j.union(rd.from_arrow(lhint.join(
-                   rhint, keys=[mid], join_type="inner",
-                   coalesce_keys=True))), [sv, inner])
-        if k >= lo:
-            if k < hi:
-                cur = cur.materialize()    # feeds both levels & next hop
-            levels.append(_tag(cur, k))
+    if hi is None:
+        # unbounded [*lo..] (round 5): walk-expand to the floor level lo
+        # (same per-level join as the bounded path — Cypher walk
+        # semantics), then BFS fixpoint to the reachability closure. The
+        # discovered-pair set lives PARTITIONED in the object store
+        # (hash(sv, inner) partitions, functionally updated per level);
+        # each closure level joins only the NEW frontier against the
+        # base, so total join work is O(closure), not O(levels × closure).
+        for k in range(2, lo + 1):
+            j = hash_join(_ren(cur, inner, mid), _ren(base, sv, mid),
+                          [mid], P, lhint, rhint)
+            cur = _distinct(j.union(rd.from_arrow(jhint)),
+                            [sv, inner]).materialize()
+        if lo > 1:
+            levels.append(_tag(cur, lo))
+        levels += _closure_levels(base, cur, sv, inner, mid, max(lo, 1),
+                                  P, lhint, rhint, jhint, _tag, _ren)
+        if not levels:                 # lo > reached depth: empty result
+            ehint = hint
+            if hopcol is not None:
+                ehint = ehint.append_column(hopcol,
+                                            pa.array([], pa.int64()))
+            levels = [rd.from_arrow(ehint)]
+    else:
+        for k in range(2, hi + 1):
+            j = hash_join(_ren(cur, inner, mid), _ren(base, sv, mid),
+                          [mid], P, lhint, rhint)
+            cur = _distinct(j.union(rd.from_arrow(jhint)), [sv, inner])
+            if k >= lo:
+                if k < hi:
+                    cur = cur.materialize()  # feeds both levels & next hop
+                levels.append(_tag(cur, k))
     if hopcol is not None:
         hint = hint.append_column(hopcol, pa.array([], pa.int64()))
     ds = levels[0]

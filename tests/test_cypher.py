@@ -512,13 +512,48 @@ def test_varlen_layer_filter(ray_session):
            "SELECT DISTINCT a, b FROM p")
 
 
-def test_varlen_requires_bounds(ray_session):
+def test_varlen_unbounded_closure(ray_session):
+    """[*1..] (round 5): full reachability closure via the partitioned
+    BFS fixpoint — equals the unbounded recursive CTE."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[*1..]->(b) RETURN a, count(*) AS n_reach",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT src AS a, dst AS b FROM base "
+           "      UNION SELECT r.a, x.dst FROM r "
+           "      JOIN base x ON r.b = x.src) "
+           "SELECT a, count(*) AS n_reach FROM r GROUP BY a")
+    # [*] is shorthand for [*1..]
+    _check(gf, edges, verts,
+           "MATCH (a)-[*]->(b) RETURN count(*) AS n",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT src AS a, dst AS b FROM base "
+           "      UNION SELECT r.a, x.dst FROM r "
+           "      JOIN base x ON r.b = x.src) "
+           "SELECT count(*) AS n FROM r")
+
+
+def test_varlen_unbounded_hops_and_floor(ray_session):
+    """[r*3..]: Cypher WALK semantics — a pair matches iff SOME walk of
+    length >= 3 reaches it (even when a shorter walk exists too);
+    length(r) = the minimum such walk length."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[r*3..]->(b) RETURN a, b, length(r) AS hops",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "w3 AS (SELECT DISTINCT b1.src AS a, b3.dst AS b FROM base b1 "
+           "       JOIN base b2 ON b1.dst = b2.src "
+           "       JOIN base b3 ON b2.dst = b3.src), "
+           "r AS (SELECT a, b, 3 AS k FROM w3 "
+           "      UNION SELECT r.a, x.dst, r.k + 1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 50) "
+           "SELECT a, b, MIN(k) AS hops FROM r GROUP BY a, b")
+
+
+def test_varlen_rebind_rejected(ray_session):
     from raphtory_ray.query import cypher
     gf, edges, verts = _gf()
-    with pytest.raises(NotImplementedError):
-        cypher(gf, "MATCH (a)-[*1..]->(b) RETURN a, b")
-    # named bindings are supported (min-hops); a second bind of the
-    # same name is still rejected
+    # a second bind of the same edge name is still rejected
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH (a)-[e*1..2]->(b), (b)-[e]->(c) RETURN a")
 
