@@ -2114,6 +2114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_windowed_layer_wcc": _q_user_windowed_layer_wcc,
         "user_layered_pagerank": _q_user_layered_pagerank,
         "user_windowed_pagerank": _q_user_windowed_pagerank,
+        # round-5 additions next, so the new operators get official
+        # CORRECTNESS rows inside the driver's 50-query window
+        "cypher_varlen_zero": _q_cypher_varlen_zero,
+        "cypher_varlen_unbounded": _q_cypher_varlen_unbounded,
+        "cypher_cartesian": _q_cypher_cartesian,
+        "cypher_percentiles": _q_cypher_percentiles,
         "copurchase_edge_dedup": _q_edge_dedup,
         "copurchase_out_degree": _q_out_degree,
         "copurchase_in_degree": _q_in_degree,
