@@ -117,6 +117,23 @@ class MinHashStage:
         })
 
 
+# Worker-process cache for the (a, b) permutation tables: MinHash state
+# is microseconds to build, so the stage runs as PLAIN TASKS over every
+# CPU (no actor-pool spin-up — measured ~1 s of the cold doc_minhash
+# bench at sf0.1) while Ray's long-lived worker processes still amortize
+# the table build exactly like an actor __init__ would.
+_MH_STAGES: dict = {}
+
+
+def _minhash_batch(b: pa.Table, num_perm: int, k: int,
+                   seed: int = 7) -> pa.Table:
+    key = (num_perm, k, seed)
+    st = _MH_STAGES.get(key)
+    if st is None:
+        st = _MH_STAGES[key] = MinHashStage(num_perm, k, seed)
+    return st(b)
+
+
 def _band_rows(sig_tbl: pa.Table, bands: int) -> pa.Table:
     """Explode signatures into (band_key, doc_id) rows; band_key = hash of
     the band slice (salted by band index) — the LSH bucket shuffle key."""
@@ -341,7 +358,8 @@ def _jaccard_verify_part(k: int, threshold: float, *pieces: pa.Table) -> pa.Tabl
 
 def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
                                 threshold: float, max_bucket: int = 2000,
-                                n_rows: int | None = None):
+                                n_rows: int | None = None,
+                                doc_refs: list | None = None):
     """Candidate generation + exact-Jaccard verify as a three-round
     explicit task shuffle (round-1 fix: no pair list, no {doc_id: text}
     dict, no per-pair loop on the driver; only the sparse verified pairs
@@ -375,8 +393,9 @@ def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
     dropped_refs = [row[P] for row in bp]   # collected AFTER submission —
     # a ray.get here would barrier the driver before the doc split /
     # attach waves are even submitted (measured ~1s at sf0.1)
-    doc_blocks = (ds.select_columns(["doc_id", "text"])
-                  .materialize().to_arrow_refs())
+    doc_blocks = doc_refs if doc_refs is not None else \
+        (ds.select_columns(["doc_id", "text"])
+         .materialize().to_arrow_refs())
     dp = [_doc_split.options(num_returns=P if P > 1 else 1).remote(b, P)
           for b in doc_blocks]
 
@@ -591,17 +610,19 @@ def minhash_lsh_dedup(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     touched-id → label map is broadcast). ``stats``, if given, receives
     ``lsh_dropped_candidates`` — the member count truncated from degenerate
     buckets by ``max_bucket`` (also logged; never silent)."""
-    ds = ds.select_columns(["doc_id", "text"])   # prune at the read
-    sig = ds.map_batches(MinHashStage, fn_constructor_kwargs={
-        "num_perm": num_perm, "k": k}, batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=_stage_pool())
+    # prune at the read and materialize ONCE: the signature stage, the
+    # verify text semi-join, and the final assign all reuse these blocks
+    ds = ds.select_columns(["doc_id", "text"]).materialize()
+    sig = ds.map_batches(
+        lambda b: _minhash_batch(b, num_perm, k),
+        batch_format="pyarrow", zero_copy_batch=True)
     bands_mat = sig.map_batches(
         lambda b: _band_rows(b, bands),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     band_refs = bands_mat.to_arrow_refs()
     pair_refs, dropped = _verify_jaccard_distributed(
         ds, band_refs, k, threshold, max_bucket=max_bucket,
-        n_rows=bands_mat.count())
+        n_rows=bands_mat.count(), doc_refs=ds.to_arrow_refs())
     _report_dropped("minhash_lsh_dedup", dropped, max_bucket, stats)
     return assign_clusters_from_refs(ds, "doc_id", pair_refs)
 
@@ -652,10 +673,14 @@ class SimHashStage:
                          "simhash": pa.array(fp, pa.uint64())})
 
 
+_SIMHASH_SINGLETON = SimHashStage()
+
+
 def simhash_signatures(ds, concurrency=None):
-    return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          concurrency=concurrency or _stage_pool())
+    # SimHashStage is stateless — plain tasks over the full CPU set;
+    # an actor pool would only add spin-up latency (see _minhash_batch)
+    return ds.map_batches(lambda b: _SIMHASH_SINGLETON(b),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
