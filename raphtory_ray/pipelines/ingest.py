@@ -366,6 +366,22 @@ class FusedIngestStage:
         return pa.Table.from_arrays(cols, schema=_UNION_SCHEMA)
 
 
+# Worker-process cache for the fused ingest kernel: its state (compiled
+# per-language import regexes + the hash stage) is milliseconds to build,
+# so the corpus pass runs as PLAIN TASKS over every CPU immediately —
+# round 5 measured the autoscaling actor pool's 8->30 ramp at ~1 s of the
+# 1.5 s sf0.1 fused pass (0.45 s as tasks). Ray's long-lived worker
+# processes amortize the state exactly like an actor __init__ would.
+_FUSED_CACHE: dict = {}
+
+
+def _fused_ingest_batch(b: pa.Table) -> pa.Table:
+    st = _FUSED_CACHE.get("fused")
+    if st is None:
+        st = _FUSED_CACHE["fused"] = FusedIngestStage()
+    return st(b)
+
+
 def repo_edges(edges_gid_ds) -> "rd.Dataset":
     """repo→repo rollup of the file→file gid edge events (north_star:
     "repo→repo and file→file dependency edges"): per-pair import-event
@@ -436,8 +452,8 @@ def load_graph(corpus_path: str,
     import pyarrow.compute as pc
 
     combined = read_corpus(corpus_path).map_batches(
-        FusedIngestStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_pool_size()).materialize()
+        _fused_ingest_batch, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
     refs = combined.to_arrow_refs()
 
     # both splits run as GROUPED plain task waves over the pinned union
