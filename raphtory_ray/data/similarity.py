@@ -26,32 +26,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _BlockTopK:
-    """Actor-pool stage holding the broadcast normalized query matrix."""
-
-    def __init__(self, q_ref, k: int):
-        self.q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(embedding_matrix(batch["embedding"]))
-        sims = self.q @ emb.T                      # (nq, rows)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        nq = sims.shape[0]
-        qi = np.repeat(np.arange(nq), k)
-        ni = part.reshape(-1)
-        return pa.table({
-            "query_id": pa.array(qi, pa.int64()),
-            "neighbor_id": pa.array(ids[ni], pa.int64()),
-            "cosine": pa.array(sims[qi, ni], pa.float64()),
-        })
-
-
-def _knn_pool() -> tuple:
-    from raphtory_ray.data import stage_pool
-    return stage_pool()
+def _block_topk(batch: pa.Table, q_ref, k0: int) -> pa.Table:
+    """Per-block partial top-k against the broadcast normalized query
+    matrix. Plain task (round 5): the only state is the ray.put query
+    matrix, resolved zero-copy per task — an actor pool added ~1 s of
+    spin-up to a sub-second stage."""
+    q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    emb = _normalize(embedding_matrix(batch["embedding"]))
+    sims = q @ emb.T                               # (nq, rows)
+    k = min(k0, sims.shape[1])
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    nq = sims.shape[0]
+    qi = np.repeat(np.arange(nq), k)
+    ni = part.reshape(-1)
+    return pa.table({
+        "query_id": pa.array(qi, pa.int64()),
+        "neighbor_id": pa.array(ids[ni], pa.int64()),
+        "cosine": pa.array(sims[qi, ni], pa.float64()),
+    })
 
 
 def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
@@ -64,9 +57,8 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
     partials = ds.map_batches(
-        _BlockTopK, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_knn_pool()).to_pandas()
+        lambda b: _block_topk(b, q_ref, k),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     # driver-side final combine: top-k of the per-block top-ks
     partials = partials.sort_values(
         ["query_id", "cosine", "neighbor_id"],

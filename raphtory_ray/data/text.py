@@ -443,10 +443,20 @@ def _stage_pool() -> tuple:
     return stage_pool()
 
 
+_LANGID_SINGLETON: dict = {}
+
+
 def language_id(ds, concurrency=None):
-    return ds.map_batches(LanguageId, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          concurrency=concurrency or _stage_pool())
+    # LanguageId's state (marker list) is trivial — plain tasks with a
+    # worker-process singleton beat an actor pool's spin-up (round 5,
+    # same reasoning as dedup._minhash_batch)
+    def f(b):
+        st = _LANGID_SINGLETON.get("l")
+        if st is None:
+            st = _LANGID_SINGLETON["l"] = LanguageId()
+        return st(b)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def fingerprints(ds, k: int = 8, window: int = 16):
