@@ -277,7 +277,7 @@ def _aggregate(u, v, w, self_w, k, com):
 # documented trade-off, same as the PageRank superstep state) but never a
 # driver-resident edge array above _LOCAL_HALF_EDGES.
 
-_LOCAL_HALF_EDGES = 1 << 19   # below this, driver-local vectorized passes
+_LOCAL_HALF_EDGES = 60_000   # below this, driver-local vectorized passes
                               # beat P task rounds per pass
 
 
@@ -333,12 +333,16 @@ def _half_edge_parts(gf, weight_col: str | None, tol: float, n: int):
     """Distributed event→half-edge reduction. Returns (edge_refs, self_w,
     k, total_half_edges); edges never land on the driver.
 
-    The move-partition count is sized to the data (~300k half-edges per
-    partition, capped at 32): each local-move pass is a synchronous task
-    round, so tiny partitions pay pure scheduling latency × passes."""
+    The move-partition count is sized to the data (~75k half-edges per
+    partition — round 5 re-measured the crossover: at 300k/partition the
+    pass tasks are compute-bound at 4-way parallelism, 2x slower than
+    16-way; below ~50k scheduling latency × passes dominates), capped at
+    the CPU count and 32."""
     latest = _latest_parts(gf, weight_col)
     directed = sum(ray.get([_lv_count.remote(r) for r in latest]))
-    P = int(max(2, min(32, -(-2 * directed // 300_000))))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = int(max(2, min(32, max(2, cpus - 2),
+                       -(-2 * directed // 75_000))))
     halves = [_lv_halve.options(num_returns=P + 1).remote(r, P, tol)
               for r in latest]
     Q = len(latest)
