@@ -1904,13 +1904,16 @@ def _aggregate(ds, q: Query, aggs: list, key_names: list, ctx: _Ctx,
     import ray.data as rd
 
     distinct_aggs = [it for it in aggs if it.expr.distinct]
+    if distinct_aggs and not (len(aggs) == 1
+                              and aggs[0].expr.name == "count"):
+        # DISTINCT inside any other aggregate (or mixed with others):
+        # per-group exact path — the group's values dedupe in-task
+        # before aggregating (round 5; Neo4j allows DISTINCT in every
+        # aggregating function). The lone count(DISTINCT) keeps its
+        # fully-distributed distinct+sum fast path below.
+        return _aggregate_with_collect(ds, aggs, key_names, phint)
     if distinct_aggs:
-        if len(aggs) > 1:
-            raise NotImplementedError(
-                "count(DISTINCT x) cannot mix with other aggregates")
         it = aggs[0]
-        if it.expr.name != "count":
-            raise NotImplementedError("DISTINCT only with count()")
         dcol = "__agg0"
         ds = _distinct(ds, key_names + [dcol])
         # openCypher/SQL count(DISTINCT x) EXCLUDES nulls; the distinct
@@ -2051,12 +2054,15 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
     import ray.data as rd
     plan = []                           # (out_name, fn_name, in_col)
     pct = {}                            # out_name -> percentile p
+    distinct_names = set()              # aggs with DISTINCT values
     for i, it in enumerate(aggs):
         f: Func = it.expr
         plan.append((_out_name(it), f.name,
                      None if f.arg is None else f"__agg{i}"))
         if f.name in _PCT_FNS:
             pct[_out_name(it)] = _pct_param(f)
+        if f.distinct:
+            distinct_names.add(_out_name(it))
     grouped = bool(key_names)
     if not grouped:
         ds = ds.map_batches(
@@ -2071,6 +2077,10 @@ def _aggregate_with_collect(ds, aggs: list, key_names: list,
         cols = {k: g[k].slice(0, 1) for k in key_names if grouped}
         for name, fn, col in plan:
             v = g[col].combine_chunks() if col is not None else None
+            if v is not None and name in distinct_names:
+                # DISTINCT: dedupe (nulls dropped — count(DISTINCT)
+                # excludes them; sum/avg/min/max ignore them anyway)
+                v = pc.unique(pc.drop_null(v))
             if fn == "collect":
                 vals = pc.array_sort_indices(pc.drop_null(v))
                 vals = pc.drop_null(v).take(vals)

@@ -1360,3 +1360,27 @@ def test_percentile_global_and_errors(ray_session):
                    "RETURN percentileCont(e.w, 1.5) AS x")
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH (a)-[e]->(b) RETURN percentileCont(e.w) AS x")
+
+
+def test_distinct_in_all_aggregates(ray_session):
+    """round-5: DISTINCT inside sum/avg/collect and mixed with other
+    aggregates (Neo4j allows DISTINCT in every aggregating function)."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, sum(DISTINCT b) AS sd, "
+           "count(e.t) AS n",
+           "SELECT src AS a, SUM(DISTINCT dst) AS sd, COUNT(t) AS n "
+           "FROM e GROUP BY src")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN avg(DISTINCT b) AS ad",
+           "SELECT AVG(DISTINCT dst) AS ad FROM e")
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, collect(DISTINCT b) AS nbrs",
+           "SELECT src AS a, list_sort(list(DISTINCT dst)) AS nbrs "
+           "FROM e GROUP BY src")
+    # count(DISTINCT) keeps its distributed fast path and mixes now too
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) RETURN a, count(DISTINCT b) AS nd, "
+           "max(e.w) AS mw",
+           "SELECT src AS a, COUNT(DISTINCT dst) AS nd, MAX(w) AS mw "
+           "FROM e GROUP BY src")
