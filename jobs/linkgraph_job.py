@@ -54,7 +54,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--algorithms", default="pagerank,wcc,lpa,triangles")
     ap.add_argument("--checkpoint", default=None,
-                    help="PageRank per-iteration lineage checkpoint dir")
+                    help="per-iteration lineage checkpoint dir (pagerank/wcc/lpa)")
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--num-blocks", type=int, default=None)
@@ -171,9 +171,17 @@ def main() -> None:
             _write_nodestate(d, ["pagerank"], [rank], g.n)
             metrics["iterations"] = int(iters)
         elif algo == "wcc":
-            _write_nodestate(d, ["component"], [g.wcc()], g.n)
+            wc = None
+            if args.checkpoint:
+                from raphtory_ray.pipelines.checkpoint import CheckpointManager
+                wc = CheckpointManager(os.path.join(args.checkpoint, "wcc"))
+            _write_nodestate(d, ["component"], [g.wcc(checkpoint=wc)], g.n)
         elif algo == "lpa":
-            labels, iters = g.lpa()
+            lc = None
+            if args.checkpoint:
+                from raphtory_ray.pipelines.checkpoint import CheckpointManager
+                lc = CheckpointManager(os.path.join(args.checkpoint, "lpa"))
+            labels, iters = g.lpa(checkpoint=lc)
             _write_nodestate(d, ["community"], [labels], g.n)
             metrics["iterations"] = int(iters)
         elif algo == "triangles":

@@ -252,17 +252,30 @@ class AlgoShard:
     # searchsorted path handles every round — the algorithm is identical
     _DENSE_CACHE_LIMIT = 1 << 26          # 64M vertices ≈ 512 MB/actor
 
-    def init_delta(self):
-        """Seed state (label = vid) and the gathered-label row cache —
-        entirely locally: the initial label of a gathered endpoint IS its
-        vid, which the gather structure already stores. No transport."""
-        self.state = self.owned.copy()
+    def init_delta(self, full=None):
+        """Seed state and the gathered-label row cache. Default (fresh
+        run): label = vid — entirely locally, the initial label of a
+        gathered endpoint IS its vid, which the gather structure already
+        stores; no transport. With ``full`` (checkpoint resume): state
+        and row cache reconstruct from the broadcast label vector, and
+        the first post-resume round runs a FULL recount (correct by the
+        synchronous-vote semantics; the affected-set is an optimization
+        the resume simply skips for one round)."""
+        self._gth_vids = np.asarray(self.gc.gth_sorted, np.int64)
         if self.gc._dx is None:
             self.gc.build_delta_index()
-        self._rows_lab = np.asarray(self.gc.gth_sorted, np.int64).copy()
-        self._gth_vids = np.asarray(self.gc.gth_sorted, np.int64)
-        self._glob = np.arange(self.n, dtype=np.int64) \
-            if self.n <= self._DENSE_CACHE_LIMIT else None
+        if full is not None:
+            full = np.asarray(full, np.int64)
+            self.state = full[self.owned]
+            self._rows_lab = full[self._gth_vids].copy()
+            self._glob = full.copy() \
+                if self.n <= self._DENSE_CACHE_LIMIT else None
+        else:
+            self.state = self.owned.copy()
+            self._rows_lab = np.asarray(self.gc.gth_sorted,
+                                        np.int64).copy()
+            self._glob = np.arange(self.n, dtype=np.int64) \
+                if self.n <= self._DENSE_CACHE_LIMIT else None
         self._first_round = True
         self._self_changed = np.empty(0, np.int64)
         # node-local-idx -> segment index in (uo, start), -1 if no rows
@@ -515,15 +528,28 @@ class ShardedAlgos:
         return self._gather_state(shards), it
 
     def _owned_delta_loop(self, step_of, iter_count: int,
-                          until_converged: bool):
+                          until_converged: bool, checkpoint=None,
+                          checkpoint_every: int = 5,
+                          state_key: str = "label"):
         """Shared driver loop for the owned-slice sparse-delta algorithms:
         O(W) refs per superstep (ONE delta object per actor), all
         superstep outputs driver-owned task returns, only changed labels
-        in flight."""
+        in flight. ``checkpoint`` (pipelines.checkpoint.CheckpointManager)
+        saves the label vector every ``checkpoint_every`` rounds and
+        resumes mid-convergence from the latest complete manifest (the
+        same lineage contract as ShardedPageRank)."""
         from collections import deque
         stripes, shards, P = self._undirected_pool()
         W = len(shards)
-        ray.get([s.init_delta.remote() for s in shards])
+        it0 = 0
+        full0 = None
+        if checkpoint is not None:
+            st = checkpoint.load_latest()
+            if st is not None:
+                it0 = st["iteration"]
+                full0 = st["state"][state_key].astype(np.int64)
+        fref = ray.put(full0) if full0 is not None else None
+        ray.get([s.init_delta.remote(fref) for s in shards])
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         delta_refs = [ray.put(empty)] * W     # round 1: nothing changed yet
         # Depth-2 pipelined rounds: the next round needs only the delta
@@ -533,15 +559,27 @@ class ShardedAlgos:
         # lags one round; the extra round runs on empty deltas (near-free).
         pending: deque = deque()
         conv_at = None
-        for it in range(1, iter_count + 1):
+        last_changed = None
+        for it in range(it0 + 1, iter_count + 1):
             rounds = [step_of(s).options(num_returns=2).remote(*delta_refs)
                       for s in shards]
             delta_refs = [r[0] for r in rounds]
             pending.append((it, [r[1] for r in rounds]))
             if len(pending) > 1:
                 j, refs = pending.popleft()
-                if sum(ray.get(refs)) == 0 and until_converged:
+                last_changed = sum(ray.get(refs))
+                if last_changed == 0 and until_converged:
                     conv_at = j
+                    break
+            if checkpoint is not None and it % checkpoint_every == 0:
+                while pending:            # drain the pipeline, then save
+                    j, refs = pending.popleft()
+                    last_changed = sum(ray.get(refs))
+                    if last_changed == 0 and until_converged:
+                        conv_at = j
+                checkpoint.save(it, {state_key: self._gather_state(shards)},
+                                metrics={"changed": int(last_changed or 0)})
+                if conv_at is not None:
                     break
         while conv_at is None and pending:
             j, refs = pending.popleft()
@@ -550,16 +588,24 @@ class ShardedAlgos:
         it = conv_at if conv_at is not None else iter_count
         return self._gather_state(shards), it
 
-    def lpa_owned(self, iter_count: int = 20, until_converged: bool = True):
+    def lpa_owned(self, iter_count: int = 20, until_converged: bool = True,
+                  checkpoint=None, checkpoint_every: int = 5):
         """LPA through the owned-slice sparse-delta path (round 5); vote
-        semantics identical to lpa/lpa_step (parity-tested)."""
+        semantics identical to lpa/lpa_step (parity-tested); optional
+        per-iteration lineage checkpoints (resume mid-convergence)."""
         return self._owned_delta_loop(lambda s: s.lpa_delta_step,
-                                      iter_count, until_converged)
+                                      iter_count, until_converged,
+                                      checkpoint, checkpoint_every,
+                                      state_key="community")
 
-    def wcc_owned(self, max_iter: int = 10**9) -> np.ndarray:
-        """Hash-min WCC through the owned-slice sparse-delta path."""
+    def wcc_owned(self, max_iter: int = 10**9, checkpoint=None,
+                  checkpoint_every: int = 5) -> np.ndarray:
+        """Hash-min WCC through the owned-slice sparse-delta path;
+        optional per-iteration lineage checkpoints."""
         return self._owned_delta_loop(lambda s: s.wcc_delta_step,
-                                      max_iter, True)[0]
+                                      max_iter, True, checkpoint,
+                                      checkpoint_every,
+                                      state_key="component")[0]
 
     def kcore_set(self, k: int, max_iter: int = 10**9) -> np.ndarray:
         stripes, shards, P = self._undirected_pool()

@@ -656,7 +656,8 @@ class BspGraph:
     # prohibitive around 10^7+ vertices / 5M+ edges)
     _SHARDED_WCC_EDGE_THRESHOLD = 5_000_000
 
-    def wcc(self, engine: str = "auto") -> np.ndarray:
+    def wcc(self, engine: str = "auto", checkpoint=None,
+            checkpoint_every: int = 5) -> np.ndarray:
         """Hash-min label propagation; label = min vid in component
         (connected_components.rs contract). Above
         _SHARDED_WCC_EDGE_THRESHOLD edges (engine="auto") the rounds run
@@ -664,6 +665,10 @@ class BspGraph:
         (sharded_algos.wcc_owned — identical labels, parity-tested);
         smaller graphs use the task rounds with driver-side pointer
         doubling below (fewer rounds: ~log diameter)."""
+        if checkpoint is not None:
+            # mid-convergence lineage checkpoints live on the sharded path
+            return self.sharded().wcc_owned(checkpoint=checkpoint,
+                                            checkpoint_every=checkpoint_every)
         if engine == "auto" \
                 and self.num_edges >= self._SHARDED_WCC_EDGE_THRESHOLD:
             return self.sharded().wcc_owned()
@@ -685,7 +690,8 @@ class BspGraph:
             label = new
 
     def lpa(self, iter_count=20, labels=None, until_converged=True,
-            engine: str = "auto"):
+            engine: str = "auto", checkpoint=None,
+            checkpoint_every: int = 5):
         """Synchronous LPA (label_propagation.rs:40-112). Each src-owned
         undirected block resolves its vertices' votes (incl. self vote)
         entirely in-task; the driver only scatters disjoint updates.
@@ -693,6 +699,10 @@ class BspGraph:
         labels) the vote rounds run on the actor-sharded owned-slice
         sparse-delta path (sharded_algos.lpa_owned — identical labels,
         parity-tested)."""
+        if checkpoint is not None and labels is None:
+            return self.sharded().lpa_owned(
+                iter_count, until_converged, checkpoint=checkpoint,
+                checkpoint_every=checkpoint_every)
         if engine == "auto" and labels is None \
                 and self.num_edges >= self._SHARDED_EDGE_THRESHOLD:
             return self.sharded().lpa_owned(iter_count, until_converged)

@@ -177,3 +177,37 @@ def test_bspgraph_auto_routes_large_graph_to_sharded(ray_session):
     got = g.sharded().wcc_owned()
     assert np.array_equal(got, want)
     g._sharded.shutdown()
+
+
+def test_owned_delta_checkpoint_resume(ray_session, tmp_path):
+    """round-5: lpa_owned/wcc_owned checkpoint per-iteration lineage and
+    resume mid-convergence — a resumed run from iteration k produces the
+    SAME labels as an uninterrupted run (pinned iterations)."""
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.shards import BspGraph
+    from raphtory_ray.state.sharded_algos import ShardedAlgos
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 800, 4000)
+    dst = rng.integers(0, 800, 4000)
+    g = BspGraph.from_arrays(src, dst, 800, num_blocks=4)
+    with ShardedAlgos(g, num_workers=2) as eng:
+        want, _ = eng.lpa_owned(iter_count=8, until_converged=False)
+        # run WITH checkpoints every 3 rounds
+        ck = CheckpointManager(str(tmp_path / "lpa"))
+        got, _ = eng.lpa_owned(iter_count=8, until_converged=False,
+                               checkpoint=ck, checkpoint_every=3)
+        assert np.array_equal(got, want)
+        assert 6 in ck.iterations()           # lineage manifests exist
+        # "kill" after iteration 6: a fresh checkpointed run resumes from
+        # the latest manifest and finishes with identical labels
+        ck2 = CheckpointManager(str(tmp_path / "lpa"))
+        got2, _ = eng.lpa_owned(iter_count=8, until_converged=False,
+                                checkpoint=ck2, checkpoint_every=3)
+        assert np.array_equal(got2, want)
+        # wcc checkpoints too
+        ckw = CheckpointManager(str(tmp_path / "wcc"))
+        w1 = eng.wcc_owned(checkpoint=ckw, checkpoint_every=2)
+        assert np.array_equal(w1, g.wcc(engine="task"))
+        w2 = eng.wcc_owned(checkpoint=CheckpointManager(
+            str(tmp_path / "wcc")), checkpoint_every=2)
+        assert np.array_equal(w2, w1)
