@@ -1238,6 +1238,16 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
                             scoring="bm25", quantize=1e6)
 
 
+def _q_doc_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (round 5; the
+    CCNet/RefinedWeb paragraph dedup op): first occurrence by
+    (doc_id, position) of each blank-line paragraph survives; docs
+    rebuilt from surviving paragraphs (fully-deduped docs disappear).
+    Oracle: window-min over md5(para) + ordered string_agg."""
+    from raphtory_ray.data.text import paragraph_dedup
+    return paragraph_dedup(_docs(sf_dir))
+
+
 def _q_doc_fuzzy_search(sf_dir: str) -> pa.Table:
     """Index-level fuzzy term search (round 5; the reference's tantivy
     FuzzyTermQuery surface): docs matching BOTH query terms through any
@@ -2246,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_search": _q_doc_text_search,
         "doc_fuzzy_search": _q_doc_fuzzy_search,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_knn_bruteforce": _q_knn_bruteforce,
@@ -4585,6 +4596,24 @@ WITH pos AS (
 SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
        min(wmin) AS min_fingerprint
 FROM fps GROUP BY doc_id
+""",
+        "doc_paragraph_dedup": """
+WITH p AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10) || chr(10)), 1)
+           - 1 AS pidx
+  FROM documents
+),
+k AS (
+  SELECT doc_id, pidx, para,
+         MIN(doc_id * 1048576 + pidx) OVER (PARTITION BY md5(para)) AS mk
+  FROM p
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY pidx) AS text
+FROM k WHERE doc_id * 1048576 + pidx = mk
+GROUP BY doc_id
 """,
         "doc_fuzzy_search": """
 WITH toks AS (

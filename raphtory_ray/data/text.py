@@ -981,3 +981,128 @@ def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def normalize_documents(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: normalize_batch(b, text_col),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- paragraph dedup (round 5)
+
+def _explode_paragraphs(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, pidx, para, digest, ih, key): one row per paragraph
+    (split on blank lines), md5 digest + a 60-bit int route key derived
+    from it, and key = doc_id·2^20 + pidx (ordering key; paragraphs per
+    doc < 2^20 and doc ids < 2^43 by engine contract)."""
+    import hashlib
+    toks = pc.split_pattern(b[text_col].combine_chunks(), "\n\n")
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]]) \
+        if len(parent) else np.empty(0, np.int64)
+    sizes = np.diff(np.r_[starts, len(parent)])
+    pidx = np.arange(len(parent)) - np.repeat(starts, sizes) \
+        if len(parent) else np.empty(0, np.int64)
+    docs = b["doc_id"].to_numpy(zero_copy_only=False)[parent] \
+        if len(parent) else np.empty(0, np.int64)
+    buf, offs = _flat_utf8(flat)
+    digs = [hashlib.md5(buf[offs[i]:offs[i + 1]].tobytes()).digest()
+            for i in range(len(parent))]
+    ih = np.array([int.from_bytes(d[:8], "big") >> 4 for d in digs],
+                  dtype=np.int64) if digs else np.empty(0, np.int64)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "pidx": pa.array(pidx, pa.int64()),
+        "para": flat,
+        "digest": pa.array(digs, pa.binary(16)),
+        "ih": pa.array(ih, pa.int64()),
+        "key": pa.array(docs * np.int64(1 << 20) + pidx, pa.int64())})
+
+
+def _pd_route_ih(block: pa.Table, P: int):
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    ih = block["ih"].to_numpy(zero_copy_only=False)
+    return _route(block, _hash_bucket(ih, P), P)
+
+
+def _pd_keepmin(*pieces: pa.Table) -> pa.Table:
+    """One digest partition: keep the globally-first occurrence (min key)
+    of each distinct paragraph DIGEST (full 16-byte compare — the int
+    route key only places digests; collisions there are harmless)."""
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pidx": pa.array([], pa.int64()),
+                         "para": pa.array([], pa.string())})
+    t = pa.concat_tables(good)
+    dig = t["digest"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, dig))
+    dig_s = dig[order]
+    first = np.r_[True, dig_s[1:] != dig_s[:-1]]
+    return t.take(pa.array(order[first])).select(["doc_id", "pidx", "para"])
+
+
+def _pd_route_doc(block: pa.Table, P: int):
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    d = block["doc_id"].to_numpy(zero_copy_only=False)
+    return _route(block, _hash_bucket(d, P), P)
+
+
+def _pd_rebuild(*pieces: pa.Table) -> pa.Table:
+    """One doc partition: re-join each doc's surviving paragraphs in
+    original order with blank lines (vectorized pc.binary_join over a
+    per-doc list array)."""
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
+    t = pa.concat_tables(good)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    px = t["pidx"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((px, d))
+    d_s = d[order]
+    paras = t["para"].combine_chunks().take(pa.array(order))
+    starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+    offsets = np.r_[starts, len(d_s)].astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), paras)
+    joined = pc.binary_join(lists, "\n\n")
+    return pa.table({"doc_id": pa.array(d_s[starts], pa.int64()),
+                     "text": joined})
+
+
+def paragraph_dedup(ds, text_col: str = "text"):
+    """Corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb
+    paragraph dedup op): every paragraph (blank-line split) appears once
+    in the whole corpus — the occurrence with the smallest
+    (doc_id, position) survives — and each document is rebuilt from its
+    surviving paragraphs in order (documents whose every paragraph is a
+    repeat disappear).
+
+    Scale shape: explode + md5 in map_batches, ONE digest-hash route
+    wave (skew-free 16-byte key), per-partition first-occurrence keep,
+    ONE doc-hash route wave, vectorized per-partition rebuild. Driver
+    never holds paragraphs. Returns Dataset(doc_id, text)."""
+    import ray as _r
+    import ray.data as rd
+    exploded = ds.map_batches(
+        lambda b: _explode_paragraphs(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    refs = [r for r, c in zip(exploded.to_arrow_refs(),
+                              exploded._block_num_rows()) if c]
+    if not refs:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "text": pa.array([], pa.string())}))
+    P = max(1, min(32, -(-exploded.count() // 100_000),
+                   int(_r.cluster_resources().get("CPU", 8))))
+    route1 = _r.remote(_pd_route_ih)
+    keep = _r.remote(_pd_keepmin)
+    route2 = _r.remote(_pd_route_doc)
+    rebuild = _r.remote(_pd_rebuild)
+    s1 = [route1.options(num_returns=P if P > 1 else 1).remote(r, P)
+          for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    kept = [keep.remote(*[piece(r, q) for r in s1]) for q in range(P)]
+    s2 = [route2.options(num_returns=P if P > 1 else 1).remote(r, P)
+          for r in kept]
+    out = [rebuild.remote(*[piece(r, q) for r in s2]) for q in range(P)]
+    return rd.from_arrow_refs(out)

@@ -1479,8 +1479,27 @@ def _attach_optional(gf, ctx: _Ctx, ds, bound: set, hint: pa.Table,
             f"{[expr_text(t) for t, _ in pending]}")
     shared = sorted(bound & obound)
     if not shared:
-        raise NotImplementedError(
-            "OPTIONAL MATCH sharing no variable with the matched rows")
+        # variable-disjoint OPTIONAL MATCH (round 5; Neo4j semantics):
+        # cartesian product when the optional pattern matched anything,
+        # otherwise every left row survives with nulls in the optional
+        # columns
+        mat_o = ods.materialize()
+        if mat_o.count() == 0:
+            ocols = list(zip(ohint.column_names,
+                             [f.type for f in ohint.schema]))
+
+            def pad(b: pa.Table, _oc=tuple(ocols)) -> pa.Table:
+                for name, typ in _oc:
+                    if name not in b.column_names:
+                        b = b.append_column(name, pa.nulls(b.num_rows, typ))
+                return b
+
+            ds = ds.map_batches(pad, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            hint = _cross_schema(hint, ohint)
+        else:
+            ds, hint = _cross_join(ds, mat_o, hint, ohint)
+        return ds, bound | obound, hint
     ds = hash_join(ds, ods, shared, P, hint, ohint,
                    join_type="left outer")
     hint = hint.join(ohint, keys=shared, join_type="left outer",

@@ -1384,3 +1384,24 @@ def test_distinct_in_all_aggregates(ray_session):
            "max(e.w) AS mw",
            "SELECT src AS a, COUNT(DISTINCT dst) AS nd, MAX(w) AS mw "
            "FROM e GROUP BY src")
+
+
+def test_optional_match_disjoint_patterns(ray_session):
+    """round-5: OPTIONAL MATCH with no shared variable — cartesian when
+    the optional side matches, null-pad when it matches nothing."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.w > 0.95 "
+           "OPTIONAL MATCH (c)-[f]->(d) WHERE f.w > 0.99 "
+           "RETURN a, b, c, d",
+           "WITH hi AS (SELECT src, dst FROM e WHERE w > 0.95), "
+           "lo AS (SELECT src AS c, dst AS d FROM e WHERE w > 0.99) "
+           "SELECT hi.src AS a, hi.dst AS b, lo.c, lo.d "
+           "FROM hi LEFT JOIN lo ON true")
+    # optional side empty: left rows survive, optional columns null
+    _check(gf, edges, verts,
+           "MATCH (a)-[e]->(b) WHERE e.w > 0.95 "
+           "OPTIONAL MATCH (c)-[f]->(d) WHERE f.w > 2.0 "
+           "RETURN a, b, count(f.t) AS n",
+           "SELECT src AS a, dst AS b, 0::BIGINT AS n "
+           "FROM e WHERE w > 0.95")

@@ -1071,3 +1071,20 @@ def test_ivf_centroid_init_adversarial_block_order(ray_session):
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.9
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    """round-5 paragraph dedup: first (doc, position) occurrence of each
+    paragraph survives corpus-wide (incl. within-doc repeats); docs
+    rebuilt in order; fully-deduplicated docs disappear."""
+    import ray.data as rd
+    from raphtory_ray.data.text import paragraph_dedup
+    docs = ["a\n\nb", "b\n\nc", "a\n\nx\n\na", "b", "solo"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs)})
+    out = paragraph_dedup(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {0: "a\n\nb", 1: "c", 2: "x", 4: "solo"}
+    # empty input
+    empty = paragraph_dedup(rd.from_arrow(t.slice(0, 0))).to_pandas()
+    assert len(empty) == 0
