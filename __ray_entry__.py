@@ -1238,6 +1238,14 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
                             scoring="bm25", quantize=1e6)
 
 
+def _q_emb_label_agreement(sf_dir: str):
+    """kNN label-noise detection (round 5; cleanlab-style curation
+    signal): per vector, the majority label of its 5 exact cosine
+    neighbours (self excluded, ties count-desc/label-asc) vs its own."""
+    from raphtory_ray.data.similarity import knn_label_agreement
+    return knn_label_agreement(_embs(sf_dir), k=5)
+
+
 def _q_doc_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph-level exact dedup (round 5; the
     CCNet/RefinedWeb paragraph dedup op): first occurrence by
@@ -2260,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_knn_bruteforce": _q_knn_bruteforce,
+        "emb_label_agreement": _q_emb_label_agreement,
         "emb_knn_ivf": _q_knn_ivf,
         "emb_knn_ivf_full": _q_knn_ivf_full,
         "emb_pca_cov": _q_emb_pca_cov,
@@ -4658,6 +4667,30 @@ scored AS (
 SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
        FLOOR(SUM(s) * 1000000 + 0.5000001)::BIGINT AS score_q
 FROM scored GROUP BY doc_id HAVING COUNT(*) = 2
+""",
+        "emb_label_agreement": """
+WITH sims AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nb, b.label::BIGINT AS lb,
+         list_cosine_similarity(a.embedding, b.embedding) AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT qa, nb, lb,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY s DESC, nb) AS r
+  FROM sims
+),
+maj AS (
+  SELECT qa, lb, COUNT(*)::BIGINT AS c FROM rk WHERE r <= 5
+  GROUP BY qa, lb
+),
+win AS (
+  SELECT qa, lb,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY c DESC, lb) AS rr
+  FROM maj
+)
+SELECT e.vec_id, e.label::BIGINT AS label, w.lb AS knn_label,
+       (e.label = w.lb) AS agree
+FROM embeddings e JOIN win w ON w.qa = e.vec_id AND w.rr = 1
 """,
         "emb_knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

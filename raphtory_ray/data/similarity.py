@@ -205,3 +205,92 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 5, n_clusters: int = 16,
     top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+# ---------------------------------------- kNN label agreement (round 5)
+
+@ray.remote
+def _knn_label_part(block: pa.Table, all_refs: list, k: int,
+                    lab_ref) -> pa.Table:
+    """One query block: exact top-k cosine neighbours over the WHOLE
+    dataset (streamed block-by-block from plasma, partial top-k merge —
+    never an N×N matrix), self excluded by vec_id; majority label of the
+    k neighbours with deterministic ties (count desc, label asc)."""
+    ids = block["vec_id"].to_numpy(zero_copy_only=False)
+    q = _normalize(embedding_matrix(block["embedding"]))
+    # lab_ref arrives as a top-level arg — Ray resolves it before the task
+    lab_ids, labs = ray.get(lab_ref) \
+        if isinstance(lab_ref, ray.ObjectRef) else lab_ref
+    best_s = np.full((len(ids), k), -2.0)
+    best_n = np.full((len(ids), k), -1, np.int64)
+    for r in all_refs:
+        t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        if t.num_rows == 0:
+            continue
+        nid = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(embedding_matrix(t["embedding"]))
+        sims = q @ emb.T
+        sims[ids[:, None] == nid[None, :]] = -2.0    # exclude self
+        cs = np.concatenate([best_s, sims], axis=1)
+        cn = np.concatenate([best_n,
+                             np.broadcast_to(nid, sims.shape)], axis=1)
+        # per-row top-k by (sim desc, id asc) — deterministic
+        order = np.lexsort((cn, -cs), axis=1)[:, :k]
+        rows = np.arange(len(ids))[:, None]
+        best_s = cs[rows, order]
+        best_n = cn[rows, order]
+    pos = np.searchsorted(lab_ids, best_n)
+    pos = np.minimum(pos, len(lab_ids) - 1)
+    nl = labs[pos]
+    nl[best_n < 0] = -1
+    # per-row majority with (count desc, label asc) tie-break
+    knn_lab = np.empty(len(ids), np.int64)
+    for i in range(len(ids)):
+        row = nl[i][nl[i] >= 0]
+        if not len(row):
+            knn_lab[i] = -1
+            continue
+        vals, cnt = np.unique(row, return_counts=True)
+        knn_lab[i] = vals[np.lexsort((vals, -cnt))[0]]
+    own = labs[np.minimum(np.searchsorted(lab_ids, ids),
+                          len(lab_ids) - 1)]
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "label": pa.array(own, pa.int64()),
+        "knn_label": pa.array(knn_lab, pa.int64()),
+        "agree": pa.array(own == knn_lab, pa.bool_())})
+
+
+def knn_label_agreement(ds, k: int = 5, label_col: str = "label"):
+    """Label-noise detection by k-nearest-neighbour vote (the cleanlab-
+    style curation signal): for every vector, the majority label of its
+    k exact cosine neighbours (self excluded; ties count-desc then
+    label-asc) vs its own — disagreement flags likely mislabeled rows.
+
+    Scale shape: one task per block, each streaming every block from the
+    object store with a running partial top-k (N²/B flops per task, no
+    N×N anywhere); the (vec_id → label) vector is broadcast once
+    (O(N)·12B — fine to ~10⁹ rows; beyond that route labels through the
+    same hash join as the IVF path). Returns a Dataset
+    (vec_id, label, knn_label, agree)."""
+    import ray.data as rd
+    mat = ds.materialize()
+    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
+            if c]
+    if not refs:
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "knn_label": pa.array([], pa.int64()),
+            "agree": pa.array([], pa.bool_())}))
+    labs = []
+    for t in ray.get(list(refs)):
+        labs.append((t["vec_id"].to_numpy(zero_copy_only=False),
+                     t[label_col].to_numpy(zero_copy_only=False)
+                     .astype(np.int64)))
+    lab_ids = np.concatenate([a for a, _ in labs])
+    lab_vals = np.concatenate([b for _, b in labs])
+    o = np.argsort(lab_ids)
+    lab_ref = ray.put((lab_ids[o], lab_vals[o]))
+    out = [_knn_label_part.remote(r, refs, k, lab_ref) for r in refs]
+    return rd.from_arrow_refs(out)

@@ -1088,3 +1088,26 @@ def test_paragraph_dedup_semantics(ray_session):
     # empty input
     empty = paragraph_dedup(rd.from_arrow(t.slice(0, 0))).to_pandas()
     assert len(empty) == 0
+
+
+def test_knn_label_agreement_detects_planted_mislabel(ray_session):
+    """round-5: kNN label vote flags a planted wrong label; clean rows
+    agree; ties break (count desc, label asc) deterministically."""
+    import ray.data as rd
+    from raphtory_ray.data.similarity import knn_label_agreement
+    rng = np.random.default_rng(2)
+    c0 = rng.standard_normal(8) * 5
+    mat = np.vstack([c0 + 0.1 * rng.standard_normal((10, 8)),
+                     -c0 + 0.1 * rng.standard_normal((10, 8))])
+    lab = np.array([0] * 10 + [1] * 10)
+    lab[3] = 1                          # planted mislabel
+    t = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(mat.reshape(-1), pa.float64()), 8),
+                  "label": pa.array(lab, pa.int32())})
+    out = knn_label_agreement(rd.from_arrow(t).repartition(3),
+                              k=5).to_pandas()
+    bad = out[~out["agree"]]
+    assert bad["vec_id"].tolist() == [3]
+    assert bad["knn_label"].tolist() == [0]
+    assert out["agree"].sum() == 19
