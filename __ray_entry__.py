@@ -1238,6 +1238,17 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
                             scoring="bm25", quantize=1e6)
 
 
+def _q_doc_source_cap(sf_dir: str) -> pa.Table:
+    """Domain-mix rebalancing (round 5): at most 40 docs per source,
+    chosen by the smallest splitmix64(doc_id) ranks — deterministic,
+    reshard-invariant; SQL mirrors the splitmix chain in HUGEINT and
+    picks per-source winners with ROW_NUMBER."""
+    from raphtory_ray.data.text import stratified_cap
+    return stratified_cap(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        group_col="source", cap=40).select(["doc_id", "source"])
+
+
 def _q_emb_label_agreement(sf_dir: str):
     """kNN label-noise detection (round 5; cleanlab-style curation
     signal): per vector, the majority label of its 5 exact cosine
@@ -2240,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "doc_redact": _q_doc_redact,
         "doc_sample_stratified": _q_doc_sample,
+        "doc_source_cap": _q_doc_source_cap,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pack_sequences": _q_doc_pack,
         "doc_training_pipeline": _q_doc_training_pipeline,
@@ -4559,6 +4571,36 @@ WITH m AS (
 SELECT doc_id, source, lang FROM s5
 WHERE (z5 % 1000) < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN 700 ELSE 300 END
+""",
+        "doc_source_cap": """
+WITH m AS (
+  SELECT doc_id, source,
+    ((doc_id::HUGEINT + 11400714819323198485) & 18446744073709551615) AS z0
+  FROM documents
+), s1 AS (
+  SELECT *, xor(CAST(z0 AS UBIGINT),
+                CAST((z0 >> 30) AS UBIGINT))::HUGEINT AS z1 FROM m
+), s2 AS (
+  SELECT *, (((z1 & 4294967295) * 13787848793156543929)
+   + ((((z1 >> 32) * 13787848793156543929) & 4294967295) << 32))
+   & 18446744073709551615 AS z2 FROM s1
+), s3 AS (
+  SELECT *, xor(CAST(z2 AS UBIGINT),
+                CAST((z2 >> 27) AS UBIGINT))::HUGEINT AS z3 FROM s2
+), s4 AS (
+  SELECT *, (((z3 & 4294967295) * 10723151780598845931)
+   + ((((z3 >> 32) * 10723151780598845931) & 4294967295) << 32))
+   & 18446744073709551615 AS z4 FROM s3
+), s5 AS (
+  SELECT *, xor(CAST(z4 AS UBIGINT),
+                CAST((z4 >> 31) AS UBIGINT))::HUGEINT AS z5 FROM s4
+), rk AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY z5, doc_id) AS rn
+  FROM s5
+)
+SELECT doc_id, source FROM rk WHERE rn <= 40
 """,
         "doc_decontaminate": """
 WITH pos AS (

@@ -1106,3 +1106,45 @@ def paragraph_dedup(ds, text_col: str = "text"):
           for r in kept]
     out = [rebuild.remote(*[piece(r, q) for r in s2]) for q in range(P)]
     return rd.from_arrow_refs(out)
+
+
+# ------------------------------------------- per-group cap (round 5)
+
+def _group_capk_block(b: pa.Table, group_col: str, cap: int,
+                      id_col: str, seed: int) -> pa.Table:
+    if b.num_rows == 0:
+        return b
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = _splitmix64(ids + np.int64(seed))
+    g = b[group_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, r, g))
+    g_s = g[order]
+    starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+    rank = np.arange(len(g_s)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(g_s)]))
+    keep = order[rank < cap]
+    return b.take(pa.array(np.sort(keep)))
+
+
+def stratified_cap(ds, group_col: str = "source", cap: int = 100,
+                   seed: int = 0, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic per-group cap — the domain-mix rebalancing op: at
+    most ``cap`` rows survive per group, chosen as the smallest
+    splitmix64(id + seed) ranks (uniform within group, reshard-invariant,
+    resumable — the same fixed-coin property as every sampler here).
+
+    Partial+final: every block thins to ≤ cap rows per group it sees,
+    the final merge handles ≤ cap·blocks·groups rows — the data itself
+    never converges on the driver. Returns a pa.Table (≤ cap·groups
+    rows, driver-resident by construction)."""
+    import ray as _r
+    parts = [t for t in _r.get(
+        ds.map_batches(lambda b: _group_capk_block(b, group_col, cap,
+                                                   id_col, seed),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        sch = ds.schema().base_schema
+        return pa.table({f.name: pa.array([], f.type) for f in sch})
+    return _group_capk_block(pa.concat_tables(parts), group_col, cap,
+                             id_col, seed)

@@ -1111,3 +1111,23 @@ def test_knn_label_agreement_detects_planted_mislabel(ray_session):
     assert bad["vec_id"].tolist() == [3]
     assert bad["knn_label"].tolist() == [0]
     assert out["agree"].sum() == 19
+
+
+def test_stratified_cap_reshard_invariant(ray_session):
+    """round-5: per-group cap picks the same rows at any partitioning;
+    groups under the cap keep everything."""
+    import ray.data as rd
+    from raphtory_ray.data.text import stratified_cap
+    n = 300
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "source": pa.array([f"s{i % 3}" for i in range(n)]),
+                  "text": pa.array(["x"] * n)})
+    a = stratified_cap(rd.from_arrow(t).repartition(2), cap=20)
+    b = stratified_cap(rd.from_arrow(t).repartition(7), cap=20)
+    ids_a = sorted(a["doc_id"].to_pylist())
+    assert ids_a == sorted(b["doc_id"].to_pylist())
+    import pandas as pd
+    cnt = a.to_pandas().groupby("source").size()
+    assert (cnt == 20).all()
+    small = stratified_cap(rd.from_arrow(t.slice(0, 9)), cap=20)
+    assert small.num_rows == 9            # under-cap group keeps all
