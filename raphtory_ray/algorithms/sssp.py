@@ -190,8 +190,15 @@ def sssp_delta_stepping(gf, source: int,
             cols.append(c)
     if weight_col is not None:
         cols.append(weight_col)
-    refs = gf.edges.select_columns(cols).materialize().to_arrow_refs()
-    P = max(4, min(32, len(refs) * 2))
+    mat = gf.edges.select_columns(cols).materialize()
+    refs = mat.to_arrow_refs()
+    # relax rounds are synchronous task waves whose per-round frontiers
+    # are often tiny (BFS-wave shape), so partition count trades round
+    # latency against heavy-round parallelism: ~2M event rows per
+    # partition, floor 4 (round 5 measured sf0.1: P=32 0.71 s vs P=4
+    # 0.41 s — 1792 relax tasks collapsed to ~224)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = int(max(4, min(32, cpus, -(-mat.count() // 2_000_000))))
     splits = [_sp_split.options(num_returns=P if P > 1 else 1)
               .remote(r, P, weight_col, weight_map, direction == "in")
               for r in refs]
