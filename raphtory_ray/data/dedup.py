@@ -258,11 +258,18 @@ def _band_pairs_route(P: int, max_bucket: int, *band_pieces: pa.Table):
 
 
 @ray.remote
-def _doc_split(block: pa.Table, P: int):
-    """(doc_id, text) rows routed by hash(doc_id)."""
-    did = block["doc_id"].to_numpy(zero_copy_only=False)
-    return _route(block.select(["doc_id", "text"]),
-                  _hash_bucket(did, P), P)
+def _doc_split(P: int, *blocks: pa.Table):
+    """(doc_id, text) rows of a GROUP of blocks routed by hash(doc_id) —
+    grouped so the attach wave resolves ~16 args, not one per input
+    block (105 micro-splits measured ~0.5 s of the sf0.1 verify)."""
+    good = [b for b in blocks if b.num_rows]
+    if not good:
+        e = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        return (e,) * P if P > 1 else e
+    t = pa.concat_tables([b.select(["doc_id", "text"]) for b in good])
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    return _route(t, _hash_bucket(did, P), P)
 
 
 @ray.remote
@@ -396,8 +403,10 @@ def _verify_jaccard_distributed(ds, band_block_refs: list, k: int,
     doc_blocks = doc_refs if doc_refs is not None else \
         (ds.select_columns(["doc_id", "text"])
          .materialize().to_arrow_refs())
-    dp = [_doc_split.options(num_returns=P if P > 1 else 1).remote(b, P)
-          for b in doc_blocks]
+    gk = max(1, -(-len(doc_blocks) // 16))    # ≤16 grouped split tasks
+    grps = [doc_blocks[i:i + gk] for i in range(0, len(doc_blocks), gk)]
+    dp = [_doc_split.options(num_returns=P if P > 1 else 1).remote(P, *g)
+          for g in grps]
 
     def piece(row, q):
         return row[q] if P > 1 else row
