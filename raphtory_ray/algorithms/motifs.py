@@ -588,7 +588,7 @@ def _triple_motifs(deltas: tuple, n: int, triples, *subsets) -> np.ndarray:
 def temporal_three_node_motif_multi(gf, deltas) -> np.ndarray:
     """Global 40-vector per delta (temporal_three_node_motif_multi,
     global_temporal_three_node_motifs.rs:272-330)."""
-    from raphtory_ray.state.shards import BspGraph
+    from raphtory_ray.algorithms import _bsp
     deltas = tuple(int(d) for d in deltas)
     refs = gf.edges.materialize().to_arrow_refs()
     P = max(4, min(32, len(refs) * 2))
@@ -604,7 +604,7 @@ def temporal_three_node_motif_multi(gf, deltas) -> np.ndarray:
                  for q in range(P)]
 
     # ---- triangle phase
-    g = BspGraph.from_graph(gf)
+    g = _bsp(gf)           # reuses gf._bsp when built
     core = g.kcore_set(2)
     member = np.zeros(gf.n, dtype=bool)
     member[core] = True
@@ -734,7 +734,7 @@ def local_temporal_three_node_motifs(gf, deltas) -> np.ndarray:
     """(n, len(deltas), 40) per-node motif counts
     (local_temporal_three_node_motifs.rs temporal_three_node_motif). Same
     distribution as the global variant; partials land per node."""
-    from raphtory_ray.state.shards import BspGraph
+    from raphtory_ray.algorithms import _bsp
     deltas = tuple(int(d) for d in deltas)
     refs = gf.edges.materialize().to_arrow_refs()
     P = max(4, min(32, len(refs) * 2))
@@ -747,7 +747,7 @@ def local_temporal_three_node_motifs(gf, deltas) -> np.ndarray:
     star_futs = [_star_partial_local.remote(
         deltas, *[piece(s, q) for s in splits]) for q in range(P)]
 
-    g = BspGraph.from_graph(gf)
+    g = _bsp(gf)           # reuses gf._bsp when built
     core = g.kcore_set(2)
     member = np.zeros(gf.n, dtype=bool)
     member[core] = True
@@ -796,8 +796,8 @@ def temporal_rich_club_coefficient(gf, views, k: int,
     Per-view edge sets are distributed partial-dedups restricted to the
     rich club (a broadcast boolean mask); only the club-internal edge keys
     reach the driver — the club is small by construction (degree ≥ k)."""
-    from raphtory_ray.state.shards import BspGraph
-    g = BspGraph.from_graph(gf)
+    from raphtory_ray.algorithms import _bsp
+    g = _bsp(gf)           # reuses gf._bsp when built
     s_k = np.flatnonzero(g.both_degree >= k)
     if len(s_k) <= 1:
         return 0.0
