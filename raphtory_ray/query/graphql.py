@@ -1102,8 +1102,8 @@ def _resolve_algorithms(ctx: _GraphCtx, sel: list):
     out = {}
     for f in sel:
         if f.name == "pagerank":
-            from raphtory_ray.state.shards import BspGraph
-            g = BspGraph.from_graph(gf)
+            from raphtory_ray.algorithms import _bsp
+            g = _bsp(gf)               # reuses gf._bsp when built
             iters = int(f.args["iterCount"])
             tol = float(f.args.get("tol", 1e-7))
             damping = float(f.args.get("dampingFactor", 0.85))
