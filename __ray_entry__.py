@@ -404,6 +404,19 @@ def _q_user_edges(sf_dir: str):
     return user_edges(sf_dir)
 
 
+def _q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (round 5; the classic event-pipeline op):
+    a user's new session starts when the gap to the previous event (by
+    ts, event_id) exceeds 8 hours; session_id = user_id·2^20 + ordinal.
+    One hash(user) route wave + vectorized per-partition cumulative
+    break count; oracle = windowed LAG + running SUM."""
+    from raphtory_ray.data.asof import sessionize
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, gap=28_800_000_000)
+
+
 def _q_user_asof_clicks(sf_dir: str):
     """Distributed LEFT ASOF JOIN (data/asof.py): each purchase event
     gets the user's latest click value at or before it (epoch-ms
@@ -2187,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_node2vec_walks": _q_copurchase_node2vec_walks,
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
+        "user_sessions": _q_user_sessions,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_endpoints": _q_cypher_endpoints,
         "cypher_case_bands": _q_cypher_case_bands,
@@ -3562,6 +3576,23 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_sessions": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), l AS (
+  SELECT user_id, event_id, t, LAG(t) OVER w AS pt
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), m AS (
+  SELECT user_id, event_id,
+         SUM(CASE WHEN pt IS NOT NULL AND t - pt > 28800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS ord
+  FROM l
+)
+SELECT user_id, event_id,
+       user_id * 1048576 + ord AS session_id FROM m
 """,
         "user_asof_clicks": """
 WITH l AS (

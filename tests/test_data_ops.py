@@ -1131,3 +1131,21 @@ def test_stratified_cap_reshard_invariant(ray_session):
     assert (cnt == 20).all()
     small = stratified_cap(rd.from_arrow(t.slice(0, 9)), cap=20)
     assert small.num_rows == 9            # under-cap group keeps all
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """round-5 sessionization: per-user gap splits by (ts, event_id);
+    reshard-invariant; ordinal resets per user."""
+    import ray.data as rd
+    from raphtory_ray.data.asof import sessionize
+    t = pa.table({"user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                  "ts": pa.array([0, 5, 100, 102, 0, 300], pa.int64()),
+                  "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+    out = sessionize(rd.from_arrow(t).repartition(3),
+                     gap=50).to_pandas().sort_values("event_id")
+    B = 1 << 20
+    assert out["session_id"].tolist() == [B, B, B + 1, B + 1,
+                                          2 * B, 2 * B + 1]
+    out2 = sessionize(rd.from_arrow(t), gap=50).to_pandas() \
+        .sort_values("event_id")
+    assert out2["session_id"].tolist() == out["session_id"].tolist()
