@@ -192,6 +192,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["doc_minhash_dedup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from raphtory_ray.data.text import paragraph_dedup
+    paragraph_dedup(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"])).materialize()
+    queries["doc_paragraph_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from raphtory_ray.data.asof import sessionize
+    sessionize(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]),
+        gap=28_800_000_000).materialize()
+    queries["user_sessions"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     from raphtory_ray.data.similarity import knn_bruteforce
     from raphtory_ray.data.dedup import embedding_matrix
     import pyarrow.parquet as pq
