@@ -1050,3 +1050,28 @@ def leakage_safe_split(ds, val_permille: int = 100, seed: int = 0,
                 for p in range(P)]
     out = [_split_assign.remote(val_permille, seed, *c) for c in cols]
     return rd.from_arrow_refs(out)
+
+
+def tune_lsh(num_perm: int = 64, threshold: float = 0.7,
+             fp_weight: float = 0.5) -> tuple[int, int]:
+    """(bands, rows) for a target Jaccard threshold — the classic S-curve
+    solver (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets §3.4):
+    collision probability of a pair at similarity s is 1-(1-s^r)^b;
+    minimize the weighted false-positive/false-negative integral of that
+    curve against the step at ``threshold`` over all b·r ≤ num_perm.
+    Feed the result to minhash_lsh_dedup(num_perm=b*r, bands=b)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = np.linspace(0, 1, 201)
+    best, best_cost = (1, num_perm), np.inf
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r == 0:
+            break
+        p = 1.0 - (1.0 - xs ** r) ** b
+        fp = np.trapz(p[xs < threshold], xs[xs < threshold])
+        fn = np.trapz(1.0 - p[xs >= threshold], xs[xs >= threshold])
+        cost = fp_weight * fp + (1.0 - fp_weight) * fn
+        if cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best

@@ -1149,3 +1149,21 @@ def test_sessionize_gap_semantics(ray_session):
     out2 = sessionize(rd.from_arrow(t), gap=50).to_pandas() \
         .sort_values("event_id")
     assert out2["session_id"].tolist() == out["session_id"].tolist()
+
+
+def test_tune_lsh_scurve():
+    """The S-curve solver lands near (1/b)^(1/r) = threshold and moves
+    monotonically: higher thresholds -> fewer bands (more rows)."""
+    from raphtory_ray.data.dedup import tune_lsh
+    b1, r1 = tune_lsh(64, 0.5)
+    b2, r2 = tune_lsh(64, 0.9)
+    assert b1 * r1 <= 64 and b2 * r2 <= 64
+    assert b2 < b1                      # high threshold -> fewer bands
+    # the implied threshold (1/b)^(1/r) tracks the target
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b, r = tune_lsh(64, thr)
+        implied = (1.0 / b) ** (1.0 / r)
+        assert abs(implied - thr) < 0.25
+    import pytest
+    with pytest.raises(ValueError):
+        tune_lsh(64, 1.5)
