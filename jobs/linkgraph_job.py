@@ -298,6 +298,15 @@ def _run_data_ops(docs_dir: str, output: str, ops: list) -> None:
         if op == "bottomk":
             import ray.data as rd2
             return rd2.from_arrow(text.sample_bottom_k(ds, k=1000))
+        if op == "paragraph_dedup":
+            return text.paragraph_dedup(ds)
+        if op == "source_cap":
+            import ray.data as rd2
+            return rd2.from_arrow(text.stratified_cap(
+                ds.select_columns(["doc_id", "source"]), cap=1000))
+        if op == "sessions":
+            from raphtory_ray.data.asof import sessionize
+            return sessionize(ds, gap=28_800_000_000)
         if op == "pca":
             from raphtory_ray.data.projection import pca_fit, pca_transform
             if "embedding" not in ds.schema().names:
