@@ -1148,9 +1148,7 @@ def _q_user_props_sum(sf_dir: str) -> pa.Table:
                           ["dst"], "pk", "sum", "pk_sum")
     t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
     vids = t["dst"].to_numpy(zero_copy_only=False)
-    sums = t["pk"].to_numpy(zero_copy_only=False) \
-        if "pk" in t.column_names else \
-        t["pk_sum"].to_numpy(zero_copy_only=False)
+    sums = t["pk_sum"].to_numpy(zero_copy_only=False)
     o = np.argsort(vids)
     return pa.table({"vid": pa.array(vids[o], pa.int64()),
                      "pk_sum": pa.array(sums[o], pa.int64())})
@@ -1165,16 +1163,9 @@ def _q_user_edge_latest_filter(sf_dir: str) -> pa.Table:
     gf = user_graph(sf_dir).filter_edges(Prop("w") > 50.0, "latest")
     # distributed group-count (round 5): one row per surviving simple
     # edge reaches the driver, not the event stream
-    from raphtory_ray.query.cypher import _hash_group_agg
-
-    def ones(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "one", pa.array(np.ones(b.num_rows, np.int64)))
-
-    agg = _hash_group_agg(
-        gf.edges.select_columns(["src", "dst"]).map_batches(
-            ones, batch_format="pyarrow", zero_copy_batch=True),
-        ["src", "dst"], "one", "sum", "n_events")
+    from raphtory_ray.query.cypher import group_count
+    agg = group_count(gf.edges.select_columns(["src", "dst"]),
+                      ["src", "dst"], "n_events")
     return pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
 
 
@@ -2215,10 +2206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cypher_cycle": _q_cypher_cycle,
         "cypher_varlen_reach": _q_cypher_varlen,
         "cypher_varlen_hops": _q_cypher_varlen_hops,
-        "cypher_varlen_zero": _q_cypher_varlen_zero,
-        "cypher_cartesian": _q_cypher_cartesian,
-        "cypher_percentiles": _q_cypher_percentiles,
-        "cypher_varlen_unbounded": _q_cypher_varlen_unbounded,
         "cypher_with_hubs": _q_cypher_with_hubs,
         "cypher_optional_followup": _q_cypher_optional,
         "cypher_isnull_antijoin": _q_cypher_isnull,

@@ -686,10 +686,14 @@ _SIMHASH_SINGLETON = SimHashStage()
 
 
 def simhash_signatures(ds, concurrency=None):
-    # SimHashStage is stateless — plain tasks over the full CPU set;
-    # an actor pool would only add spin-up latency (see _minhash_batch)
+    # SimHashStage is stateless — plain tasks; an actor pool would only
+    # add spin-up latency (see _minhash_batch). ``concurrency``, when
+    # given, still bounds the task parallelism (review fix: the knob
+    # silently died in the task conversion).
+    kw = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(lambda b: _SIMHASH_SINGLETON(b),
-                          batch_format="pyarrow", zero_copy_batch=True)
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          **kw)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -159,10 +159,13 @@ def search(postings, terms, mode: str = "and", scoring: str = "tf",
         def prune(bt: pa.Table) -> pa.Table:
             return bt.filter(pc.is_in(bt["token"], value_set=term_set))
 
+    if scoring == "bm25":
+        # materialize the POSTINGS once: both the prune pass and the
+        # doc-length aggregate read them (review fix — materializing only
+        # the pruned hits re-tokenized the whole corpus for dl stats)
+        postings = postings.materialize()
     pruned = postings.map_batches(prune, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    if scoring == "bm25":
-        pruned = pruned.materialize()   # postings re-used for dl stats
     hits = [t for t in pruned.iter_batches(batch_format="pyarrow")
             if t.num_rows]
     score_field = ("score_q" if quantize is not None else "score") \

@@ -210,6 +210,13 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 5, n_clusters: int = 16,
 # ---------------------------------------- kNN label agreement (round 5)
 
 @ray.remote
+def _vec_labels(block: pa.Table, label_col: str):
+    return (block["vec_id"].to_numpy(zero_copy_only=False),
+            block[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+
+
+@ray.remote
 def _knn_label_part(block: pa.Table, all_refs: list, k: int,
                     lab_ref) -> pa.Table:
     """One query block: exact top-k cosine neighbours over the WHOLE
@@ -283,11 +290,11 @@ def knn_label_agreement(ds, k: int = 5, label_col: str = "label"):
             "label": pa.array([], pa.int64()),
             "knn_label": pa.array([], pa.int64()),
             "agree": pa.array([], pa.bool_())}))
-    labs = []
-    for t in ray.get(list(refs)):
-        labs.append((t["vec_id"].to_numpy(zero_copy_only=False),
-                     t[label_col].to_numpy(zero_copy_only=False)
-                     .astype(np.int64)))
+    # extract (vec_id, label) per block in a task wave — pulling the
+    # blocks themselves would ship the embedding columns to the driver
+    # (review fix; the label map is the only O(N) driver data, as the
+    # docstring promises)
+    labs = ray.get([_vec_labels.remote(r, label_col) for r in refs])
     lab_ids = np.concatenate([a for a, _ in labs])
     lab_vals = np.concatenate([b for _, b in labs])
     o = np.argsort(lab_ids)

@@ -336,7 +336,10 @@ def vocab_stats(ds, text_col: str = "text", id_col: str = "doc_id",
             return b.filter(pc.greater_equal(b["df"], pa.scalar(_m)))
 
         out = out.map_batches(dffilter, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
+        # materialized once: both the dropped-terms count below and the
+        # caller's consumption read these blocks (review fix — the lazy
+        # dataset re-ran the filter pass on every consumption)
     if max_vocab is not None:
         V = int(max_vocab)
 
@@ -449,14 +452,17 @@ _LANGID_SINGLETON: dict = {}
 def language_id(ds, concurrency=None):
     # LanguageId's state (marker list) is trivial — plain tasks with a
     # worker-process singleton beat an actor pool's spin-up (round 5,
-    # same reasoning as dedup._minhash_batch)
+    # same reasoning as dedup._minhash_batch). ``concurrency`` still
+    # bounds task parallelism when given.
     def f(b):
         st = _LANGID_SINGLETON.get("l")
         if st is None:
             st = _LANGID_SINGLETON["l"] = LanguageId()
         return st(b)
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    kw = {"concurrency": concurrency} if concurrency is not None else {}
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          **kw)
 
 
 def fingerprints(ds, k: int = 8, window: int = 16):
