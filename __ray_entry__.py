@@ -404,6 +404,19 @@ def _q_user_edges(sf_dir: str):
     return user_edges(sf_dir)
 
 
+def _q_user_funnel(sf_dir: str):
+    """Windowed ordered funnel (round 5; greedy-earliest semantics):
+    signup → click → purchase within 7 days of the first signup; stage =
+    completed steps. One hash(user) route wave + per-step vectorized
+    min-reduces; oracle = chained windowed-MIN joins."""
+    from raphtory_ray.data.asof import funnel_counts
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["signup", "click", "purchase"],
+                         window=604_800_000_000)
+
+
 def _q_user_sessions(sf_dir: str):
     """Gap-based sessionization (round 5; the classic event-pipeline op):
     a user's new session starts when the gap to the previous event (by
@@ -2192,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_graph_edges": _q_user_edges,
         "user_asof_clicks": _q_user_asof_clicks,
         "user_sessions": _q_user_sessions,
+        "user_funnel": _q_user_funnel,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_endpoints": _q_cypher_endpoints,
         "cypher_case_bands": _q_cypher_case_bands,
@@ -3563,6 +3577,25 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_funnel": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1
+         AND t <= t1 + 604800000000 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(t) AS t3
+       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2
+         AND t <= t1 + 604800000000 GROUP BY e.user_id)
+SELECT s1.user_id,
+       (1 + (s2.user_id IS NOT NULL)::INT
+          + (s3.user_id IS NOT NULL)::INT)::BIGINT AS stage,
+       s1.t1 AS t_first
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """,
         "user_sessions": """
 WITH e AS (

@@ -202,3 +202,105 @@ def sessionize(ds, gap: int, user_col: str = "user_id",
     out = [assign.remote(gap, user_col, ts_col, eid_col,
                          *[piece(r, q) for r in s]) for q in range(P)]
     return rd.from_arrow_refs(out)
+
+
+# --------------------------------------------------- funnel (round 5)
+
+def _funnel_route(block, P: int, user_col: str, ts_col: str,
+                  type_col: str):
+    import numpy as np
+    import pyarrow as pa
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    t = block.select([user_col, ts_col, type_col])
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _route(t, _hash_bucket(u, P), P)
+
+
+def _funnel_assign(steps: tuple, window: int, user_col: str, ts_col: str,
+                   type_col: str, *pieces):
+    """One user partition: greedy earliest windowed funnel — step k's
+    time = min ts of its event type strictly after step k-1's time and
+    within ``window`` of step 1's time. Vectorized per step: per-user
+    min-reduce over the type-filtered, threshold-filtered events."""
+    import numpy as np
+    import pyarrow as pa
+    good = [t for t in pieces if t.num_rows]
+    empty = pa.table({user_col: pa.array([], pa.int64()),
+                      "stage": pa.array([], pa.int64()),
+                      "t_first": pa.array([], pa.int64())})
+    if not good:
+        return empty
+    t = pa.concat_tables(good)
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ty = t[type_col].to_numpy(zero_copy_only=False)
+    users = np.unique(u)
+    uidx = np.searchsorted(users, u)
+    INF = np.iinfo(np.int64).max
+    prev = np.full(len(users), -1, np.int64)      # step k-1 completion ts
+    t1 = np.full(len(users), INF, np.int64)
+    stage = np.zeros(len(users), np.int64)
+    for k, s in enumerate(steps):
+        m = ty == s
+        cur = np.full(len(users), INF, np.int64)
+        if m.any():
+            mi, mt = uidx[m], ts[m]
+            if k == 0:
+                ok = np.ones(len(mi), bool)
+            else:
+                ok = (mt > prev[mi]) & (prev[mi] != INF) \
+                    & (mt <= t1[mi] + window)
+            if ok.any():
+                np.minimum.at(cur, mi[ok], mt[ok])
+        if k == 0:
+            t1 = cur
+        done = cur != INF
+        stage[done & (stage == k)] += 1
+        prev = np.where(done, cur, np.full_like(cur, INF))
+        # users who failed this step keep stage; later steps can't match
+        # (prev = INF makes every subsequent ok mask false)
+    keep = stage > 0
+    return pa.table({
+        user_col: pa.array(users[keep], pa.int64()),
+        "stage": pa.array(stage[keep], pa.int64()),
+        "t_first": pa.array(t1[keep], pa.int64())})
+
+
+def funnel_counts(ds, steps: list, window: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type"):
+    """Windowed ordered funnel over an event Dataset (the classic
+    product-analytics op, greedy-earliest semantics): per user, step k
+    completes at the MIN ts of its event type strictly after step k-1's
+    completion and within ``window`` of step 1's time; ``stage`` = number
+    of steps completed (users at stage 0 are omitted). Deterministic —
+    no ordering ambiguity, so the SQL oracle is a chain of windowed MIN
+    joins.
+
+    Scale shape: ONE hash(user) route wave, then len(steps) vectorized
+    per-partition min-reduces. Returns Dataset(user, stage, t_first)."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    mat = ds.select_columns([user_col, ts_col, type_col]).materialize()
+    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
+            if c]
+    if not refs:
+        return rd.from_arrow(pa.table({
+            user_col: pa.array([], pa.int64()),
+            "stage": pa.array([], pa.int64()),
+            "t_first": pa.array([], pa.int64())}))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = max(1, min(32, cpus, -(-mat.count() // 200_000)))
+    route = ray.remote(_funnel_route)
+    assign = ray.remote(_funnel_assign)
+    s = [route.options(num_returns=P if P > 1 else 1)
+         .remote(r, P, user_col, ts_col, type_col) for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    out = [assign.remote(tuple(steps), window, user_col, ts_col,
+                         type_col, *[piece(r, q) for r in s])
+           for q in range(P)]
+    return rd.from_arrow_refs(out)

@@ -1167,3 +1167,27 @@ def test_tune_lsh_scurve():
     import pytest
     with pytest.raises(ValueError):
         tune_lsh(64, 1.5)
+
+
+def test_funnel_greedy_window_semantics(ray_session):
+    """round-5 funnel: greedy-earliest step matching, strict ordering,
+    window anchored at step 1; stage-0 users omitted."""
+    import ray.data as rd
+    from raphtory_ray.data.asof import funnel_counts
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 4], pa.int64()),
+        "ts": pa.array([0, 10, 20, 0, 500, 5, 3, 30, 7], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase",
+                                "view", "click",
+                                "view", "click", "purchase",
+                                "click"])})
+    out = funnel_counts(rd.from_arrow(t).repartition(3),
+                        ["view", "click", "purchase"],
+                        window=100).to_pandas().sort_values("user_id")
+    got = {int(r.user_id): (int(r.stage), int(r.t_first))
+           for r in out.itertuples()}
+    assert got == {1: (3, 0),      # full funnel
+                   2: (1, 0),      # click outside window
+                   3: (1, 5)}      # click BEFORE view: strict order
+    # user 4 (no step-1 event) omitted
+    assert 4 not in got
