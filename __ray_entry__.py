@@ -404,6 +404,27 @@ def _q_user_edges(sf_dir: str):
     return user_edges(sf_dir)
 
 
+def _q_user_cohorts(sf_dir: str):
+    """Cohort retention (round 5): users cohorted by the week of their
+    first event; n_users(cohort, k) = distinct cohort members active k
+    weeks later. One hash(user) route wave + per-partition distinct."""
+    from raphtory_ray.data.asof import cohort_retention
+    import ray.data as rd
+
+    def to_us(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": pc.cast(b["ts"], pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"]).map_batches(
+        to_us, batch_format="pyarrow", zero_copy_batch=True)
+    return cohort_retention(ds, period=604_800_000_000)
+
+
 def _q_user_funnel(sf_dir: str):
     """Windowed ordered funnel (round 5; greedy-earliest semantics):
     signup → click → purchase within 7 days of the first signup; stage =
@@ -2206,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_asof_clicks": _q_user_asof_clicks,
         "user_sessions": _q_user_sessions,
         "user_funnel": _q_user_funnel,
+        "user_cohorts": _q_user_cohorts,
         "cypher_edge_filter": _q_cypher_edge_filter,
         "cypher_endpoints": _q_cypher_endpoints,
         "cypher_case_bands": _q_cypher_case_bands,
@@ -3577,6 +3599,16 @@ FROM j
         "user_graph_edges": f"""
 WITH {_USER_EDGES}
 SELECT src, dst, t, event_id, w FROM user_edges
+""",
+        "user_cohorts": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+),
+c AS (SELECT user_id, MIN(w) AS cohort FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, c.cohort, e.w - c.cohort AS k
+      FROM e JOIN c USING (user_id))
+SELECT cohort, k, COUNT(*)::BIGINT AS n_users
+FROM a GROUP BY cohort, k
 """,
         "user_funnel": """
 WITH e AS (

@@ -304,3 +304,85 @@ def funnel_counts(ds, steps: list, window: int,
                          type_col, *[piece(r, q) for r in s])
            for q in range(P)]
     return rd.from_arrow_refs(out)
+
+
+# ------------------------------------------- cohort retention (round 5)
+
+def _cohort_route(block, P: int, user_col: str, ts_col: str):
+    import numpy as np
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    t = block.select([user_col, ts_col])
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _route(t, _hash_bucket(u, P), P)
+
+
+def _cohort_part(period: int, user_col: str, ts_col: str, *pieces):
+    """One user partition: per-user cohort period (min event period) and
+    the distinct (cohort, offset) pairs of their activity; emits partial
+    counts per (cohort, offset)."""
+    import numpy as np
+    import pyarrow as pa
+    good = [t for t in pieces if t.num_rows]
+    if not good:
+        return pa.table({"cohort": pa.array([], pa.int64()),
+                         "k": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    t = pa.concat_tables(good)
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64) // period
+    users, uidx = np.unique(u, return_inverse=True)
+    cohort = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(cohort, uidx, w)
+    key = uidx * np.int64(1 << 31) + (w - cohort[uidx])   # (user, offset)
+    uk = np.unique(key)
+    ui, off = uk >> 31, uk & np.int64((1 << 31) - 1)
+    ck = cohort[ui] * np.int64(1 << 31) + off
+    cu, cnt = np.unique(ck, return_counts=True)
+    return pa.table({
+        "cohort": pa.array(cu >> 31, pa.int64()),
+        "k": pa.array(cu & np.int64((1 << 31) - 1), pa.int64()),
+        "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def cohort_retention(ds, period: int, user_col: str = "user_id",
+                     ts_col: str = "ts"):
+    """Cohort retention table (the classic growth-analytics op): users
+    cohorted by the period (epoch // period) of their FIRST event;
+    n_users(cohort, k) = distinct users of that cohort active k periods
+    later. One hash(user) route wave (per-user state is partition-local),
+    vectorized per-partition distinct + count, tiny final groupby-sum.
+    Returns Dataset(cohort, k, n_users); ts integer epoch units."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    mat = ds.select_columns([user_col, ts_col]).materialize()
+    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
+            if c]
+    if not refs:
+        return rd.from_arrow(pa.table({
+            "cohort": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64())}))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = max(1, min(32, cpus, -(-mat.count() // 200_000)))
+    route = ray.remote(_cohort_route)
+    part = ray.remote(_cohort_part)
+    s = [route.options(num_returns=P if P > 1 else 1)
+         .remote(r, P, user_col, ts_col) for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    parts = [part.remote(period, user_col, ts_col,
+                         *[piece(r, q) for r in s]) for q in range(P)]
+    out = rd.from_arrow_refs(parts)
+    agg = out.groupby(["cohort", "k"]).aggregate(
+        Sum("n_users", alias_name="n_users_s"))
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["n_users" if c == "n_users_s" else c
+                                 for c in b.column_names])
+
+    return agg.map_batches(rn, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1191,3 +1191,22 @@ def test_funnel_greedy_window_semantics(ray_session):
                    3: (1, 5)}      # click BEFORE view: strict order
     # user 4 (no step-1 event) omitted
     assert 4 not in got
+
+
+def test_cohort_retention_semantics(ray_session):
+    """round-5 cohorts: period of first event defines the cohort; each
+    (cohort, offset) counts DISTINCT users; reshard-invariant."""
+    import ray.data as rd
+    from raphtory_ray.data.asof import cohort_retention
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                  "ts": pa.array([0, 15, 25, 12, 22, 21], pa.int64())})
+    out = cohort_retention(rd.from_arrow(t).repartition(3),
+                           period=10).to_pandas()
+    got = {(int(r.cohort), int(r.k)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1,
+                   (1, 0): 1, (1, 1): 1, (2, 0): 1}
+    out2 = cohort_retention(rd.from_arrow(t), period=10).to_pandas()
+    got2 = {(int(r.cohort), int(r.k)): int(r.n_users)
+            for r in out2.itertuples()}
+    assert got2 == got
