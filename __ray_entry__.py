@@ -1632,6 +1632,15 @@ def _q_doc_leakage_split(sf_dir: str):
     return leakage_safe_split(_docs(sf_dir), val_permille=250, seed=3)
 
 
+def _q_doc_hll_by_lang(sf_dir: str):
+    """GROUPED HyperLogLog register state (round 5): approximate distinct
+    texts per language in one streaming pass + a groupby-max over
+    sketch-sized partials; every (lang, reg, max_rank) row is value-gated
+    against the same DuckDB md5 chain, grouped."""
+    from raphtory_ray.data.sketch import hll_group_registers
+    return hll_group_registers(_docs(sf_dir), group_col="lang")
+
+
 def _q_doc_hll_registers(sf_dir: str) -> pa.Table:
     """HyperLogLog register state over document texts (data/sketch.py):
     md5-based uint64 hash, p=8 → 256 registers, per-block max partials
@@ -2298,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_filter": _q_doc_gopher,
         "doc_leakage_split": _q_doc_leakage_split,
         "doc_hll_registers": _q_doc_hll_registers,
+        "doc_hll_by_lang": _q_doc_hll_by_lang,
         "doc_countmin": _q_doc_countmin,
         "doc_bloom_bits": _q_doc_bloom_bits,
         "doc_normalize": _q_doc_normalize,
@@ -4502,6 +4512,25 @@ rows_ AS (
              ['row'])}
 SELECT row, (k % 1024)::BIGINT AS bucket, COUNT(*)::BIGINT AS "count"
 FROM cm_k GROUP BY row, k % 1024
+""",
+        "doc_hll_by_lang": """
+WITH h AS (
+  SELECT lang, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+  FROM documents
+),
+parts AS (
+  SELECT lang, (h >> 56)::BIGINT AS reg,
+         h & ((1::UBIGINT << 56) - 1) AS w
+  FROM h
+),
+ranked AS (
+  SELECT lang, reg,
+         CASE WHEN strpos(lpad(bin(w), 56, '0'), '1') = 0 THEN 57
+              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rank
+  FROM parts
+)
+SELECT lang, reg, MAX(rank)::BIGINT AS max_rank
+FROM ranked GROUP BY lang, reg
 """,
         "doc_hll_registers": """
 WITH h AS (

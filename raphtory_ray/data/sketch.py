@@ -205,3 +205,56 @@ def bloom_contains(bits_tbl: pa.Table, texts: list[str], k: int = 5,
         return np.zeros(0, bool)
     pos = _bloom_positions(h, k, m)
     return bits[pos].all(axis=0)
+
+
+# -------------------------------------------- grouped HLL (round 5)
+
+def _group_registers_block(b: pa.Table, col: str, group_col: str,
+                           p: int) -> pa.Table:
+    """Per-(group, touched register) max ranks for one block — the
+    mergeable grouped-sketch partial (≤ groups·2^p rows, usually far
+    fewer)."""
+    txt = b[col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    g = b[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    h = _md5_u64([x.encode() if isinstance(x, str) else x
+                  for x in txt.to_pylist()])
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.where(w > 0, (64 - p) - _bit_length_u64(w) + 1, 64 - p + 1)
+    import pyarrow.compute as pc
+    dg = pc.dictionary_encode(g)
+    codes = dg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = codes * np.int64(1 << p) + reg
+    uk, inv = np.unique(key, return_inverse=True)
+    mx = np.zeros(len(uk), np.int64)
+    np.maximum.at(mx, inv, rank)
+    return pa.table({
+        group_col: dg.dictionary.take(pa.array(uk >> p)),
+        "reg": pa.array(uk & np.int64((1 << p) - 1), pa.int64()),
+        "max_rank": pa.array(mx, pa.int64())})
+
+
+def hll_group_registers(ds, col: str = "text", group_col: str = "lang",
+                        p: int = 8):
+    """Grouped HLL register state: (group, reg, max_rank) for every
+    touched register of every group — approximate DISTINCT per group in
+    one streaming pass + one groupby-max over sketch-sized partials
+    (never over the data). Feed each group's rows to ``hll_estimate``
+    for the count. Returns a Dataset."""
+    from ray.data.aggregate import Max
+    parts = ds.select_columns([col, group_col]).map_batches(
+        lambda b: _group_registers_block(b, col, group_col, p),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby([group_col, "reg"]).aggregate(
+        Max("max_rank", alias_name="mr"))
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["max_rank" if c == "mr" else c
+                                 for c in b.column_names])
+
+    return agg.map_batches(rn, batch_format="pyarrow",
+                           zero_copy_batch=True)
