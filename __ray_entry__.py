@@ -410,18 +410,8 @@ def _q_user_cohorts(sf_dir: str):
     weeks later. One hash(user) route wave + per-partition distinct."""
     from raphtory_ray.data.asof import cohort_retention
     import ray.data as rd
-
-    def to_us(b):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        return pa.table({
-            "user_id": b["user_id"],
-            "ts": pc.cast(b["ts"], pa.int64()),
-        })
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"]).map_batches(
-        to_us, batch_format="pyarrow", zero_copy_batch=True)
+                         columns=["user_id", "ts"])
     return cohort_retention(ds, period=604_800_000_000)
 
 

@@ -117,19 +117,54 @@ def asof_join(left, right, by: str, on: str,
     return rd.from_arrow_refs(parts)
 
 
+# --------------------------------------- shared per-user route wave (r5)
+
+@ray.remote
+def _user_route(block: pa.Table, P: int, cols: tuple, key_col: str):
+    """Select ``cols`` and route by hash(key_col) — the map side shared
+    by sessionize / funnel_counts / cohort_retention (review fix: three
+    near-identical route functions collapsed here)."""
+    from raphtory_ray.data.dedup import _hash_bucket, _route
+    t = block.select(list(cols))
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _route(t, _hash_bucket(k, P), P)
+
+
+def _user_route_wave(ds, cols: list, key_col: str, assign_remote,
+                     assign_args: tuple, empty_schema: dict,
+                     rows_per_part: int = 200_000,
+                     num_partitions: int | None = None):
+    """Materialize → ONE hash(key) route wave → per-partition assign
+    task; returns the assign outputs as a Dataset. ``num_partitions``
+    overrides the data-sized P (tests pin it to exercise the multi-
+    partition path)."""
+    import ray as _r
+    import ray.data as rd
+    mat = ds.select_columns(cols).materialize()
+    refs = [r for r, n in zip(mat.to_arrow_refs(), mat._block_num_rows())
+            if n]
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in empty_schema.items()}))
+    cpus = int(_r.cluster_resources().get("CPU", 8))
+    P = num_partitions or max(1, min(32, cpus,
+                                     -(-mat.count() // rows_per_part)))
+    s = [_user_route.options(num_returns=P if P > 1 else 1)
+         .remote(r, P, tuple(cols), key_col) for r in refs]
+
+    def piece(row, q):
+        return row[q] if P > 1 else row
+
+    out = [assign_remote.remote(*assign_args,
+                                *[piece(r, q) for r in s])
+           for q in range(P)]
+    return rd.from_arrow_refs(out)
+
+
 # ------------------------------------------------- sessionization (round 5)
 
-def _sess_route(block, P: int, user_col: str, ts_col: str,
-                eid_col: str):
-    import numpy as np
-    import pyarrow as pa
-    from raphtory_ray.data.dedup import _hash_bucket, _route
-    cols = [user_col, ts_col, eid_col]
-    t = block.select(cols)
-    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    return _route(t, _hash_bucket(u, P), P)
 
-
+@ray.remote
 def _sess_assign(gap: int, user_col: str, ts_col: str, eid_col: str,
                  *pieces):
     """One user partition: per-user (ts, event_id)-ordered gap splits;
@@ -166,56 +201,30 @@ def _sess_assign(gap: int, user_col: str, ts_col: str, eid_col: str,
 
 
 def sessionize(ds, gap: int, user_col: str = "user_id",
-               ts_col: str = "ts", eid_col: str = "event_id"):
+               ts_col: str = "ts", eid_col: str = "event_id",
+               num_partitions: int | None = None):
     """Gap-based sessionization of an event Dataset (the classic event-
     pipeline op): within each user's (ts, event_id)-ordered stream, a new
     session starts whenever the gap to the previous event exceeds
     ``gap``; session_id = user_id·2^20 + session ordinal (deterministic,
-    reshard-invariant).
+    reshard-invariant; < 2^20 sessions per user by engine contract).
 
     Scale shape: ONE hash(user) route wave so each user's history meets
     in exactly one partition (the as-of join's documented partitioning
     assumption), then a vectorized per-partition lexsort + cumulative
     break count. Returns Dataset(user_col, eid_col, session_id). ``ts``
     must be integer-comparable (epoch units)."""
-    import ray
-    import ray.data as rd
-    mat = ds.select_columns([user_col, ts_col, eid_col]).materialize()
-    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
-            if c]
-    if not refs:
-        import pyarrow as pa
-        return rd.from_arrow(pa.table({
-            user_col: pa.array([], pa.int64()),
-            eid_col: pa.array([], pa.int64()),
-            "session_id": pa.array([], pa.int64())}))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = max(1, min(32, cpus, -(-mat.count() // 200_000)))
-    route = ray.remote(_sess_route)
-    assign = ray.remote(_sess_assign)
-    s = [route.options(num_returns=P if P > 1 else 1)
-         .remote(r, P, user_col, ts_col, eid_col) for r in refs]
-
-    def piece(row, q):
-        return row[q] if P > 1 else row
-
-    out = [assign.remote(gap, user_col, ts_col, eid_col,
-                         *[piece(r, q) for r in s]) for q in range(P)]
-    return rd.from_arrow_refs(out)
+    return _user_route_wave(
+        ds, [user_col, ts_col, eid_col], user_col, _sess_assign,
+        (gap, user_col, ts_col, eid_col),
+        {user_col: pa.int64(), eid_col: pa.int64(),
+         "session_id": pa.int64()},
+        num_partitions=num_partitions)
 
 
 # --------------------------------------------------- funnel (round 5)
 
-def _funnel_route(block, P: int, user_col: str, ts_col: str,
-                  type_col: str):
-    import numpy as np
-    import pyarrow as pa
-    from raphtory_ray.data.dedup import _hash_bucket, _route
-    t = block.select([user_col, ts_col, type_col])
-    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    return _route(t, _hash_bucket(u, P), P)
-
-
+@ray.remote
 def _funnel_assign(steps: tuple, window: int, user_col: str, ts_col: str,
                    type_col: str, *pieces):
     """One user partition: greedy earliest windowed funnel — step k's
@@ -268,7 +277,8 @@ def _funnel_assign(steps: tuple, window: int, user_col: str, ts_col: str,
 
 def funnel_counts(ds, steps: list, window: int,
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type"):
+                  type_col: str = "event_type",
+                  num_partitions: int | None = None):
     """Windowed ordered funnel over an event Dataset (the classic
     product-analytics op, greedy-earliest semantics): per user, step k
     completes at the MIN ts of its event type strictly after step k-1's
@@ -277,45 +287,29 @@ def funnel_counts(ds, steps: list, window: int,
     no ordering ambiguity, so the SQL oracle is a chain of windowed MIN
     joins.
 
-    Scale shape: ONE hash(user) route wave, then len(steps) vectorized
-    per-partition min-reduces. Returns Dataset(user, stage, t_first)."""
-    import ray
-    import ray.data as rd
-    import pyarrow as pa
-    mat = ds.select_columns([user_col, ts_col, type_col]).materialize()
-    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
-            if c]
-    if not refs:
-        return rd.from_arrow(pa.table({
-            user_col: pa.array([], pa.int64()),
-            "stage": pa.array([], pa.int64()),
-            "t_first": pa.array([], pa.int64())}))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = max(1, min(32, cpus, -(-mat.count() // 200_000)))
-    route = ray.remote(_funnel_route)
-    assign = ray.remote(_funnel_assign)
-    s = [route.options(num_returns=P if P > 1 else 1)
-         .remote(r, P, user_col, ts_col, type_col) for r in refs]
+    Scale shape: rows of event types outside ``steps`` are dropped
+    BEFORE the hash(user) route wave (review fix — they can never
+    match), then len(steps) vectorized per-partition min-reduces.
+    Returns Dataset(user, stage, t_first)."""
+    import pyarrow.compute as pc
+    step_set = pa.array(sorted(set(steps)), pa.string())
 
-    def piece(row, q):
-        return row[q] if P > 1 else row
+    def keep_steps(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[type_col], value_set=step_set))
 
-    out = [assign.remote(tuple(steps), window, user_col, ts_col,
-                         type_col, *[piece(r, q) for r in s])
-           for q in range(P)]
-    return rd.from_arrow_refs(out)
+    pruned = ds.select_columns([user_col, ts_col, type_col]).map_batches(
+        keep_steps, batch_format="pyarrow", zero_copy_batch=True)
+    return _user_route_wave(
+        pruned, [user_col, ts_col, type_col], user_col, _funnel_assign,
+        (tuple(steps), window, user_col, ts_col, type_col),
+        {user_col: pa.int64(), "stage": pa.int64(),
+         "t_first": pa.int64()},
+        num_partitions=num_partitions)
 
 
 # ------------------------------------------- cohort retention (round 5)
 
-def _cohort_route(block, P: int, user_col: str, ts_col: str):
-    import numpy as np
-    from raphtory_ray.data.dedup import _hash_bucket, _route
-    t = block.select([user_col, ts_col])
-    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    return _route(t, _hash_bucket(u, P), P)
-
-
+@ray.remote
 def _cohort_part(period: int, user_col: str, ts_col: str, *pieces):
     """One user partition: per-user cohort period (min event period) and
     the distinct (cohort, offset) pairs of their activity; emits partial
@@ -333,56 +327,34 @@ def _cohort_part(period: int, user_col: str, ts_col: str, *pieces):
     users, uidx = np.unique(u, return_inverse=True)
     cohort = np.full(len(users), np.iinfo(np.int64).max, np.int64)
     np.minimum.at(cohort, uidx, w)
-    key = uidx * np.int64(1 << 31) + (w - cohort[uidx])   # (user, offset)
-    uk = np.unique(key)
-    ui, off = uk >> 31, uk & np.int64((1 << 31) - 1)
-    ck = cohort[ui] * np.int64(1 << 31) + off
-    cu, cnt = np.unique(ck, return_counts=True)
+    # pair-uniques via stacked columns — no integer bit-packing, so
+    # arbitrary cohort magnitudes / activity spans are safe (review fix:
+    # the previous 31-bit packing wrapped for fine periods)
+    uo = np.unique(np.stack([uidx, w - cohort[uidx]]), axis=1)
+    ui, off = uo[0], uo[1]
+    cu, cnt_idx, cnt = np.unique(np.stack([cohort[ui], off]), axis=1,
+                                 return_index=True, return_counts=True)
     return pa.table({
-        "cohort": pa.array(cu >> 31, pa.int64()),
-        "k": pa.array(cu & np.int64((1 << 31) - 1), pa.int64()),
+        "cohort": pa.array(cu[0], pa.int64()),
+        "k": pa.array(cu[1], pa.int64()),
         "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
 def cohort_retention(ds, period: int, user_col: str = "user_id",
-                     ts_col: str = "ts"):
+                     ts_col: str = "ts",
+                     num_partitions: int | None = None):
     """Cohort retention table (the classic growth-analytics op): users
     cohorted by the period (epoch // period) of their FIRST event;
     n_users(cohort, k) = distinct users of that cohort active k periods
     later. One hash(user) route wave (per-user state is partition-local),
     vectorized per-partition distinct + count, tiny final groupby-sum.
-    Returns Dataset(cohort, k, n_users); ts integer epoch units."""
-    import ray
-    import ray.data as rd
-    import pyarrow as pa
+    Returns Dataset(cohort, k, n_users); ts integer epoch units (a
+    parquet timestamp column coerces via the int64 view)."""
     from ray.data.aggregate import Sum
-    mat = ds.select_columns([user_col, ts_col]).materialize()
-    refs = [r for r, c in zip(mat.to_arrow_refs(), mat._block_num_rows())
-            if c]
-    if not refs:
-        return rd.from_arrow(pa.table({
-            "cohort": pa.array([], pa.int64()),
-            "k": pa.array([], pa.int64()),
-            "n_users": pa.array([], pa.int64())}))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = max(1, min(32, cpus, -(-mat.count() // 200_000)))
-    route = ray.remote(_cohort_route)
-    part = ray.remote(_cohort_part)
-    s = [route.options(num_returns=P if P > 1 else 1)
-         .remote(r, P, user_col, ts_col) for r in refs]
-
-    def piece(row, q):
-        return row[q] if P > 1 else row
-
-    parts = [part.remote(period, user_col, ts_col,
-                         *[piece(r, q) for r in s]) for q in range(P)]
-    out = rd.from_arrow_refs(parts)
-    agg = out.groupby(["cohort", "k"]).aggregate(
-        Sum("n_users", alias_name="n_users_s"))
-
-    def rn(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["n_users" if c == "n_users_s" else c
-                                 for c in b.column_names])
-
-    return agg.map_batches(rn, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    out = _user_route_wave(
+        ds, [user_col, ts_col], user_col, _cohort_part,
+        (period, user_col, ts_col),
+        {"cohort": pa.int64(), "k": pa.int64(), "n_users": pa.int64()},
+        num_partitions=num_partitions)
+    return out.groupby(["cohort", "k"]).aggregate(
+        Sum("n_users", alias_name="n_users"))

@@ -227,7 +227,12 @@ def _group_registers_block(b: pa.Table, col: str, group_col: str,
     rank = np.where(w > 0, (64 - p) - _bit_length_u64(w) + 1, 64 - p + 1)
     import pyarrow.compute as pc
     dg = pc.dictionary_encode(g)
-    codes = dg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = dg.indices.to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(codes) if codes.dtype.kind == "f" \
+        else np.ones(len(codes), bool)
+    codes = np.where(valid, codes, 0).astype(np.int64)
+    reg, rank = reg[valid], rank[valid]
+    codes = codes[valid]
     key = codes * np.int64(1 << p) + reg
     uk, inv = np.unique(key, return_inverse=True)
     mx = np.zeros(len(uk), np.int64)
@@ -244,17 +249,12 @@ def hll_group_registers(ds, col: str = "text", group_col: str = "lang",
     touched register of every group — approximate DISTINCT per group in
     one streaming pass + one groupby-max over sketch-sized partials
     (never over the data). Feed each group's rows to ``hll_estimate``
-    for the count. Returns a Dataset."""
+    for the count. Null-group rows are EXCLUDED (document the contract
+    rather than silently folding them into a group). Returns a
+    Dataset."""
     from ray.data.aggregate import Max
     parts = ds.select_columns([col, group_col]).map_batches(
         lambda b: _group_registers_block(b, col, group_col, p),
         batch_format="pyarrow", zero_copy_batch=True)
-    agg = parts.groupby([group_col, "reg"]).aggregate(
-        Max("max_rank", alias_name="mr"))
-
-    def rn(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["max_rank" if c == "mr" else c
-                                 for c in b.column_names])
-
-    return agg.map_batches(rn, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return parts.groupby([group_col, "reg"]).aggregate(
+        Max("max_rank", alias_name="max_rank"))

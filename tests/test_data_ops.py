@@ -1235,3 +1235,42 @@ def test_hll_group_registers_parity(ray_session):
         est = hll_estimate(pa.Table.from_pandas(sub))
         true = len({x for x, l in zip(texts, langs) if l == g})
         assert abs(est - true) / true < 0.15      # p=8 ~6.5% stderr
+
+
+def test_user_route_wave_multi_partition(ray_session):
+    """round-5 review fix: pin num_partitions > 1 so the multi-partition
+    route/piece path is actually exercised — results identical to P=1."""
+    import ray.data as rd
+    from raphtory_ray.data.asof import (sessionize, funnel_counts,
+                                        cohort_retention)
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 10_000, n)), pa.int64()),
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(
+            [["view", "click", "purchase"][i] for i in
+             rng.integers(0, 3, n)])})
+    ds = rd.from_arrow(t).repartition(5)
+    for P in (1, 4):
+        kw = {"num_partitions": P}
+        s = sessionize(ds, gap=100, **kw).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        f = funnel_counts(ds, ["view", "click", "purchase"], window=2000,
+                          **kw).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        c = cohort_retention(ds, period=1000, **kw).to_pandas() \
+            .sort_values(["cohort", "k"]).reset_index(drop=True)
+        if P == 1:
+            s1, f1, c1 = s, f, c
+        else:
+            assert s.equals(s1) and f.equals(f1) and c.equals(c1)
+    # overflow-safety (review fix): fine period over epoch-scale stamps
+    big = pa.table({
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000, 1_700_000_050_000_000,
+                        1_700_000_000_000_000], pa.int64())})
+    cr = cohort_retention(rd.from_arrow(big), period=1000).to_pandas()
+    assert (cr["cohort"] == 1_700_000_000_000).sum() >= 1
+    assert set(cr["k"]) == {0, 50_000}
