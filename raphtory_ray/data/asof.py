@@ -332,8 +332,8 @@ def _cohort_part(period: int, user_col: str, ts_col: str, *pieces):
     # the previous 31-bit packing wrapped for fine periods)
     uo = np.unique(np.stack([uidx, w - cohort[uidx]]), axis=1)
     ui, off = uo[0], uo[1]
-    cu, cnt_idx, cnt = np.unique(np.stack([cohort[ui], off]), axis=1,
-                                 return_index=True, return_counts=True)
+    cu, cnt = np.unique(np.stack([cohort[ui], off]), axis=1,
+                        return_counts=True)
     return pa.table({
         "cohort": pa.array(cu[0], pa.int64()),
         "k": pa.array(cu[1], pa.int64()),
