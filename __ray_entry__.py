@@ -1266,6 +1266,30 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
                             scoring="bm25", quantize=1e6)
 
 
+def _q_doc_source_quality(sf_dir: str):
+    """Per-source corpus quality rollup (round 5; composed pipeline:
+    quality_stats → groupby-sum): integer character-class totals + doc
+    counts per source — bit-exact against GROUP BY SUM."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from raphtory_ray.data.text import quality_stats_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def q(b: pa.Table) -> pa.Table:
+        t = quality_stats_batch(b)
+        return t.append_column("source", b["source"])
+
+    stats = ds.map_batches(q, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return stats.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Sum("n_alpha", alias_name="sum_alpha"),
+        Sum("n_digit", alias_name="sum_digit"),
+        Sum("n_punct", alias_name="sum_punct"))
+
+
 def _q_doc_source_cap(sf_dir: str) -> pa.Table:
     """Domain-mix rebalancing (round 5): at most 40 docs per source,
     chosen by the smallest splitmix64(doc_id) ranks — deterministic,
@@ -2288,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": _q_doc_redact,
         "doc_sample_stratified": _q_doc_sample,
         "doc_source_cap": _q_doc_source_cap,
+        "doc_source_quality": _q_doc_source_quality,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pack_sequences": _q_doc_pack,
         "doc_training_pipeline": _q_doc_training_pipeline,
@@ -4673,6 +4698,18 @@ WITH m AS (
 SELECT doc_id, source, lang FROM s5
 WHERE (z5 % 1000) < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN 700 ELSE 300 END
+""",
+        "doc_source_quality": """
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS sum_chars,
+       SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT
+         AS sum_alpha,
+       SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))::BIGINT
+         AS sum_digit,
+       SUM(length(text)
+           - length(regexp_replace(text,
+               '[.,;:!?''"()\[\]{}-]', '', 'g')))::BIGINT AS sum_punct
+FROM documents GROUP BY source
 """,
         "doc_source_cap": """
 WITH m AS (
