@@ -1067,14 +1067,15 @@ def tune_lsh(num_perm: int = 64, threshold: float = 0.7,
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     xs = np.linspace(0, 1, 201)
+    trapz = getattr(np, "trapezoid", None) or np.trapz
     best, best_cost = (1, num_perm), np.inf
     for b in range(1, num_perm + 1):
         r = num_perm // b
         if r == 0:
             break
         p = 1.0 - (1.0 - xs ** r) ** b
-        fp = np.trapz(p[xs < threshold], xs[xs < threshold])
-        fn = np.trapz(1.0 - p[xs >= threshold], xs[xs >= threshold])
+        fp = trapz(p[xs < threshold], xs[xs < threshold])
+        fn = trapz(1.0 - p[xs >= threshold], xs[xs >= threshold])
         cost = fp_weight * fp + (1.0 - fp_weight) * fn
         if cost < best_cost:
             best, best_cost = (b, r), cost
