@@ -207,6 +207,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["user_sessions"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from raphtory_ray.data.asof import funnel_counts, cohort_retention
+    funnel_counts(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]),
+        ["signup", "click", "purchase"],
+        window=604_800_000_000).materialize()
+    queries["user_funnel"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cohort_retention(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        period=604_800_000_000).materialize()
+    queries["user_cohorts"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     from raphtory_ray.data.similarity import knn_bruteforce
     from raphtory_ray.data.dedup import embedding_matrix
     import pyarrow.parquet as pq
