@@ -667,6 +667,16 @@ def _q_cypher_varlen_hops(sf_dir: str):
                   "length(r) AS hops")
 
 
+def _q_cypher_shortest_path(sf_dir: str):
+    """shortestPath() pattern function (round 5): desugars onto the
+    min-hops var-length binding; length(p) = shortest path length within
+    the bound, vs the recursive-CTE MIN(k) oracle."""
+    from raphtory_ray.query import cypher
+    return cypher(_user_gf(sf_dir),
+                  "MATCH p = shortestPath((a)-[*1..3]->(b)) "
+                  "RETURN a AS src, b AS dst, length(p) AS hops")
+
+
 def _q_cypher_varlen_zero(sf_dir: str):
     """Zero-length variable-length path (round 5): [*0..2] binds the
     endpoint to the start node itself at 0 hops (one identity row per
@@ -2208,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS rows inside the driver's 50-query window
         "cypher_varlen_zero": _q_cypher_varlen_zero,
         "cypher_varlen_unbounded": _q_cypher_varlen_unbounded,
+        "cypher_shortest_path": _q_cypher_shortest_path,
         "cypher_cartesian": _q_cypher_cartesian,
         "cypher_percentiles": _q_cypher_percentiles,
         "copurchase_edge_dedup": _q_edge_dedup,
@@ -3921,6 +3932,17 @@ e1 AS (SELECT src, dst FROM user_edges WHERE w > 280.0),
 e2 AS (SELECT src, dst FROM user_edges WHERE w > 290.0)
 SELECT e1.src AS a, e1.dst AS b, e2.src AS c, e2.dst AS d
 FROM e1 CROSS JOIN e2
+""",
+        "cypher_shortest_path": f"""
+WITH RECURSIVE {_USER_EDGES},
+base AS (SELECT DISTINCT src, dst FROM user_edges),
+r AS (
+  SELECT src AS a, dst AS b, 1 AS k FROM base
+  UNION
+  SELECT r.a, x.dst, r.k + 1 FROM r JOIN base x ON r.b = x.src
+  WHERE r.k < 3
+)
+SELECT a AS src, b AS dst, MIN(k)::BIGINT AS hops FROM r GROUP BY 1, 2
 """,
         "cypher_varlen_hops": f"""
 WITH RECURSIVE {_USER_EDGES},

@@ -346,6 +346,33 @@ class _P:
                      pre, optional, skip, unwind=unwind)
 
     def chain(self) -> Chain:
+        # p = shortestPath((a)-[*..k]->(b))  (round 5; Neo4j §4.6 path
+        # functions): desugars onto the min-hops var-length binding — the
+        # engine's length(p) contract IS the shortest qualifying walk
+        # length, so the pattern needs no new runtime machinery.
+        if (self.peek()[0] == "ident"
+                and self.peek(1) == ("punct", "=")
+                and self.peek(2)[0] == "ident"
+                and self.peek(2)[1].lower() == "shortestpath"):
+            pvar = self.next()[1]
+            self.next()                       # =
+            self.next()                       # shortestPath
+            self.expect("punct", "(")
+            inner = self.chain()
+            self.expect("punct", ")")
+            if len(inner.edges) != 1:
+                raise SyntaxError(
+                    "shortestPath takes a single relationship pattern")
+            ep = inner.edges[0]
+            if ep.var_length is None:
+                ep.var_length = (1, 1)
+            if ep.var is None:
+                ep.var = pvar
+            elif ep.var != pvar:
+                raise SyntaxError(
+                    f"shortestPath path variable {pvar!r} conflicts with "
+                    f"relationship variable {ep.var!r}")
+            return inner
         nodes = [self.node_pat()]
         edges = []
         while self.peek() in (("punct", "-"), ("punct", "<-")):

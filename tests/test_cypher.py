@@ -1405,3 +1405,28 @@ def test_optional_match_disjoint_patterns(ray_session):
            "RETURN a, b, count(f.t) AS n",
            "SELECT src AS a, dst AS b, 0::BIGINT AS n "
            "FROM e WHERE w > 0.95")
+
+
+def test_shortest_path_pattern_function(ray_session):
+    """round-5 shortestPath(): min path length per reachable pair; a
+    single-hop inner pattern desugars to [*1..1]; conflicts rejected."""
+    gf, edges, verts = _gf()
+    _check(gf, edges, verts,
+           "MATCH p = shortestPath((a)-[*1..3]->(b)) "
+           "RETURN a, b, length(p) AS hops",
+           "WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM e), "
+           "r AS (SELECT src AS a, dst AS b, 1 AS k FROM base "
+           "      UNION SELECT r.a, x.dst, r.k + 1 FROM r "
+           "      JOIN base x ON r.b = x.src WHERE r.k < 3) "
+           "SELECT a, b, MIN(k) AS hops FROM r GROUP BY 1, 2")
+    _check(gf, edges, verts,
+           "MATCH p = shortestPath((a)-[]->(b)) "
+           "RETURN count(*) AS n",
+           "SELECT COUNT(*) AS n FROM "
+           "(SELECT DISTINCT src, dst FROM e)")
+    from raphtory_ray.query import cypher
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH p = shortestPath((a)-[]->(b)-[]->(c)) "
+                   "RETURN a")
+    with pytest.raises(SyntaxError):
+        cypher(gf, "MATCH p = shortestPath((a)-[r*1..2]->(b)) RETURN a")
