@@ -353,7 +353,11 @@ class _P:
         if (self.peek()[0] == "ident"
                 and self.peek(1) == ("punct", "=")
                 and self.peek(2)[0] == "ident"
-                and self.peek(2)[1].lower() == "shortestpath"):
+                and self.peek(2)[1].lower() in ("shortestpath",
+                                                "allshortestpaths")):
+            # allShortestPaths is an alias here: the engine's output is
+            # PAIR-level (endpoints + min length), where the two Neo4j
+            # functions coincide — path ENUMERATION is out of scope
             pvar = self.next()[1]
             self.next()                       # =
             self.next()                       # shortestPath

@@ -1430,3 +1430,15 @@ def test_shortest_path_pattern_function(ray_session):
                    "RETURN a")
     with pytest.raises(SyntaxError):
         cypher(gf, "MATCH p = shortestPath((a)-[r*1..2]->(b)) RETURN a")
+
+
+def test_all_shortest_paths_alias(ray_session):
+    """allShortestPaths ≡ shortestPath at the engine's pair-level output
+    (endpoints + min length; path enumeration is out of scope)."""
+    from raphtory_ray.query import cypher
+    gf, edges, verts = _gf()
+    a = _rows(cypher(gf, "MATCH p = shortestPath((a)-[*1..2]->(b)) "
+                         "RETURN a, b, length(p) AS h"))
+    b = _rows(cypher(gf, "MATCH p = allShortestPaths((a)-[*1..2]->(b)) "
+                         "RETURN a, b, length(p) AS h"))
+    assert a == b
