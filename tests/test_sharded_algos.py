@@ -211,3 +211,27 @@ def test_owned_delta_checkpoint_resume(ray_session, tmp_path):
         w2 = eng.wcc_owned(checkpoint=CheckpointManager(
             str(tmp_path / "wcc")), checkpoint_every=2)
         assert np.array_equal(w2, w1)
+
+
+def test_bspgraph_checkpoint_kwarg_routes_to_sharded(ray_session, tmp_path):
+    """BspGraph.lpa/wcc with checkpoint= route through the owned-delta
+    engine regardless of size and resume to identical labels."""
+    from raphtory_ray.pipelines.checkpoint import CheckpointManager
+    from raphtory_ray.state.shards import BspGraph
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 1500)
+    dst = rng.integers(0, 300, 1500)
+    g = BspGraph.from_arrays(src, dst, 300, num_blocks=3)
+    want, _ = g.lpa(iter_count=6, until_converged=False, engine="task")
+    ck = CheckpointManager(str(tmp_path / "l"))
+    got, _ = g.lpa(iter_count=6, until_converged=False,
+                   checkpoint=ck, checkpoint_every=2)
+    assert np.array_equal(got, want)
+    got2, _ = g.lpa(iter_count=6, until_converged=False,
+                    checkpoint=CheckpointManager(str(tmp_path / "l")),
+                    checkpoint_every=2)
+    assert np.array_equal(got2, want)
+    w_want = g.wcc(engine="task")
+    w_got = g.wcc(checkpoint=CheckpointManager(str(tmp_path / "w")))
+    assert np.array_equal(w_got, w_want)
+    g._sharded.shutdown()
