@@ -258,3 +258,26 @@ def hll_group_registers(ds, col: str = "text", group_col: str = "lang",
         batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby([group_col, "reg"]).aggregate(
         Max("max_rank", alias_name="max_rank"))
+
+
+def hll_group_estimates(ds, col: str = "text", group_col: str = "lang",
+                        p: int = 8) -> pa.Table:
+    """(group, distinct_est) — hll_group_registers finished per group
+    with the standard estimator. The pull is sketch-sized (≤ groups·2^p
+    rows), never the data."""
+    regs = hll_group_registers(ds, col, group_col, p)
+    import ray as _r
+    parts = [t for t in _r.get(regs.materialize().to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "distinct_est": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts)
+    groups = t[group_col].to_numpy(zero_copy_only=False)
+    out_g, out_e = [], []
+    for g in np.unique(groups):
+        sub = t.filter(pa.array(groups == g))
+        out_g.append(g)
+        out_e.append(hll_estimate(sub, p))
+    return pa.table({group_col: pa.array(list(out_g)),
+                     "distinct_est": pa.array(out_e, pa.float64())})

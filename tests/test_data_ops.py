@@ -1274,3 +1274,16 @@ def test_user_route_wave_multi_partition(ray_session):
     cr = cohort_retention(rd.from_arrow(big), period=1000).to_pandas()
     assert (cr["cohort"] == 1_700_000_000_000).sum() >= 1
     assert set(cr["k"]) == {0, 50_000}
+
+
+def test_hll_group_estimates(ray_session):
+    import ray.data as rd
+    from raphtory_ray.data.sketch import hll_group_estimates
+    rng = np.random.default_rng(1)
+    texts = [f"v{i}" for i in rng.integers(0, 300, 2000)]
+    langs = [("en" if i % 2 else "de") for i in range(2000)]
+    t = pa.table({"text": pa.array(texts), "lang": pa.array(langs)})
+    est = hll_group_estimates(rd.from_arrow(t).repartition(3)).to_pandas()
+    for _, r in est.iterrows():
+        true = len({x for x, l in zip(texts, langs) if l == r["lang"]})
+        assert abs(r["distinct_est"] - true) / true < 0.15
