@@ -1276,6 +1276,13 @@ def _q_doc_text_search(sf_dir: str) -> pa.Table:
                             scoring="bm25", quantize=1e6)
 
 
+def _q_doc_line_stats(sf_dir: str):
+    """Duplicate-line repetition signal (round 5; MassiveText/Gopher
+    §A1.1): per-doc total and distinct line counts, integer-exact."""
+    from raphtory_ray.data.text import line_stats
+    return line_stats(_docs(sf_dir))
+
+
 def _q_doc_source_quality(sf_dir: str):
     """Per-source corpus quality rollup (round 5; composed pipeline:
     quality_stats → groupby-sum): integer character-class totals + doc
@@ -2324,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _q_doc_sample,
         "doc_source_cap": _q_doc_source_cap,
         "doc_source_quality": _q_doc_source_quality,
+        "doc_line_stats": _q_doc_line_stats,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pack_sequences": _q_doc_pack,
         "doc_training_pipeline": _q_doc_training_pipeline,
@@ -4720,6 +4728,15 @@ WITH m AS (
 SELECT doc_id, source, lang FROM s5
 WHERE (z5 % 1000) < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN 700 ELSE 300 END
+""",
+        "doc_line_stats": """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+       COUNT(DISTINCT line)::BIGINT AS n_distinct_lines
+FROM l GROUP BY doc_id
 """,
         "doc_source_quality": """
 SELECT source, COUNT(*)::BIGINT AS n_docs,

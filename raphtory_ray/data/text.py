@@ -1154,3 +1154,40 @@ def stratified_cap(ds, group_col: str = "source", cap: int = 100,
         return pa.table({f.name: pa.array([], f.type) for f in sch})
     return _group_capk_block(pa.concat_tables(parts), group_col, cap,
                              id_col, seed)
+
+
+# ------------------------------------- duplicate-line stats (round 5)
+
+def line_stats_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_lines, n_distinct_lines) — the MassiveText/Gopher
+    duplicate-line repetition signal (Rae et al. 2021 §A1.1: docs with a
+    high duplicate-line fraction are boilerplate). Counts are integers so
+    the SQL oracle compares exactly; one vectorized pass (split + one
+    lexsort over the flat line list, no per-row Python)."""
+    txt = b[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lines = pc.split_pattern(txt, "\n")
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n = b.num_rows
+    total = np.zeros(n, np.int64)
+    cnt = np.bincount(parent, minlength=n) if len(parent) else total
+    total[:len(cnt)] = cnt
+    flat = pc.list_flatten(lines)
+    # distinct per doc: dictionary-encode lines, unique (doc, code) pairs
+    dd = pc.dictionary_encode(flat)
+    codes = dd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = max(len(dd.dictionary), 1)
+    key = parent * np.int64(nv) + codes
+    uk = np.unique(key)
+    distinct = np.zeros(n, np.int64)
+    ud, uc = np.unique(uk // nv, return_counts=True)
+    distinct[ud] = uc
+    return pa.table({"doc_id": b["doc_id"],
+                     "n_lines": pa.array(total, pa.int64()),
+                     "n_distinct_lines": pa.array(distinct, pa.int64())})
+
+
+def line_stats(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: line_stats_batch(b, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)

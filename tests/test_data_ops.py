@@ -1287,3 +1287,14 @@ def test_hll_group_estimates(ray_session):
     for _, r in est.iterrows():
         true = len({x for x, l in zip(texts, langs) if l == r["lang"]})
         assert abs(r["distinct_est"] - true) / true < 0.15
+
+
+def test_line_stats_duplicate_lines(ray_session):
+    """round-5 duplicate-line signal: exact total/distinct line counts,
+    empty string = one empty line (split semantics mirror the oracle)."""
+    import ray.data as rd
+    from raphtory_ray.data.text import line_stats
+    ds = _doc_ds(["a\nb\na", "x", "", "p\np\np\np"])
+    t = line_stats(ds).to_pandas().sort_values("doc_id")
+    assert t["n_lines"].tolist() == [3, 1, 1, 4]
+    assert t["n_distinct_lines"].tolist() == [2, 1, 1, 1]
